@@ -1,0 +1,94 @@
+"""Explicit StructTypes for every engine table.
+
+``pages`` is the authoritative input shape from BASELINE.json input_hint:
+(url string, warc_ts timestamp, html binary, text string, lang string).
+The crawl-state tables follow FIXTURES.md §2-4; entity tables mirror the
+reference's Postgres schema (reference: db/migrate/*, SURVEY.md §1.1).
+"""
+
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),   # golden extraction output
+    T.StructField("lang", T.StringType(), True),
+])
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("host", T.StringType(), False),
+    T.StructField("priority", T.DoubleType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("discovered_wave", T.IntegerType(), False),
+    T.StructField("status", T.StringType(), False),  # pending|fetched|excluded|missing
+])
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("first_wave", T.IntegerType(), False),
+    T.StructField("seq", T.LongType(), False),  # global crawl-order position
+])
+
+ROBOTS_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType(), False),
+    T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), True),
+    T.StructField("crawl_delay_ms", T.IntegerType(), True),
+    T.StructField("max_per_wave", T.IntegerType(), True),
+])
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("wave", T.IntegerType(), False),
+    T.StructField("partition_id", T.IntegerType(), False),
+    T.StructField("fetched", T.LongType(), False),
+    T.StructField("missing", T.LongType(), False),
+    T.StructField("extracted_tracks", T.LongType(), False),
+    T.StructField("extracted_playlists", T.LongType(), False),
+    T.StructField("extracted_albums", T.LongType(), False),
+    T.StructField("links_found", T.LongType(), False),
+])
+
+# entry rows mirror reference entries (db/migrate/002,004,020,021) minus
+# wall-clock columns: crawled/updated derive from the wave number.
+ENTRY_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("visual_url", T.StringType(), True),
+    T.StructField("locale", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("crawled_wave", T.IntegerType(), False),
+])
+
+ENCLOSURE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),         # owning entry url
+    T.StructField("kind", T.StringType(), False),        # track|playlist|album
+    T.StructField("provider", T.StringType(), False),
+    T.StructField("identifier", T.StringType(), False),
+    T.StructField("owner_id", T.StringType(), True),
+    T.StructField("state", T.StringType(), False),
+    T.StructField("in_catalog", T.BooleanType(), False),
+    T.StructField("doc_pos", T.IntegerType(), False),
+    T.StructField("child_pos", T.IntegerType(), False),
+])
+
+PROVIDER_CATALOG_SCHEMA = T.StructType([
+    T.StructField("provider", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("identifier", T.StringType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("owner_id", T.StringType(), True),
+    T.StructField("owner_name", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("thumbnail_url", T.StringType(), True),
+    T.StructField("artwork_url", T.StringType(), True),
+    T.StructField("audio_url", T.StringType(), True),
+    T.StructField("duration", T.IntegerType(), True),
+    T.StructField("published_at", T.TimestampType(), True),
+    T.StructField("state", T.StringType(), True),
+    T.StructField("child_identifiers", T.ArrayType(T.StringType()), True),
+])

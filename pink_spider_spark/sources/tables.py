@@ -1,0 +1,137 @@
+"""Snapshot-versioned parquet tables ("Iceberg-style" without the jars).
+
+This container ships no Iceberg runtime, so the engine provides the three
+Iceberg semantics the crawl loop needs on plain parquet:
+
+- **snapshot isolation**: every write creates a new immutable data dir;
+  readers resolve the snapshot through a manifest
+- **atomic commit**: the manifest is replaced with ``os.replace`` (atomic on
+  POSIX), so a crashed wave never exposes partial state
+- **time travel / resumability**: old snapshot ids remain readable until
+  expired; the wave checkpoint pins one snapshot id per table
+
+Layout::
+
+    root/<table>/d<k>/part-*.parquet     immutable data dirs
+    root/<table>/_manifest.json          {"current": N, "snapshots":
+                                          {"N": {"dirs": [...], ...}}}
+
+At 100 TB scale this maps 1:1 onto a real Iceberg catalog (append =
+AppendFiles, overwrite = ReplacePartitions, checkpoint = snapshot id); the
+driver-side manifest JSON is the only piece Iceberg would replace.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.dir, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "_manifest.json")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"current": 0, "snapshots": {"0": {"dirs": []}}}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix="_manifest", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit
+
+    # ------------------------------------------------------------ data io
+    def _new_data_dir(self) -> str:
+        return os.path.join(self.dir, f"d{uuid.uuid4().hex[:12]}")
+
+    def current_snapshot(self) -> int:
+        return int(self._read_manifest()["current"])
+
+    def snapshot_dirs(self, snapshot: int | None = None) -> list:
+        m = self._read_manifest()
+        sid = str(m["current"] if snapshot is None else snapshot)
+        snap = m["snapshots"].get(sid)
+        return list(snap["dirs"]) if snap else []
+
+    def read(self, spark: SparkSession, schema=None, snapshot: int | None = None) -> DataFrame:
+        dirs = self.snapshot_dirs(snapshot)
+        if not dirs:
+            if schema is None:
+                raise ValueError(f"table {self.name} is empty and no schema given")
+            return spark.createDataFrame([], schema)
+        df = spark.read.parquet(*dirs)
+        return df
+
+    def _write_dir(self, df: DataFrame) -> str:
+        path = self._new_data_dir()
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def append(self, df: DataFrame) -> int:
+        """Append files; new snapshot = old dirs + new dir."""
+        path = self._write_dir(df)
+        m = self._read_manifest()
+        cur = str(m["current"])
+        dirs = list(m["snapshots"].get(cur, {"dirs": []})["dirs"]) + [path]
+        return self._commit(m, dirs)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents in one new snapshot."""
+        path = self._write_dir(df)
+        m = self._read_manifest()
+        return self._commit(m, [path])
+
+    def _commit(self, manifest: dict, dirs: list) -> int:
+        new_id = int(manifest["current"]) + 1
+        manifest["snapshots"][str(new_id)] = {"dirs": dirs}
+        manifest["current"] = new_id
+        self._commit_manifest(manifest)
+        return new_id
+
+
+class TableStore:
+    """A directory of SnapshotTables plus an atomic crawl checkpoint.
+
+    The checkpoint pins (wave, {table: snapshot_id}); a wave that crashes
+    mid-write leaves the previous checkpoint intact, and resume simply reads
+    the pinned snapshots (SURVEY.md §2.11 resumability contract).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name)
+
+    @property
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self.root, "_checkpoint.json")
+
+    def read_checkpoint(self) -> dict | None:
+        try:
+            with open(self._checkpoint_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def commit_checkpoint(self, wave: int, snapshots: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_ckpt", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"wave": wave, "snapshots": snapshots}, f)
+        os.replace(tmp, self._checkpoint_path)
