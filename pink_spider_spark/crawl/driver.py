@@ -1,0 +1,245 @@
+"""The crawl wave driver: one Spark job per wave, resumable from checkpoint.
+
+Canonical wave semantics (shared with the sequential simulator in
+``simulator.py`` — ordering/seen-set parity between the two is the
+correctness gate):
+
+1. candidates = frontier rows with status 'pending'
+2. robots exclusion: path matches a disallow prefix -> status 'excluded'
+3. dequeue: per host, top ``max_per_wave`` by (priority DESC, url ASC)
+4. in-wave order: batch ranked by (priority DESC, url ASC); global
+   seq = seen-so-far + wave_pos
+5. fetch simulation: batch ⨝ pages on url (sandbox has no network; at
+   scale this is the politeness-bucketed fetch stage); misses -> 'missing'
+6. extract: one mapInPandas pass -> entries, enclosures, links
+7. enqueue: canonicalized discovered links, deduped (max parent priority
+   × DECAY, min depth+1), anti-joined (bloom + exact) against every URL
+   ever enqueued
+8. atomic commit of frontier/seen/entries/enclosures/metrics snapshots +
+   checkpoint {wave, snapshot ids}
+
+The reference's analogue is the rss_crawler batch loop
+(reference: src/rss_crawler.rs:11-44 + src/model/feed.rs:210-232): paged
+feed sweep -> per-entry crawl-once (find_or_create_by_url_if_invalid,
+src/model/entry.rs:295-308) -> scrape -> persist enclosures.  The wave
+loop generalizes crawl-once to the seen-set, the page sweep to the
+priority frontier, and the 500 ms sleep to per-host budgets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import canonicalize_url, extract_pages, host_col, with_url_hash
+from ..sources import schemas
+from ..sources.tables import TableStore
+from . import scheduler
+from .bloom import build_bloom, prune_with_bloom
+
+PRIORITY_DECAY = 0.8
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 3
+    max_waves: int = 100
+    bloom_fpp: float = 0.01
+
+
+class CrawlDriver:
+    def __init__(self, spark: SparkSession, store: TableStore,
+                 pages: DataFrame, robots: DataFrame,
+                 catalog_items: dict, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.store = store
+        self.pages = pages
+        self.robots = robots
+        self.catalog_items = catalog_items
+        self.config = config or CrawlConfig()
+
+    # ------------------------------------------------------------ state
+    def _t(self, name):
+        return self.store.table(name)
+
+    def bootstrap(self, seed_urls: list) -> None:
+        """Initialize frontier with the seed list (priority 1.0, depth 0)."""
+        df = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
+        frontier = (
+            with_url_hash(df)
+            .withColumn("host", host_col())
+            .withColumn("priority", F.lit(1.0))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovered_wave", F.lit(0))
+            .withColumn("status", F.lit("pending"))
+            .select([f.name for f in schemas.FRONTIER_SCHEMA.fields])
+        )
+        snapshots = {
+            "frontier": self._t("frontier").overwrite(frontier),
+            "seen": self._t("seen").overwrite(
+                self.spark.createDataFrame([], schemas.SEEN_SCHEMA)),
+            "entries": 0, "enclosures": 0, "metrics": 0,
+        }
+        self.store.commit_checkpoint(0, snapshots)
+
+    def _pinned(self, name: str, schema):
+        ckpt = self.store.read_checkpoint() or {"snapshots": {}}
+        snap = ckpt["snapshots"].get(name, 0)
+        return self._t(name).read(self.spark, schema=schema, snapshot=snap)
+
+    # ------------------------------------------------------------- wave
+    def run_wave(self) -> dict:
+        """Run one wave; returns wave stats.  Resumable: reads only the
+        snapshots pinned by the last committed checkpoint."""
+        ckpt = self.store.read_checkpoint()
+        if ckpt is None:
+            raise RuntimeError("bootstrap() first")
+        wave = int(ckpt["wave"]) + 1
+
+        frontier = self._pinned("frontier", schemas.FRONTIER_SCHEMA)
+        seen = self._pinned("seen", schemas.SEEN_SCHEMA)
+        seen_count = seen.count()
+
+        pending = frontier.filter(F.col("status") == "pending")
+        flagged = scheduler.with_robots(pending, self.robots)
+        excluded = flagged.filter(F.col("excluded"))
+        eligible = flagged.filter(~F.col("excluded"))
+
+        batch = scheduler.per_host_budget_batch(eligible)
+        batch = scheduler.wave_order(batch).cache()
+        batch_n = batch.count()
+        if batch_n == 0:
+            return {"wave": wave, "fetched": 0, "done": True}
+
+        # --- fetch simulation + extract -------------------------------
+        fetched = batch.join(self.pages.select("url", "html"), on="url", how="left")
+        hits = fetched.filter(F.col("html").isNotNull())
+        misses = fetched.filter(F.col("html").isNull()).select("url")
+
+        extracted = extract_pages(hits, self.catalog_items).cache()
+
+        entries = (
+            extracted.join(batch.select("url"), "url")
+            .select(
+                "url",
+                F.col("og_title").alias("title"),
+                F.col("og_description").alias("description"),
+                F.col("og_image").alias("visual_url"),
+                F.col("og_locale").alias("locale"),
+                "content", "text",
+                F.lit(wave).alias("crawled_wave"),
+            )
+        )
+        enclosures = (
+            extracted.select("url", F.explode("enclosures").alias("e"))
+            .select("url", "e.kind", "e.provider", "e.identifier", "e.owner_id",
+                    "e.state", "e.in_catalog", "e.doc_pos", "e.child_pos")
+        )
+
+        # --- discovered links -> new frontier rows ---------------------
+        parent = batch.select("url", "priority", "depth")
+        links = (
+            extracted.select("url", F.explode("links").alias("raw_link"))
+            .join(parent, "url")
+            .select(
+                canonicalize_url(F.col("raw_link")).alias("url"),
+                (F.col("priority") * F.lit(PRIORITY_DECAY)).alias("priority"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .filter(F.col("url").startswith("http"))
+            .filter(F.col("depth") <= self.config.max_depth)
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
+        )
+        known_estimate = max(1000, frontier.count())
+        bloom = build_bloom(frontier, "url_hash", known_estimate, self.config.bloom_fpp)
+        new_urls = prune_with_bloom(
+            with_url_hash(links), frontier.select("url"), bloom)
+        new_frontier_rows = (
+            new_urls
+            .withColumn("host", host_col())
+            .withColumn("discovered_wave", F.lit(wave))
+            .withColumn("status", F.lit("pending"))
+            .select([f.name for f in schemas.FRONTIER_SCHEMA.fields])
+        )
+
+        # --- frontier state transition ---------------------------------
+        batch_urls = batch.select("url")
+        missing_urls = misses
+        status_updates = (
+            frontier.join(batch_urls.withColumn("__b", F.lit(1)), "url", "left")
+            .join(missing_urls.withColumn("__m", F.lit(1)), "url", "left")
+            .join(excluded.select("url").withColumn("__x", F.lit(1)), "url", "left")
+            .withColumn(
+                "status",
+                F.when(F.col("__m").isNotNull(), F.lit("missing"))
+                .when(F.col("__b").isNotNull(), F.lit("fetched"))
+                .when(F.col("__x").isNotNull(), F.lit("excluded"))
+                .otherwise(F.col("status")))
+            .drop("__b", "__m", "__x")
+        )
+        frontier_next = status_updates.unionByName(new_frontier_rows)
+
+        # --- seen ordering ----------------------------------------------
+        seen_new = (
+            batch.select(
+                "url",
+                F.lit(wave).alias("first_wave"),
+                (F.lit(seen_count) + F.col("wave_pos")).cast("long").alias("seq"))
+        )
+        seen_new = with_url_hash(seen_new).select(
+            [f.name for f in schemas.SEEN_SCHEMA.fields])
+
+        # --- per-partition lineage metrics ------------------------------
+        metrics = (
+            extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "track")))
+                .alias("extracted_tracks"),
+                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "playlist")))
+                .alias("extracted_playlists"),
+                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "album")))
+                .alias("extracted_albums"),
+                F.sum(F.size("links")).alias("links_found"),
+            )
+            .withColumn("wave", F.lit(wave))
+            .withColumn("missing", F.lit(batch_n) - F.lit(0))  # fixed below
+        )
+        miss_n = misses.count()
+        metrics = metrics.withColumn("missing", F.lit(miss_n).cast("long")).select(
+            [f.name for f in schemas.METRICS_SCHEMA.fields])
+
+        # --- atomic commit ----------------------------------------------
+        snapshots = dict((self.store.read_checkpoint() or {}).get("snapshots", {}))
+        snapshots["frontier"] = self._t("frontier").overwrite(frontier_next)
+        snapshots["seen"] = self._t("seen").append(seen_new)
+        snapshots["entries"] = self._t("entries").append(entries)
+        snapshots["enclosures"] = self._t("enclosures").append(enclosures)
+        snapshots["metrics"] = self._t("metrics").append(metrics)
+        self.store.commit_checkpoint(wave, snapshots)
+
+        stats = {"wave": wave, "fetched": batch_n - miss_n, "missing": miss_n,
+                 "batch": batch_n, "done": False}
+        batch.unpersist()
+        extracted.unpersist()
+        return stats
+
+    def run(self, seed_urls: list | None = None, resume: bool = False) -> list:
+        """Run waves to quiescence (or max_waves).  ``resume=True`` picks up
+        from the last committed checkpoint without re-seeding."""
+        if not resume:
+            if seed_urls is None:
+                raise ValueError("seed_urls required unless resuming")
+            self.bootstrap(seed_urls)
+        stats = []
+        for _ in range(self.config.max_waves):
+            s = self.run_wave()
+            stats.append(s)
+            if s.get("done"):
+                break
+        return stats

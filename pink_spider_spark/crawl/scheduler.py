@@ -1,0 +1,81 @@
+"""Per-host politeness scheduler: robots rules + budgeted frontier dequeue.
+
+North-rule components: "per-host politeness scheduler (salted repartition
+by host hash to kill skew, robots.txt cache as a broadcast table, priority
+queue via window-ranked frontier batches)".  The reference's only
+politeness device is a fixed 500 ms sleep between API calls
+(reference: src/update_tracks.rs:18); generalized here to a per-host
+per-wave URL budget derived from the robots table's crawl_delay.
+
+Skew: ranking candidates per host is itself a skewed shuffle (one heavy
+host can dominate a partition).  Because the per-wave budget k is small,
+top-k is computed in two phases: a SALTED window (host, salt buckets from
+xxhash64(url)) takes k per salt bucket — bounding any partition's work —
+then the survivors (≤ k × n_salts per host, tiny) are ranked exactly.
+Same result as a single window, no hot partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_PER_WAVE = 16
+SALT_BUCKETS = 8
+
+
+def with_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Broadcast-join robots rules; flag disallowed URLs as excluded.
+
+    Adds ``max_per_wave`` (budget) and ``excluded`` (path matches a
+    disallow prefix).  Hosts without a robots row get defaults.
+    """
+    path = F.coalesce(F.expr("parse_url(url, 'PATH')"), F.lit("/"))
+    joined = candidates.join(
+        F.broadcast(robots.select("host", "disallow_prefixes", "max_per_wave")),
+        on="host", how="left")
+    return (
+        joined
+        .withColumn("max_per_wave",
+                    F.coalesce(F.col("max_per_wave"), F.lit(DEFAULT_MAX_PER_WAVE)))
+        .withColumn(
+            "excluded",
+            F.when(F.col("disallow_prefixes").isNull(), F.lit(False))
+            .otherwise(F.exists(
+                "disallow_prefixes",
+                lambda p: F.startswith(path, p))))
+        .drop("disallow_prefixes")
+    )
+
+
+def per_host_budget_batch(candidates: DataFrame) -> DataFrame:
+    """Window-ranked frontier dequeue: top ``max_per_wave`` URLs per host by
+    (priority DESC, url ASC) — the deterministic crawl order contract.
+
+    Two-phase salted top-k (see module docstring).  Input needs columns
+    (url, host, priority, max_per_wave); output adds ``host_rank``.
+    """
+    salted = candidates.withColumn(
+        "__salt", F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS)))
+    w_salt = (Window.partitionBy("host", "__salt")
+              .orderBy(F.desc("priority"), F.asc("url")))
+    pre = (salted
+           .withColumn("__r", F.row_number().over(w_salt))
+           .filter(F.col("__r") <= F.col("max_per_wave"))
+           .drop("__r", "__salt"))
+    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    return (pre
+            .withColumn("host_rank", F.row_number().over(w_host))
+            .filter(F.col("host_rank") <= F.col("max_per_wave")))
+
+
+def wave_order(batch: DataFrame) -> DataFrame:
+    """Deterministic in-wave sequence: rank by (priority DESC, url ASC).
+
+    A global single-partition window would be a scale bottleneck in
+    general, but wave batches are budget-bounded (≤ Σ host budgets), so
+    the sort input is small BY CONSTRUCTION — this is why the global seq
+    is computed here and not on the full frontier.
+    """
+    w = Window.orderBy(F.desc("priority"), F.asc("url"))
+    return batch.withColumn("wave_pos", F.row_number().over(w))

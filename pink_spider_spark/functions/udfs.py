@@ -1,0 +1,128 @@
+"""Vectorized (Arrow-batched) UDFs — the only Python in the hot path.
+
+- ``extract_pages``: the flagship extraction operator as one mapInPandas
+  pass (html, url) -> (content, text, og fields, enclosures[], links[]).
+  No per-row Python crosses the JVM boundary: one Arrow batch in, one out
+  (BASELINE.json input_hint).  The provider catalog rides along as a
+  broadcast variable.
+- ``canonicalize_url``: URL canonicalization for seen-keys (SURVEY.md
+  §2.8 F16).  Documented deviation from the reference: the reference keys
+  the seen set on the exact URL string (src/model/entry.rs:206-217); we
+  canonicalize for the bloom key but keep exact-string equality in the
+  confirming anti-join.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENCLOSURE_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("provider", T.StringType()),
+    T.StructField("identifier", T.StringType()),
+    T.StructField("owner_id", T.StringType()),
+    T.StructField("state", T.StringType()),
+    T.StructField("in_catalog", T.BooleanType()),
+    T.StructField("doc_pos", T.IntegerType()),
+    T.StructField("child_pos", T.IntegerType()),
+])
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("content", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("og_title", T.StringType()),
+    T.StructField("og_description", T.StringType()),
+    T.StructField("og_locale", T.StringType()),
+    T.StructField("og_image", T.StringType()),
+    T.StructField("enclosures", T.ArrayType(ENCLOSURE_STRUCT)),
+    T.StructField("links", T.ArrayType(T.StringType())),
+])
+
+
+def extract_pages(df: DataFrame, catalog_items: dict | None = None,
+                  html_col: str = "html", url_col: str = "url") -> DataFrame:
+    """Run the extraction pipeline over a pages DataFrame.
+
+    Input needs (url, html); output one row per input row with EXTRACT_SCHEMA.
+    Enclosure rows keep (doc_pos, child_pos) so the reference's first-seen
+    document ordering survives the relational pipeline.
+    """
+    spark = df.sparkSession
+    b_items = spark.sparkContext.broadcast(catalog_items or {})
+
+    def run(batches):
+        # imports inside the worker to keep the closure light
+        from pink_spider_spark.extract import extract
+        from pink_spider_spark.providers import Catalog
+
+        catalog = Catalog(b_items.value)
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                product = extract(html, url, catalog)
+                og = product.og
+                encl = []
+                for row in (product.tracks + product.playlists + product.albums):
+                    encl.append({
+                        "kind": row["kind"],
+                        "provider": row["provider"],
+                        "identifier": row["identifier"],
+                        "owner_id": row["owner_id"],
+                        "state": row["state"],
+                        "in_catalog": row["in_catalog"],
+                        "doc_pos": row["doc_pos"],
+                        "child_pos": row["child_pos"],
+                    })
+                out.append({
+                    "url": url,
+                    "content": product.content,
+                    "text": product.text,
+                    "og_title": og.get("title"),
+                    "og_description": og.get("description"),
+                    "og_locale": og.get("locale"),
+                    "og_image": og["images"][0] if og["images"] else None,
+                    "enclosures": encl,
+                    "links": product.links,
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+
+    return df.select(url_col, html_col).mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def _canon_one(url: str) -> str:
+    """Lowercase scheme+host, strip default port and fragment, '' path -> '/'."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    if port is not None and not ((scheme == "http" and port == 80)
+                                 or (scheme == "https" and port == 443)):
+        host = f"{host}:{port}"
+    path = parts.path or "/"
+    return urlunsplit((scheme, host, path, parts.query, ""))
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    return urls.map(_canon_one)
+
+
+def with_url_hash(df: DataFrame, url_col: str = "url",
+                  out_col: str = "url_hash") -> DataFrame:
+    """Seen-set key: xxhash64 over the canonical URL (JVM-side hash; the
+    bloom filter derives its k probe positions from this single value)."""
+    return df.withColumn(out_col, F.xxhash64(canonicalize_url(F.col(url_col))))
+
+
+def host_col(url_col: str = "url"):
+    """Host extraction stays JVM-side (parse_url is a built-in expression)."""
+    return F.lower(F.expr(f"parse_url({url_col}, 'HOST')"))

@@ -18,6 +18,14 @@ def get_spark(app_name: str = "pink-spider-spark",
     (runtime skew-join handling is the first line of defense for host skew),
     Arrow on (every custom operator is a vectorized pandas UDF).
     """
+    # make the package importable inside Python workers (spark-submit
+    # deployments ship the same thing via --py-files, SURVEY.md §7.1-7)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else ""))
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
