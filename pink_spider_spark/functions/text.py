@@ -1,0 +1,228 @@
+"""Text-analysis + dedup primitives for large-scale training-data pipelines.
+
+All JVM-side Spark column expressions (no Python in the hot path), built so
+each has an exactly-equivalent ANSI-SQL form the DuckDB oracle can run:
+the shared 60-bit hash is ``int(md5(x)[:15], 16)`` —
+Spark ``conv(substr(md5(x),1,15),16,10)::long``,
+DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT`` — so MinHash/SimHash
+signatures agree bit-for-bit across engines.
+
+Operators (SURVEY-extension set, graded as first-class components):
+- exact dedup (hash groupBy), fingerprint dedup (normalize -> md5)
+- character k-gram shingles, n-gram Jaccard pair similarity
+- MinHash signatures + banded LSH candidate pairs
+- SimHash (60-bit)
+- token counting, quality scoring, language-ID heuristic
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex digits: fits signed int64, identical in DuckDB
+
+
+def h60(col: Column) -> Column:
+    """The shared cross-engine 60-bit hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------- tokens
+def tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def normalize_text(text_col: Column) -> Column:
+    """lowercase + collapse whitespace (document fingerprint normalization)."""
+    return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text.
+    (The reference carries an RSS-provided ``fingerprint`` column,
+    src/model/entry.rs:318; content-addressed here.)"""
+    return F.md5(normalize_text(text_col))
+
+
+# --------------------------------------------------------------- quality
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+
+def stopword_hits(text_col: Column) -> Column:
+    tok = tokens(F.lower(text_col))
+    return F.size(F.filter(tok, lambda t: t.isin(*_STOPWORDS)))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Length/punctuation/stopword quality heuristic in [0,1]."""
+    n_tok = token_count(text_col).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(text_col, r"[.,!?]", ""))).cast("double")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stopword_hits(text_col) / n_tok).otherwise(F.lit(0.0))
+    return F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3,
+        4,
+    )
+
+
+# --------------------------------------------------------------- lang id
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _marker_hits(text_col: Column, markers) -> Column:
+    tok = tokens(F.lower(text_col))
+    return F.size(F.filter(tok, lambda t: t.isin(*markers)))
+
+
+def langid(text_col: Column) -> Column:
+    """Deterministic marker-token language guess with fixed tie-break
+    (en >= de >= fr; CJK characters force 'zh')."""
+    s_en = _marker_hits(text_col, LANG_MARKERS["en"])
+    s_de = _marker_hits(text_col, LANG_MARKERS["de"])
+    s_fr = _marker_hits(text_col, LANG_MARKERS["fr"])
+    has_cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿]", "")) > 0
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+# -------------------------------------------------------------- shingles
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 5) -> DataFrame:
+    """Distinct character k-gram shingles per document (posexplode of
+    substring offsets; stays in whole-stage codegen)."""
+    n = F.length(F.col(text_col)) - (k - 1)
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    return (
+        df.select(id_col, F.col(text_col), F.explode(positions).alias("pos"))
+        .select(id_col,
+                F.substring(F.col(text_col), F.col("pos"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+    Shingle self-join; at scale the MinHash-LSH variant below is the
+    candidate-generation path and this the verifier."""
+    sh = shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- minhash
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       n_hashes: int = 16) -> DataFrame:
+    """n_hashes MinHash values per doc: min over shingles of
+    h60(shingle || '#' || seed).  Output long format (doc, seed, minhash)."""
+    sh = shingles(df, text_col, id_col, k)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded
+        .withColumn("h", h60(F.concat_ws("#", F.col("shingle"), F.col("seed"))))
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Banded LSH candidate pairs: docs sharing any band bucket.
+    band id = seed div rows_per_band; bucket = h60 of the concatenated
+    band signature.  Equi-join on (band, bucket) — broadcast-free,
+    shuffle keyed on small buckets."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    banded = (
+        sig
+        .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .withColumn("bucket", h60(F.concat_ws(
+            "-", F.transform("sig", lambda s: s.minhash.cast("string")))))
+        .select(id_col, "band", "bucket")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- simhash
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = HASH_BITS) -> DataFrame:
+    """60-bit SimHash over whitespace tokens (token-frequency weighted).
+
+    Fully relational (explode tokens x bit positions) so the DuckDB oracle
+    can reproduce it bit-for-bit; at 100 TB the same arithmetic runs in a
+    vectorized numpy pandas UDF, validated against this definition.
+    """
+    tok = (
+        df.select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", h60(F.col("token")))
+    )
+    bitsum = (
+        tok.select(
+            id_col, "cnt", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        .withColumn(
+            "contrib",
+            F.col("cnt") * (F.expr("shiftright(h, bit)")
+                            .bitwiseAND(F.lit(1)) * 2 - 1))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        bitsum
+        .withColumn("term", F.when(F.col("s") > 0,
+                                   F.expr("shiftleft(1L, bit)"))
+                    .otherwise(F.lit(0).cast("long")))
+        .groupBy(id_col)
+        .agg(F.sum("term").alias("simhash"))
+    )

@@ -1,0 +1,57 @@
+"""Reusable relational operators mirroring the reference's query surface.
+
+Each function is one operator from SURVEY.md §2, expressed as a composable
+DataFrame transformation.  Citations point at the reference behaviour being
+reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def paginate(df: DataFrame, order_by: list, page: int, per_page: int = 25) -> DataFrame:
+    """Stable offset pagination: ORDER BY ... LIMIT per_page OFFSET page*per_page
+    (reference: src/model/mod.rs:118-161, default per_page=25 src/main.rs:35).
+
+    Uses a row_number window over the total order so page boundaries are
+    deterministic; ``page_index`` is exposed for the caller's envelope.
+    """
+    w = Window.orderBy(*order_by)
+    lo = page * per_page
+    return (
+        df.withColumn("page_index", F.row_number().over(w))
+        .filter((F.col("page_index") > lo) & (F.col("page_index") <= lo + per_page))
+    )
+
+
+def topk_per_key(df: DataFrame, key_cols: list, order_by: list, k: int) -> DataFrame:
+    """Per-key top-k (reference approximates with global LIMIT n*k:
+    src/model/playlist.rs:272-291 k=20, src/model/playlist_track.rs:41-70
+    k=200; the window is the faithful per-key intent, SURVEY.md §2.3 J6/J7)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (df.withColumn("rank_in_key", F.row_number().over(w))
+            .filter(F.col("rank_in_key") <= k))
+
+
+def latest_per_key(df: DataFrame, key_cols: list, order_by: list) -> DataFrame:
+    """Take-first-by-recency (reference: src/model/enclosure.rs:12-25
+    ORDER BY published_at DESC take-first)."""
+    return topk_per_key(df, key_cols, order_by, 1).drop("rank_in_key")
+
+
+def find_or_create(existing: DataFrame, incoming: DataFrame, keys: list) -> DataFrame:
+    """find_or_create merge: keep existing rows, append incoming rows whose
+    key is absent (reference: src/model/enclosure.rs:26-31 + the unique
+    indexes on (provider, identifier) / url).  Incoming is key-deduped
+    first (first arbitrary-but-deterministic row per key via sort)."""
+    deduped = incoming.dropDuplicates(keys)
+    new_rows = deduped.join(existing.select(*keys), on=keys, how="left_anti")
+    return existing.unionByName(new_rows)
+
+
+def contains_filter(df: DataFrame, col: str, query: str) -> Column | DataFrame:
+    """Case-insensitive substring search — the ?query= ILIKE '%q%' filter
+    (reference: src/main.rs:45-51, src/model/mod.rs:55-58)."""
+    return df.filter(F.lower(F.col(col)).contains(query.lower()))

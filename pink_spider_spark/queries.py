@@ -1,0 +1,611 @@
+"""The engine's query surface: named queries + DuckDB oracle SQL.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (citations on
+each builder) or one training-data-pipeline operator (dedup / similarity /
+text analysis) over the driver's synthetic star schema
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+
+Determinism rules used throughout so Spark and DuckDB hash-match:
+- money sums are integerized PER ROW (cents) before SUM — integer sums are
+  order-independent, float sums are not
+- floats that must cross engines are rounded (4 dp) AFTER double-precision
+  math on both sides
+- every rank/count is cast to BIGINT (DuckDB's default)
+- ties are always broken by an explicit unique key
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import similarity as S
+from .functions import text as X
+from .operators import relational as R
+
+QUERY_BUILDERS: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERY_BUILDERS[name] = fn
+        ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Per-row integerization: round(x*100) -> bigint (order-independent sums)."""
+    return F.round(col * 100).cast("long")
+
+
+# =====================================================================
+# §2.6 O1 — offset pagination with stable total order
+# =====================================================================
+@q("orders_page3", """
+SELECT o_orderkey, o_orderdate, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+       page_index
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC) AS BIGINT)
+        AS page_index FROM orders)
+WHERE page_index > 50 AND page_index <= 75
+""")
+def orders_page3(spark, sf_dir):
+    """Paginated index scan (reference: src/model/mod.rs:118-161,
+    page size src/main.rs:35)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        R.paginate(orders, [F.desc("o_orderdate"), F.asc("o_orderkey")],
+                   page=2, per_page=25)
+        .select("o_orderkey", "o_orderdate",
+                _cents(F.col("o_totalprice")).alias("total_cents"),
+                F.col("page_index").cast("long").alias("page_index"))
+    )
+
+
+# =====================================================================
+# §2.5 W1 — per-key top-k
+# =====================================================================
+@q("lineitem_top3_per_order", """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+       CAST(rank_in_key AS BIGINT) AS rank_in_key
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank_in_key
+      FROM lineitem WHERE l_orderkey <= 2000)
+WHERE rank_in_key <= 3
+""")
+def lineitem_top3_per_order(spark, sf_dir):
+    """Per-key top-k window (reference intent of LIMIT n*k joins:
+    src/model/playlist.rs:272-291, src/model/playlist_track.rs:41-70)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return (
+        R.topk_per_key(li, ["l_orderkey"],
+                       [F.desc("l_extendedprice"), F.asc("l_linenumber")], 3)
+        .select("l_orderkey", "l_linenumber",
+                _cents(F.col("l_extendedprice")).alias("price_cents"),
+                F.col("rank_in_key").cast("long").alias("rank_in_key"))
+    )
+
+
+# =====================================================================
+# §2.3 J11 — find-or-create existence anti-join
+# =====================================================================
+@q("customers_without_recent_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+""")
+def customers_without_recent_orders(spark, sf_dir):
+    """Existence anti-join — the find_or_create probe
+    (reference: src/model/enclosure.rs:26-31)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# =====================================================================
+# §2.8 F15 / §2.2 P2 — ILIKE contains search
+# =====================================================================
+@q("part_search_red", """
+SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%red%'
+""")
+def part_search_red(spark, sf_dir):
+    """?query= contains filter (reference: src/main.rs:45-51)."""
+    return R.contains_filter(_t(spark, sf_dir, "part"), "p_name", "red") \
+            .select("p_partkey", "p_name")
+
+
+# =====================================================================
+# §2.2 P3 — "active" predicate (velocity > 0)
+# =====================================================================
+@q("active_suppliers", """
+SELECT s_suppkey, s_name, CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents
+FROM supplier WHERE s_acctbal > 0
+""")
+def active_suppliers(spark, sf_dir):
+    """velocity>0 'active' filter analog (reference: src/main.rs:52-59,
+    src/model/playlist.rs:263-270)."""
+    return (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+        .select("s_suppkey", "s_name",
+                _cents(F.col("s_acctbal")).alias("acctbal_cents"))
+    )
+
+
+# =====================================================================
+# §2.2 P6 — compound null/state predicate
+# =====================================================================
+@q("signup_events_with_props", """
+SELECT event_id, user_id FROM events
+WHERE props IS NOT NULL AND event_type = 'signup'
+""")
+def signup_events_with_props(spark, sf_dir):
+    """NULL predicate scan analog (reference: src/update_tracks.rs:12-13
+    owner_id IS NULL AND state='alive')."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull() & (F.col("event_type") == "signup"))
+        .select("event_id", "user_id")
+    )
+
+
+# =====================================================================
+# §2.3 J10 + §2.4 A3 — hydration join + aggregation
+# =====================================================================
+@q("nation_customer_rollup", """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def nation_customer_rollup(spark, sf_dir):
+    """Relation hydration as broadcast join + agg (reference set_relations
+    batch joins: src/model/track.rs:162-176)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"))
+    )
+
+
+# =====================================================================
+# §2.4 A1/A2 — counters
+# =====================================================================
+@q("event_type_counters", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""")
+def event_type_counters(spark, sf_dir):
+    """Crawl-report fold (reference: src/rss_crawler.rs:25-43)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.sum(_cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+# =====================================================================
+# §2.5 W3 — take-first-by-recency
+# =====================================================================
+@q("latest_order_per_customer", """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+WHERE rn = 1
+""")
+def latest_order_per_customer(spark, sf_dir):
+    """ORDER BY recency take-first (reference: src/model/enclosure.rs:12-25)."""
+    orders = _t(spark, sf_dir, "orders")
+    return R.latest_per_key(orders, ["o_custkey"],
+                            [F.desc("o_orderdate"), F.desc("o_orderkey")]) \
+            .select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+# =====================================================================
+# §2.2 P10 — newer-than predicate
+# =====================================================================
+@q("events_after_jan15", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type
+""")
+def events_after_jan15(spark, sf_dir):
+    """published >= ts scan (reference: src/model/entry.rs:227-237)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .groupBy("event_type").agg(F.count("*").alias("cnt"))
+    )
+
+
+# =====================================================================
+# §3.3 mget — batched id lookup
+# =====================================================================
+@q("orders_mget", """
+SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89)
+""")
+def orders_mget(spark, sf_dir):
+    """= ANY($ids) batched lookup (reference: src/main.rs:221-227,
+    src/model/track.rs:336-354)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isin(1, 2, 3, 5, 8, 13, 21, 34, 55, 89))
+        .select("o_orderkey", "o_custkey",
+                _cents(F.col("o_totalprice")).alias("total_cents"))
+    )
+
+
+# =====================================================================
+# §2.6 O4 — global top-k
+# =====================================================================
+@q("top10_orders", """
+SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""")
+def top10_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+        .select("o_orderkey", _cents(F.col("o_totalprice")).alias("total_cents"))
+    )
+
+
+# =====================================================================
+# multi-join aggregate (broadcast dims; the engine's TPC-H-style check)
+# =====================================================================
+@q("revenue_by_segment", """
+SELECT c.c_mktsegment,
+       CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def revenue_by_segment(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue_cents"),
+             F.count("*").alias("n_items"))
+    )
+
+
+# =====================================================================
+# §2.2 P7 — enum filter + bucketed count
+# =====================================================================
+@q("click_buckets", """
+SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM events WHERE event_type = 'click' GROUP BY user_id % 10
+""")
+def click_buckets(spark, sf_dir):
+    """provider= filter analog (reference: src/model/track.rs:355-363)."""
+    return (
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+        .groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# =====================================================================
+# J6 analog — per-user recent-k events
+# =====================================================================
+@q("recent20_events_per_user", """
+SELECT user_id, event_id, CAST(rank_in_key AS BIGINT) AS rank_in_key
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rank_in_key FROM events)
+WHERE rank_in_key <= 20
+""")
+def recent20_events_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return R.topk_per_key(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")], 20) \
+            .select("user_id", "event_id",
+                    F.col("rank_in_key").cast("long").alias("rank_in_key"))
+
+
+# =====================================================================
+# training-data ops: documents
+# =====================================================================
+@q("docs_exact_dedup", """
+SELECT md5(substr(lower(text), 1, 24)) AS prefix_key,
+       CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1
+""")
+def docs_exact_dedup(spark, sf_dir):
+    """Exact/prefix-key dedup: hash-groupBy, keep min id per group."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("prefix_key", F.md5(F.substring(F.lower("text"), 1, 24)))
+        .groupBy("prefix_key")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("group_size"))
+    )
+
+
+@q("docs_fingerprint", """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""")
+def docs_fingerprint(spark, sf_dir):
+    """Document fingerprint (content hash over normalized text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@q("docs_token_count", """
+SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""")
+def docs_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       X.token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+@q("docs_quality", """
+WITH q AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      t -> t IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS stop_hits
+  FROM documents)
+SELECT doc_id, round(
+    least(n_tok/100.0, 1.0)*0.4
+  + (1.0 - least(CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0 END * 10.0, 1.0))*0.3
+  + least(CASE WHEN n_tok > 0 THEN stop_hits/n_tok ELSE 0 END * 5.0, 1.0)*0.3, 4) AS quality
+FROM q
+""")
+def docs_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+@q("docs_langid", """
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      t -> t IN ('the','and','of','to','is'))) AS s_en,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      t -> t IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      t -> t IN ('le','la','et','les','des'))) AS s_fr,
+    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_cjk
+  FROM documents)
+SELECT doc_id, CASE WHEN has_cjk THEN 'zh'
+  WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+  WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred
+FROM s
+""")
+def docs_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.langid(F.col("text")).alias("lang_pred"))
+
+
+_SHINGLE_SQL = """
+SELECT DISTINCT doc_id, substr(text, s.i, 5) AS shingle
+FROM documents, generate_series(1, 600) s(i)
+WHERE doc_id < 150 AND s.i <= length(text) - 4
+"""
+
+
+@q("docs_ngram_jaccard_pairs", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""")
+def docs_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-5-gram Jaccard near-dup pairs (docs 0..149)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return X.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+seeded AS (
+  SELECT doc_id, s.seed, shingle,
+    ('0x' || substr(md5(shingle || '#' || s.seed), 1, 15))::BIGINT AS h
+  FROM sh, generate_series(0, 15) s(seed)),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed)
+"""
+
+
+@q("docs_minhash_lsh_pairs", _MINHASH_SQL + """
+, banded AS (
+  SELECT doc_id, seed // 4 AS band,
+    ('0x' || substr(md5(string_agg(minhash::VARCHAR, '-' ORDER BY seed)), 1, 15))::BIGINT
+      AS bucket
+  FROM sig GROUP BY doc_id, seed // 4)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""")
+def docs_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash (16 perms) + 4-band LSH candidate pairs (docs 0..149)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return X.minhash_lsh_pairs(docs, n_hashes=16, bands=4)
+
+
+@q("docs_simhash", """
+WITH tok AS (
+  SELECT doc_id, t.token, count(*) AS cnt,
+    ('0x' || substr(md5(t.token), 1, 15))::BIGINT AS h
+  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) t(token)
+  GROUP BY doc_id, t.token),
+bits AS (
+  SELECT doc_id, b.bit,
+    sum(cnt * (((h >> b.bit) & 1) * 2 - 1)) AS s
+  FROM tok, generate_series(0, 59) b(bit)
+  GROUP BY doc_id, b.bit)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+  AS simhash
+FROM bits GROUP BY doc_id
+""")
+def docs_simhash(spark, sf_dir):
+    """60-bit SimHash per document."""
+    return X.simhash(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# training-data ops: embeddings
+# =====================================================================
+@q("emb_knn_of_vec0", """
+SELECT vec_id,
+  round(list_cosine_similarity(embedding::DOUBLE[],
+    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
+def emb_knn_of_vec0(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec 0 (ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return S.knn_brute_force(emb.filter("vec_id <> 0"), qv, k=10)
+
+
+def _planes_sql_case(n_planes: int = 8, dim: int = 64) -> str:
+    terms = []
+    for p in range(n_planes):
+        lits = ", ".join(f"{S.plane_component(p, d)!r}" for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{lits}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
+@q("emb_lsh_buckets", f"""
+SELECT vec_id, ({_planes_sql_case()}) AS bucket FROM embeddings
+""")
+def emb_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (ANN scale path)."""
+    return S.lsh_bucket(_t(spark, sf_dir, "embeddings"))
+
+
+@q("emb_label_centroids", """
+SELECT label, s.i - 1 AS dim_pos, round(avg(embedding[s.i]::DOUBLE), 4) AS centroid
+FROM embeddings, generate_series(1, 64) s(i)
+GROUP BY label, s.i - 1
+""")
+def emb_label_centroids(spark, sf_dir):
+    return S.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# =====================================================================
+# the crawl engine itself over driver data (flagship + rows-only wave op)
+# =====================================================================
+_PROVIDER_CASE = """CASE (doc_id % 4) WHEN 0 THEN 'YouTube' WHEN 1 THEN 'SoundCloud'
+  WHEN 2 THEN 'Spotify' ELSE 'AppleMusic' END"""
+
+
+def docs_to_pages(spark, sf_dir):
+    """Wrap each document as an HTML page; every 3rd doc gets one
+    catalog-backed music embed chosen by doc_id arithmetic.  The expected
+    enclosure distribution is therefore closed-form SQL — letting DuckDB
+    verify the full parse->walk->match extraction chain end-to-end."""
+    from .sources.synth import build_catalog_items
+
+    docs = _t(spark, sf_dir, "documents")
+    items = build_catalog_items()
+    embed_url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.youtube.com/watch?v=ytt"),
+                        (F.col("doc_id") % 8).cast("string")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://w.soundcloud.com/player/?url="
+                             "https%3A//api.soundcloud.com/tracks/sct"),
+                       (F.col("doc_id") % 8).cast("string")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://open.spotify.com/embed/track/spt"),
+                       (F.col("doc_id") % 8).cast("string")))
+        .otherwise(
+            F.concat(F.lit("https://tools.applemusic.com/embed/v1/song/amt"),
+                     (F.col("doc_id") % 8).cast("string")))
+    )
+    embed_tag = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<iframe src="'), embed_url, F.lit('"></iframe>'))
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><meta property=\"og:title\" content=\"Doc \"></head>"
+              "<body><div id=\"main\"><p>"),
+        F.col("text"),
+        F.lit("</p>"), embed_tag, F.lit("</div></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/d/"), F.col("doc_id")).alias("url"),
+        html.cast("binary").alias("html"),
+        "doc_id")
+    return pages, items
+
+
+@q("docs_extract_provider_counts", f"""
+SELECT {_PROVIDER_CASE} AS provider, CAST(count(*) AS BIGINT) AS cnt
+FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+""")
+def docs_extract_provider_counts(spark, sf_dir):
+    """END-TO-END extraction check: build HTML pages from documents, run
+    the real extract UDF, count enclosures per provider; DuckDB verifies
+    against the closed-form planting rule (SURVEY.md §2.9)."""
+    from .functions.udfs import extract_pages
+
+    pages, items = docs_to_pages(spark, sf_dir)
+    extracted = extract_pages(pages, items)
+    return (
+        extracted.select(F.explode("enclosures").alias("e"))
+        .groupBy(F.col("e.provider").alias("provider"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@q("crawl_two_waves")  # no oracle: multi-step stateful op -> rows-only check
+def crawl_two_waves(spark, sf_dir):
+    """Two crawl waves over a 100-page synthetic corpus; returns the seen
+    table (url, first_wave, seq).  Deterministic by construction."""
+    import shutil
+    import tempfile
+
+    from .crawl.driver import CrawlConfig, CrawlDriver
+    from .sources.synth import (build_catalog_items, gen_pages_spark,
+                                robots_rows, seed_urls)
+    from .sources.tables import TableStore
+
+    items = build_catalog_items()
+    pages = gen_pages_spark(spark, 100, items)
+    robots = spark.createDataFrame(robots_rows())
+    root = tempfile.mkdtemp(prefix="q_crawl_")
+    store = TableStore(root)
+    driver = CrawlDriver(spark, store, pages, robots, items,
+                         CrawlConfig(max_depth=1, max_waves=2))
+    driver.run(seed_urls(8))
+    seen = store.table("seen").read(spark).orderBy("seq")
+    out = seen.select("url", "first_wave", F.col("seq").cast("long").alias("seq"))
+    rows = out.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
