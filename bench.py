@@ -1,0 +1,91 @@
+"""Headline benchmark: engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] plus a crawl-wave throughput probe.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl_urls_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "revenue_by_segment",
+    "lineitem_top3_per_order",
+    "latest_order_per_customer",
+    "recent20_events_per_user",
+    "docs_simhash",
+    "docs_minhash_lsh_pairs",
+    "docs_extract_provider_counts",
+    "emb_knn_of_vec0",
+    "emb_lsh_buckets",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pink_spider_spark import queries as Q
+    from pink_spider_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # JVM/codegen warmup so the first timed query isn't charged session start
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = Q.QUERY_BUILDERS[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # crawl throughput probe: 8k synthetic pages, 2 waves
+    from pink_spider_spark.crawl.driver import CrawlConfig, CrawlDriver
+    from pink_spider_spark.sources.synth import (build_catalog_items,
+                                                 gen_pages_spark, robots_rows,
+                                                 seed_urls)
+    from pink_spider_spark.sources.tables import TableStore
+
+    items = build_catalog_items()
+    pages = gen_pages_spark(spark, 8000, items, weight=4).cache()
+    pages.count()  # generation (input data) excluded from timing
+    robots_pdf = robots_rows()
+    robots_pdf["max_per_wave"] = 1_000_000
+    robots = spark.createDataFrame(robots_pdf)
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    driver = CrawlDriver(spark, TableStore(root), pages, robots, items,
+                         CrawlConfig(max_depth=1, max_waves=10))
+    t0 = time.time()
+    stats = driver.run(seed_urls(3000))
+    crawl_dt = time.time() - t0
+    urls = sum(s.get("batch", 0) for s in stats)
+    timings["crawl_2waves_8k"] = round(crawl_dt, 3)
+    total += crawl_dt
+    shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "headline_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "crawl_urls_per_sec": round(urls / crawl_dt, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

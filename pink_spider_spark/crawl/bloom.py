@@ -117,7 +117,12 @@ def prune_with_bloom(candidates: DataFrame, seen: DataFrame, bloom: BloomFilter,
         bf = BloomFilter(m_bits, k, np.frombuffer(raw, dtype=_U64))
         return pd.Series(bf.contains_many(hashes.to_numpy(dtype=np.int64)))
 
-    flagged = candidates.withColumn("__maybe_seen", might_contain(F.col(hash_col)))
+    # cached + eagerly materialized: both the fresh and the suspect branch
+    # read this, and the bloom UDF must not run twice (two branches of one
+    # union would otherwise race past the unpopulated cache)
+    flagged = candidates.withColumn(
+        "__maybe_seen", might_contain(F.col(hash_col))).cache()
+    flagged.count()
     fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_new = suspects.join(seen.select(key_col), on=key_col, how="left_anti")

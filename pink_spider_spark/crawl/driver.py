@@ -28,10 +28,14 @@ priority frontier, and the 500 ms sleep to per-host budgets.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING") == "1"
 
 from ..functions.udfs import canonicalize_url, extract_pages, host_col, with_url_hash
 from ..sources import schemas
@@ -82,7 +86,9 @@ class CrawlDriver:
                 self.spark.createDataFrame([], schemas.SEEN_SCHEMA)),
             "entries": 0, "enclosures": 0, "metrics": 0,
         }
-        self.store.commit_checkpoint(0, snapshots)
+        self.store.commit_checkpoint(
+            0, snapshots,
+            counters={"seen": 0, "frontier_estimate": len(seed_urls)})
 
     def _pinned(self, name: str, schema):
         ckpt = self.store.read_checkpoint() or {"snapshots": {}}
@@ -97,40 +103,54 @@ class CrawlDriver:
         if ckpt is None:
             raise RuntimeError("bootstrap() first")
         wave = int(ckpt["wave"]) + 1
+        counters = ckpt.get("counters", {})
 
         frontier = self._pinned("frontier", schemas.FRONTIER_SCHEMA)
-        seen = self._pinned("seen", schemas.SEEN_SCHEMA)
-        seen_count = seen.count()
+        # running counters ride in the checkpoint: no per-wave table recount
+        seen_count = int(counters.get("seen", 0))
+        frontier_estimate = int(counters.get("frontier_estimate", 1000))
 
         pending = frontier.filter(F.col("status") == "pending")
         flagged = scheduler.with_robots(pending, self.robots)
         excluded = flagged.filter(F.col("excluded"))
         eligible = flagged.filter(~F.col("excluded"))
 
+        t0 = time.time()
+
+        def tick(label):
+            nonlocal t0
+            if _TIMING:
+                now = time.time()
+                print(f"  [wave {wave}] {label}: {now - t0:.2f}s", flush=True)
+                t0 = now
+
         batch = scheduler.per_host_budget_batch(eligible)
         batch = scheduler.wave_order(batch).cache()
         batch_n = batch.count()
+        tick("dequeue")
         if batch_n == 0:
             return {"wave": wave, "fetched": 0, "done": True}
 
         # --- fetch simulation + extract -------------------------------
-        fetched = batch.join(self.pages.select("url", "html"), on="url", how="left")
-        hits = fetched.filter(F.col("html").isNotNull())
-        misses = fetched.filter(F.col("html").isNull()).select("url")
+        # batch is budget-bounded (small): broadcast it so the heavy html
+        # column never shuffles — pages scan stays map-side
+        hits = self.pages.select("url", "html").join(
+            F.broadcast(batch.select("url")), on="url", how="inner")
 
         extracted = extract_pages(hits, self.catalog_items).cache()
+        # misses derive from the cached extraction output: no second pass
+        # over the pages table
+        misses = batch.select("url").join(
+            extracted.select("url"), on="url", how="left_anti")
 
-        entries = (
-            extracted.join(batch.select("url"), "url")
-            .select(
-                "url",
-                F.col("og_title").alias("title"),
-                F.col("og_description").alias("description"),
-                F.col("og_image").alias("visual_url"),
-                F.col("og_locale").alias("locale"),
-                "content", "text",
-                F.lit(wave).alias("crawled_wave"),
-            )
+        entries = extracted.select(
+            "url",
+            F.col("og_title").alias("title"),
+            F.col("og_description").alias("description"),
+            F.col("og_image").alias("visual_url"),
+            F.col("og_locale").alias("locale"),
+            "content", "text",
+            F.lit(wave).alias("crawled_wave"),
         )
         enclosures = (
             extracted.select("url", F.explode("enclosures").alias("e"))
@@ -153,7 +173,7 @@ class CrawlDriver:
             .groupBy("url")
             .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
         )
-        known_estimate = max(1000, frontier.count())
+        known_estimate = max(1000, frontier_estimate)
         bloom = build_bloom(frontier, "url_hash", known_estimate, self.config.bloom_fpp)
         new_urls = prune_with_bloom(
             with_url_hash(links), frontier.select("url"), bloom)
@@ -166,12 +186,15 @@ class CrawlDriver:
         )
 
         # --- frontier state transition ---------------------------------
+        # flag tables are wave-sized (small): broadcast them so the frontier
+        # scan never shuffles — at 10^10 frontier rows this is the difference
+        # between a map-only status pass and a full-table shuffle
         batch_urls = batch.select("url")
         missing_urls = misses
         status_updates = (
-            frontier.join(batch_urls.withColumn("__b", F.lit(1)), "url", "left")
-            .join(missing_urls.withColumn("__m", F.lit(1)), "url", "left")
-            .join(excluded.select("url").withColumn("__x", F.lit(1)), "url", "left")
+            frontier.join(F.broadcast(batch_urls.withColumn("__b", F.lit(1))), "url", "left")
+            .join(F.broadcast(missing_urls.withColumn("__m", F.lit(1))), "url", "left")
+            .join(F.broadcast(excluded.select("url").withColumn("__x", F.lit(1))), "url", "left")
             .withColumn(
                 "status",
                 F.when(F.col("__m").isNotNull(), F.lit("missing"))
@@ -192,8 +215,9 @@ class CrawlDriver:
         seen_new = with_url_hash(seen_new).select(
             [f.name for f in schemas.SEEN_SCHEMA.fields])
 
-        # --- per-partition lineage metrics ------------------------------
-        metrics = (
+        # --- per-partition lineage metrics (tiny: one row per partition,
+        # collected driver-side so links_found also feeds the counters) ---
+        metric_rows = (
             extracted
             .withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
@@ -207,21 +231,32 @@ class CrawlDriver:
                 .alias("extracted_albums"),
                 F.sum(F.size("links")).alias("links_found"),
             )
-            .withColumn("wave", F.lit(wave))
-            .withColumn("missing", F.lit(batch_n) - F.lit(0))  # fixed below
+            .collect()
         )
-        miss_n = misses.count()
-        metrics = metrics.withColumn("missing", F.lit(miss_n).cast("long")).select(
-            [f.name for f in schemas.METRICS_SCHEMA.fields])
+        tick("extract+metrics")
+        links_found = sum(r.links_found or 0 for r in metric_rows)
+        miss_n = batch_n - sum(r.fetched for r in metric_rows)
+        metrics = self.spark.createDataFrame(
+            [(wave, r.partition_id, r.fetched, int(miss_n), r.extracted_tracks,
+              r.extracted_playlists, r.extracted_albums, r.links_found)
+             for r in metric_rows] or
+            [(wave, -1, 0, int(miss_n), 0, 0, 0, 0)],
+            schemas.METRICS_SCHEMA)
 
         # --- atomic commit ----------------------------------------------
         snapshots = dict((self.store.read_checkpoint() or {}).get("snapshots", {}))
         snapshots["frontier"] = self._t("frontier").overwrite(frontier_next)
+        tick("frontier write")
         snapshots["seen"] = self._t("seen").append(seen_new)
+        tick("seen write")
         snapshots["entries"] = self._t("entries").append(entries)
         snapshots["enclosures"] = self._t("enclosures").append(enclosures)
         snapshots["metrics"] = self._t("metrics").append(metrics)
-        self.store.commit_checkpoint(wave, snapshots)
+        tick("entity writes")
+        self.store.commit_checkpoint(
+            wave, snapshots,
+            counters={"seen": seen_count + batch_n,
+                      "frontier_estimate": frontier_estimate + int(links_found)})
 
         stats = {"wave": wave, "fetched": batch_n - miss_n, "missing": miss_n,
                  "batch": batch_n, "done": False}

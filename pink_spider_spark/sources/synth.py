@@ -161,15 +161,17 @@ def _paragraph(rng: random.Random, n_words: int) -> str:
 
 
 def page_html(i: int, n_pages: int, items: dict, pool: list,
-              n_hosts: int = N_HOSTS) -> str:
-    """Deterministic page body for index i (recipes: FIXTURES.md §5)."""
+              n_hosts: int = N_HOSTS, weight: int = 1) -> str:
+    """Deterministic page body for index i (recipes: FIXTURES.md §5).
+    ``weight`` scales paragraph count to emulate realistic page sizes in
+    throughput benchmarks (extraction-CPU-bound, like real 50-100 KB pages)."""
     rng = random.Random(f"page-{SEED}-{i}")
     lang = ("en", "ja", "de", "fr")[i % 4]
     url = page_url(i, n_hosts)
 
     # article paragraphs
     paras = []
-    for _ in range(2 + rng.randrange(4)):
+    for _ in range((2 + rng.randrange(4)) * weight):
         paras.append(f"<p>{_paragraph(rng, 14 + rng.randrange(25))}</p>")
     if lang == "ja":
         paras.append(f"<p>{''.join(rng.sample(_JA_SENTENCES, 2))}</p>")
@@ -232,9 +234,9 @@ def page_html(i: int, n_pages: int, items: dict, pool: list,
 
 
 def page_record(i: int, n_pages: int, items: dict, pool: list,
-                catalog: Catalog, n_hosts: int = N_HOSTS) -> dict:
+                catalog: Catalog, n_hosts: int = N_HOSTS, weight: int = 1) -> dict:
     url = page_url(i, n_hosts)
-    html = page_html(i, n_pages, items, pool, n_hosts)
+    html = page_html(i, n_pages, items, pool, n_hosts, weight)
     golden = extract(html, url, catalog)
     return {
         "url": url,
@@ -246,16 +248,17 @@ def page_record(i: int, n_pages: int, items: dict, pool: list,
 
 
 def gen_pages_local(n_pages: int, items: dict | None = None,
-                    n_hosts: int = N_HOSTS) -> pd.DataFrame:
+                    n_hosts: int = N_HOSTS, weight: int = 1) -> pd.DataFrame:
     items = items or build_catalog_items()
     pool = _embed_pool(items)
     catalog = Catalog(items)
-    return pd.DataFrame([page_record(i, n_pages, items, pool, catalog, n_hosts)
+    return pd.DataFrame([page_record(i, n_pages, items, pool, catalog, n_hosts, weight)
                          for i in range(n_pages)])
 
 
 def gen_pages_spark(spark, n_pages: int, items: dict | None = None,
-                    n_hosts: int = N_HOSTS, partitions: int | None = None):
+                    n_hosts: int = N_HOSTS, partitions: int | None = None,
+                    weight: int = 1):
     """Distributed generation: spark.range -> mapInPandas, rows a pure
     function of the index (same bytes as gen_pages_local)."""
     from ..sources.schemas import PAGES_SCHEMA
@@ -269,7 +272,8 @@ def gen_pages_spark(spark, n_pages: int, items: dict | None = None,
     def gen(batches):
         cat = Catalog(b_items.value)
         for pdf in batches:
-            rows = [page_record(int(i), n_pages, b_items.value, b_pool.value, cat, n_hosts)
+            rows = [page_record(int(i), n_pages, b_items.value, b_pool.value,
+                                cat, n_hosts, weight)
                     for i in pdf["id"]]
             yield pd.DataFrame(rows)
 

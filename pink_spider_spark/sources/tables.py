@@ -130,8 +130,10 @@ class TableStore:
         except FileNotFoundError:
             return None
 
-    def commit_checkpoint(self, wave: int, snapshots: dict) -> None:
+    def commit_checkpoint(self, wave: int, snapshots: dict,
+                          counters: dict | None = None) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_ckpt", suffix=".tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump({"wave": wave, "snapshots": snapshots}, f)
+            json.dump({"wave": wave, "snapshots": snapshots,
+                       "counters": counters or {}}, f)
         os.replace(tmp, self._checkpoint_path)

@@ -1,0 +1,94 @@
+"""Crawl-wave throughput benchmark at a chosen parallelism level.
+
+Generates (or reuses) a deterministic pages corpus, then times the wave
+loop end-to-end (dequeue -> bloom prune -> fetch-sim -> extract ->
+enqueue -> commit).  Prints one JSON line.
+
+Usage:
+  python scripts/crawl_bench.py --cpus 8 --pages 60000 --weight 6 \
+      --seeds 20000 --depth 1 --data-dir /tmp/bench_pages_w6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--pages", type=int, default=60000)
+    ap.add_argument("--weight", type=int, default=6)
+    ap.add_argument("--seeds", type=int, default=20000)
+    ap.add_argument("--depth", type=int, default=1)
+    ap.add_argument("--budget", type=int, default=1_000_000)
+    ap.add_argument("--hosts", type=int, default=20)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--gen-only", action="store_true",
+                    help="generate the corpus then exit (pre-gen at high parallelism)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.crawl.driver import CrawlConfig, CrawlDriver
+    from pink_spider_spark.session import get_spark
+    from pink_spider_spark.sources.synth import (build_catalog_items,
+                                                 gen_pages_spark, robots_rows,
+                                                 seed_urls)
+    from pink_spider_spark.sources.tables import TableStore
+
+    spark = get_spark(app_name=f"crawl-bench-{args.cpus}",
+                      master=f"local[{args.cpus}]",
+                      shuffle_partitions=args.cpus)
+    items = build_catalog_items()
+
+    data_dir = args.data_dir or tempfile.mkdtemp(prefix="bench_pages_")
+    marker = os.path.join(data_dir, "_GENERATED")
+    if not os.path.exists(marker):
+        gen_pages_spark(spark, args.pages, items, n_hosts=args.hosts,
+                        partitions=args.cpus * 8, weight=args.weight) \
+            .write.mode("overwrite").parquet(os.path.join(data_dir, "pages"))
+        open(marker, "w").write("ok")
+    if args.gen_only:
+        print(json.dumps({"generated": args.pages, "dir": data_dir}))
+        spark.stop()
+        return
+    pages = spark.read.parquet(os.path.join(data_dir, "pages"))
+
+    robots_pdf = robots_rows(args.hosts)
+    robots_pdf["max_per_wave"] = args.budget  # throughput mode: wide budgets
+    robots = spark.createDataFrame(robots_pdf)
+
+    root = tempfile.mkdtemp(prefix="crawl_bench_state_")
+    store = TableStore(root)
+    driver = CrawlDriver(spark, store, pages, robots, items,
+                         CrawlConfig(max_depth=args.depth, max_waves=50))
+
+    t0 = time.time()
+    stats = driver.run(seed_urls(args.seeds, args.hosts))
+    elapsed = time.time() - t0
+    urls = sum(s.get("batch", 0) for s in stats)
+    out = {
+        "cpus": args.cpus,
+        "pages": args.pages,
+        "weight": args.weight,
+        "waves": len([s for s in stats if not s.get("done")]),
+        "urls_processed": urls,
+        "seconds": round(elapsed, 2),
+        "urls_per_sec": round(urls / elapsed, 1),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
