@@ -102,11 +102,15 @@ def build_bloom(df: DataFrame, hash_col: str, n_estimate: int,
 
 
 def prune_with_bloom(candidates: DataFrame, seen: DataFrame, bloom: BloomFilter,
-                     hash_col: str = "url_hash", key_col: str = "url") -> DataFrame:
+                     hash_col: str = "url_hash", key_col: str = "url",
+                     cache_registry: list | None = None) -> DataFrame:
     """Rows of ``candidates`` definitely absent from ``seen``.
 
     Bloom-negative rows skip the shuffle entirely; bloom-positive suspects
     are confirmed with an exact left_anti join (no false drops).
+
+    The flagged intermediate is cached; pass ``cache_registry`` to receive
+    it for unpersisting once the consuming job has committed.
     """
     spark = candidates.sparkSession
     b = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.bits.tobytes()))
@@ -123,6 +127,8 @@ def prune_with_bloom(candidates: DataFrame, seen: DataFrame, bloom: BloomFilter,
     flagged = candidates.withColumn(
         "__maybe_seen", might_contain(F.col(hash_col))).cache()
     flagged.count()
+    if cache_registry is not None:
+        cache_registry.append(flagged)
     fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_new = suspects.join(seen.select(key_col), on=key_col, how="left_anti")

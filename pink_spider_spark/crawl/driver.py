@@ -40,7 +40,7 @@ _TIMING = os.environ.get("SPARK_GRAFT_TIMING") == "1"
 from ..functions.udfs import canonicalize_url, extract_pages, host_col, with_url_hash
 from ..sources import schemas
 from ..sources.tables import TableStore
-from . import scheduler
+from . import entities, scheduler
 from .bloom import build_bloom, prune_with_bloom
 
 PRIORITY_DECAY = 0.8
@@ -63,6 +63,19 @@ class CrawlDriver:
         self.robots = robots
         self.catalog_items = catalog_items
         self.config = config or CrawlConfig()
+        self._catalog_df = None
+
+    @property
+    def catalog_df(self) -> DataFrame:
+        """Provider catalog as a (small, broadcastable) DataFrame for
+        enrichment joins — the relational face of the fixture the extract
+        UDF consults for fetch-success decisions."""
+        if self._catalog_df is None:
+            from ..sources.synth import catalog_rows
+
+            pdf = catalog_rows(self.catalog_items)
+            self._catalog_df = self.spark.createDataFrame(pdf).cache()
+        return self._catalog_df
 
     # ------------------------------------------------------------ state
     def _t(self, name):
@@ -85,6 +98,7 @@ class CrawlDriver:
             "seen": self._t("seen").overwrite(
                 self.spark.createDataFrame([], schemas.SEEN_SCHEMA)),
             "entries": 0, "enclosures": 0, "metrics": 0,
+            "tracks": 0, "playlists": 0, "albums": 0, "playlist_tracks": 0,
         }
         self.store.commit_checkpoint(
             0, snapshots,
@@ -156,7 +170,17 @@ class CrawlDriver:
             extracted.select("url", F.explode("enclosures").alias("e"))
             .select("url", "e.kind", "e.provider", "e.identifier", "e.owner_id",
                     "e.state", "e.in_catalog", "e.doc_pos", "e.child_pos")
-        )
+        ).cache()
+
+        # entity dims: find-or-create merge + catalog enrichment (C3/J11)
+        dim_appends = {}
+        for kind, table in (("track", "tracks"), ("playlist", "playlists"),
+                            ("album", "albums")):
+            existing = self._pinned(table, schemas.ENCLOSURE_DIM_SCHEMA)
+            dim_appends[table] = entities.new_dim_rows(
+                enclosures, existing, kind, self.catalog_df, wave)
+        playlist_tracks_new = entities.playlist_track_rows(
+            dim_appends["playlists"], self.catalog_df, wave)
 
         # --- discovered links -> new frontier rows ---------------------
         parent = batch.select("url", "priority", "depth")
@@ -175,8 +199,10 @@ class CrawlDriver:
         )
         known_estimate = max(1000, frontier_estimate)
         bloom = build_bloom(frontier, "url_hash", known_estimate, self.config.bloom_fpp)
+        wave_caches: list = []
         new_urls = prune_with_bloom(
-            with_url_hash(links), frontier.select("url"), bloom)
+            with_url_hash(links), frontier.select("url"), bloom,
+            cache_registry=wave_caches)
         new_frontier_rows = (
             new_urls
             .withColumn("host", host_col())
@@ -251,6 +277,10 @@ class CrawlDriver:
         tick("seen write")
         snapshots["entries"] = self._t("entries").append(entries)
         snapshots["enclosures"] = self._t("enclosures").append(enclosures)
+        for table, rows in dim_appends.items():
+            snapshots[table] = self._t(table).append(rows)
+        snapshots["playlist_tracks"] = self._t("playlist_tracks").append(
+            playlist_tracks_new)
         snapshots["metrics"] = self._t("metrics").append(metrics)
         tick("entity writes")
         self.store.commit_checkpoint(
@@ -262,6 +292,9 @@ class CrawlDriver:
                  "batch": batch_n, "done": False}
         batch.unpersist()
         extracted.unpersist()
+        enclosures.unpersist()
+        for df in wave_caches:
+            df.unpersist()
         return stats
 
     def run(self, seed_urls: list | None = None, resume: bool = False) -> list:

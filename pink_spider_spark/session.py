@@ -39,7 +39,11 @@ def get_spark(app_name: str = "pink-spider-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # small Arrow batches: html rows are tens of KB and the extractor
+        # builds ~10x-size DOMs per row — 2048-row batches caused multi-GB
+        # per-worker churn that collapsed 32-way scaling (0.92 efficiency
+        # at 128 rows vs 0.28 at 2048 on the weight-16 corpus)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -76,6 +76,31 @@ ENCLOSURE_SCHEMA = T.StructType([
     T.StructField("child_pos", T.IntegerType(), False),
 ])
 
+# tracks/playlists/albums entity tables (reference: db/migrate/001/008/010;
+# natural key (provider, identifier), deterministic — no uuid v4)
+ENCLOSURE_DIM_SCHEMA = T.StructType([
+    T.StructField("provider", T.StringType(), False),
+    T.StructField("identifier", T.StringType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("owner_id", T.StringType(), True),
+    T.StructField("owner_name", T.StringType(), True),
+    T.StructField("provider_url", T.StringType(), True),
+    T.StructField("thumbnail_url", T.StringType(), True),
+    T.StructField("artwork_url", T.StringType(), True),
+    T.StructField("duration", T.IntegerType(), True),
+    T.StructField("published_at", T.TimestampType(), True),
+    T.StructField("state", T.StringType(), True),
+    T.StructField("first_wave", T.IntegerType(), False),
+])
+
+PLAYLIST_TRACKS_SCHEMA = T.StructType([
+    T.StructField("provider", T.StringType(), False),
+    T.StructField("playlist_identifier", T.StringType(), False),
+    T.StructField("pos", T.IntegerType(), False),
+    T.StructField("track_identifier", T.StringType(), False),
+    T.StructField("first_wave", T.IntegerType(), False),
+])
+
 PROVIDER_CATALOG_SCHEMA = T.StructType([
     T.StructField("provider", T.StringType(), False),
     T.StructField("kind", T.StringType(), False),

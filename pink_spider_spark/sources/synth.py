@@ -281,6 +281,65 @@ def gen_pages_spark(spark, n_pages: int, items: dict | None = None,
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+# ------------------------------------------------------------------ feeds
+def feeds_rows(n_feeds: int = 10) -> pd.DataFrame:
+    """RSS feed sources (reference: db/migrate/019_create_feeds.rb,
+    struct src/model/feed.rs:27-45).  velocity>0 marks 'active' feeds
+    (reference: src/main.rs:52-59); timestamps derive from the index."""
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = []
+    for f in range(n_feeds):
+        rows.append({
+            "url": f"https://feeds.example.com/rss/{f}.xml",
+            "title": f"Feed {f}",
+            "description": f"Synthetic feed {f}",
+            "language": ("en", "ja", "de", "fr")[f % 4],
+            "velocity": float(f % 3),  # 0 -> inactive
+            "website": f"https://{host_name(f % N_HOSTS)}/",
+            "state": "alive" if f % 7 else "dead",
+            "last_updated": epoch + datetime.timedelta(hours=f),
+            "crawled": epoch,
+        })
+    return pd.DataFrame(rows)
+
+
+def feed_entries_rows(n_feeds: int = 10, entries_per_feed: int = 12,
+                      n_pages: int = 300, n_hosts: int = N_HOSTS) -> pd.DataFrame:
+    """RSS entries per feed (FIXTURES.md §8) — stand-in for the network
+    fetch+parse (reference: src/rss.rs:24-43).  Exercises:
+    - null/empty alternate links (skip path, src/model/feed.rs:214-217)
+    - published < epoch+1000s (validity predicate, src/model/entry.rs:291-293)
+    - empty origin ids (fallback to url, src/model/entry.rs:324-328)
+    - titles needing trim (src/model/entry.rs:311-313)
+    """
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = []
+    for f in range(n_feeds):
+        for e in range(entries_per_feed):
+            i = (f * 37 + e * 11) % n_pages  # target page index
+            k = f * entries_per_feed + e
+            alternate = page_url(i, n_hosts)
+            if k % 9 == 4:
+                alternate = None  # skip path
+            elif k % 9 == 7:
+                alternate = ""    # skip path (empty)
+            published = (datetime.datetime(1970, 1, 1)  # invalid (ts < 1000)
+                         if k % 8 == 5 else epoch + datetime.timedelta(minutes=k))
+            rows.append({
+                "feed_url": f"https://feeds.example.com/rss/{f}.xml",
+                "origin_id": "" if k % 6 == 3 else f"urn:entry:{f}:{e}",
+                "title": f"  Entry {f}-{e}  ",  # trim exercise
+                "summary": f"Summary of entry {f}-{e}.",
+                "content": f"<p>Feed content {f}-{e}</p>",
+                "author": f"author{f % 4}",
+                "published": published,
+                "updated": epoch + datetime.timedelta(minutes=k, seconds=30),
+                "alternate_href": alternate,
+                "pos": e,
+            })
+    return pd.DataFrame(rows)
+
+
 # ------------------------------------------------------------------ robots
 def robots_rows(n_hosts: int = N_HOSTS) -> pd.DataFrame:
     """Per-host politeness rules (north-rule addition; FIXTURES.md §4).

@@ -103,6 +103,37 @@ def test_robots_exclusion(spark, crawl_results):
     assert seen.filter(F.col("url").contains("/private/")).count() == 0
 
 
+def test_entity_dims_find_or_create(spark, crawl_results, corpus):
+    """tracks/playlists/albums dims: one row per distinct (provider,
+    identifier) ever extracted, enriched from the catalog; playlist_tracks
+    from catalog child lists (reference: src/model/entry.rs:336-381,
+    src/model/playlist_track.rs:72-90)."""
+    store, sim = crawl_results
+    items = corpus[0]
+    for kind, table in (("track", "tracks"), ("playlist", "playlists"),
+                        ("album", "albums")):
+        rows = store.table(table).read(spark).collect()
+        keys = {(r.provider, r.identifier) for r in rows}
+        expected = {(p, i) for (_u, k, p, i) in sim.enclosures if k == kind}
+        assert keys == expected, f"{table} dim key mismatch"
+        assert len(rows) == len(keys), f"{table} has duplicate keys"
+        for r in rows:
+            item = items.get((r.provider, kind, r.identifier))
+            if item is not None:
+                assert r.title == item["title"]
+            else:
+                assert r.title == r.identifier  # fetch-miss default
+    pt = store.table("playlist_tracks").read(spark).collect()
+    expected_pt = set()
+    for (_u, k, p, i) in sim.enclosures:
+        if k == "playlist":
+            item = items.get((p, "playlist", i))
+            for pos, child in enumerate((item or {}).get("child_identifiers") or []):
+                expected_pt.add((p, i, pos, child))
+    assert {(r.provider, r.playlist_identifier, r.pos, r.track_identifier)
+            for r in pt} == expected_pt
+
+
 def test_metrics_lineage_written(spark, crawl_results):
     store, sim = crawl_results
     metrics = store.table("metrics").read(spark)
