@@ -118,6 +118,7 @@ class CrawlDriver:
             raise RuntimeError("bootstrap() first")
         wave = int(ckpt["wave"]) + 1
         counters = ckpt.get("counters", {})
+        pinned = dict(ckpt.get("snapshots", {}))
 
         frontier = self._pinned("frontier", schemas.FRONTIER_SCHEMA)
         # running counters ride in the checkpoint: no per-wave table recount
@@ -151,26 +152,34 @@ class CrawlDriver:
         hits = self.pages.select("url", "html").join(
             F.broadcast(batch.select("url")), on="url", how="inner")
 
-        extracted = extract_pages(hits, self.catalog_items).cache()
-        # misses derive from the cached extraction output: no second pass
-        # over the pages table
-        misses = batch.select("url").join(
-            extracted.select("url"), on="url", how="left_anti")
-
-        entries = extracted.select(
+        # ONE extraction pass, written ONCE: the wave's entries append IS
+        # the staged extraction output (content/text would thrash executor
+        # memory as a cache; as parquet every downstream plan gets column
+        # pruning — enclosure/link/metric plans never touch the fat
+        # columns).  The appended delta dir is read back directly
+        # (incremental-scan analog); the snapshot only enters the
+        # checkpoint at the atomic commit below.
+        entries_new = extract_pages(hits, self.catalog_items).select(
             "url",
             F.col("og_title").alias("title"),
             F.col("og_description").alias("description"),
             F.col("og_image").alias("visual_url"),
             F.col("og_locale").alias("locale"),
-            "content", "text",
+            "content", "text", "enclosures", "links",
             F.lit(wave).alias("crawled_wave"),
         )
+        entries_snapshot, entries_dir = self._t("entries").append_returning_dir(
+            entries_new, base_snapshot=pinned.get("entries", 0))
+        extracted = self.spark.read.parquet(entries_dir)
+        # misses derive from the staged extraction output: no second pass
+        # over the pages table
+        misses = batch.select("url").join(
+            extracted.select("url"), on="url", how="left_anti")
         enclosures = (
             extracted.select("url", F.explode("enclosures").alias("e"))
             .select("url", "e.kind", "e.provider", "e.identifier", "e.owner_id",
                     "e.state", "e.in_catalog", "e.doc_pos", "e.child_pos")
-        ).cache()
+        )
 
         # entity dims: find-or-create merge + catalog enrichment (C3/J11)
         dim_appends = {}
@@ -270,18 +279,22 @@ class CrawlDriver:
             schemas.METRICS_SCHEMA)
 
         # --- atomic commit ----------------------------------------------
-        snapshots = dict((self.store.read_checkpoint() or {}).get("snapshots", {}))
+        snapshots = dict(pinned)
         snapshots["frontier"] = self._t("frontier").overwrite(frontier_next)
         tick("frontier write")
-        snapshots["seen"] = self._t("seen").append(seen_new)
+        snapshots["seen"] = self._t("seen").append(
+            seen_new, base_snapshot=pinned.get("seen", 0))
         tick("seen write")
-        snapshots["entries"] = self._t("entries").append(entries)
-        snapshots["enclosures"] = self._t("enclosures").append(enclosures)
+        snapshots["entries"] = entries_snapshot
+        snapshots["enclosures"] = self._t("enclosures").append(
+            enclosures, base_snapshot=pinned.get("enclosures", 0))
         for table, rows in dim_appends.items():
-            snapshots[table] = self._t(table).append(rows)
+            snapshots[table] = self._t(table).append(
+                rows, base_snapshot=pinned.get(table, 0))
         snapshots["playlist_tracks"] = self._t("playlist_tracks").append(
-            playlist_tracks_new)
-        snapshots["metrics"] = self._t("metrics").append(metrics)
+            playlist_tracks_new, base_snapshot=pinned.get("playlist_tracks", 0))
+        snapshots["metrics"] = self._t("metrics").append(
+            metrics, base_snapshot=pinned.get("metrics", 0))
         tick("entity writes")
         self.store.commit_checkpoint(
             wave, snapshots,
@@ -291,8 +304,6 @@ class CrawlDriver:
         stats = {"wave": wave, "fetched": batch_n - miss_n, "missing": miss_n,
                  "batch": batch_n, "done": False}
         batch.unpersist()
-        extracted.unpersist()
-        enclosures.unpersist()
         for df in wave_caches:
             df.unpersist()
         return stats

@@ -44,7 +44,7 @@ def get_spark(app_name: str = "pink-spider-spark",
         # per-worker churn that collapsed 32-way scaling (0.92 efficiency
         # at 128 rows vs 0.28 at 2048 on the weight-16 corpus)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -52,7 +52,11 @@ METRICS_SCHEMA = T.StructType([
 ])
 
 # entry rows mirror reference entries (db/migrate/002,004,020,021) minus
-# wall-clock columns: crawled/updated derive from the wave number.
+# wall-clock columns: crawled/updated derive from the wave number.  The
+# denormalized enclosures/links arrays play the role of the reference's
+# `enclosure`/`alternate` jsonb columns (db/migrate/020) and make the
+# entries table the single staged write of each wave's extraction pass —
+# downstream plans read it with column pruning.
 ENTRY_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("title", T.StringType(), True),
@@ -61,6 +65,17 @@ ENTRY_SCHEMA = T.StructType([
     T.StructField("locale", T.StringType(), True),
     T.StructField("content", T.StringType(), True),
     T.StructField("text", T.StringType(), True),
+    T.StructField("enclosures", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("provider", T.StringType()),
+        T.StructField("identifier", T.StringType()),
+        T.StructField("owner_id", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("in_catalog", T.BooleanType()),
+        T.StructField("doc_pos", T.IntegerType()),
+        T.StructField("child_pos", T.IntegerType()),
+    ])), True),
+    T.StructField("links", T.ArrayType(T.StringType()), True),
     T.StructField("crawled_wave", T.IntegerType(), False),
 ])
 

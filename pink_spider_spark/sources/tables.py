@@ -82,19 +82,51 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(path)
         return path
 
-    def append(self, df: DataFrame) -> int:
-        """Append files; new snapshot = old dirs + new dir."""
+    def append(self, df: DataFrame, base_snapshot: int | None = None) -> int:
+        """Append files; new snapshot = base snapshot's dirs + new dir."""
+        sid, _path = self.append_returning_dir(df, base_snapshot)
+        return sid
+
+    def append_returning_dir(self, df: DataFrame,
+                             base_snapshot: int | None = None) -> tuple:
+        """Append and also return the new data dir, so the caller can read
+        back exactly this delta (incremental-scan analog).
+
+        ``base_snapshot`` pins the parent snapshot: a resumed wave that
+        re-appends after a crash builds on the last COMMITTED snapshot, so
+        orphan dirs from the crashed attempt are never absorbed.
+        """
         path = self._write_dir(df)
         m = self._read_manifest()
-        cur = str(m["current"])
-        dirs = list(m["snapshots"].get(cur, {"dirs": []})["dirs"]) + [path]
-        return self._commit(m, dirs)
+        base = str(m["current"] if base_snapshot is None else base_snapshot)
+        dirs = list(m["snapshots"].get(base, {"dirs": []})["dirs"]) + [path]
+        return self._commit(m, dirs), path
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents in one new snapshot."""
         path = self._write_dir(df)
         m = self._read_manifest()
         return self._commit(m, [path])
+
+    def expire_snapshots(self, keep_last: int = 1) -> None:
+        """Drop old snapshot entries and delete data dirs no current
+        snapshot references (Iceberg expire_snapshots analog)."""
+        import shutil
+
+        m = self._read_manifest()
+        cur = int(m["current"])
+        keep_ids = [str(i) for i in range(max(0, cur - keep_last + 1), cur + 1)]
+        keep_dirs = set()
+        for sid in keep_ids:
+            for d in m["snapshots"].get(sid, {"dirs": []})["dirs"]:
+                keep_dirs.add(d)
+        drop = {d for sid, snap in m["snapshots"].items() if sid not in keep_ids
+                for d in snap["dirs"]} - keep_dirs
+        m["snapshots"] = {sid: m["snapshots"][sid] for sid in keep_ids
+                          if sid in m["snapshots"]}
+        self._commit_manifest(m)
+        for d in drop:
+            shutil.rmtree(d, ignore_errors=True)
 
     def _commit(self, manifest: dict, dirs: list) -> int:
         new_id = int(manifest["current"]) + 1

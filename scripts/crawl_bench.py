@@ -72,6 +72,11 @@ def main():
     driver = CrawlDriver(spark, store, pages, robots, items,
                          CrawlConfig(max_depth=args.depth, max_waves=50))
 
+    # steady-state throughput: spin up python workers / JIT before timing
+    from pink_spider_spark.functions.udfs import extract_pages
+    extract_pages(
+        pages.where("warc_ts < timestamp'2024-01-01 00:08:00'"), items).count()
+
     t0 = time.time()
     stats = driver.run(seed_urls(args.seeds, args.hosts))
     elapsed = time.time() - t0
