@@ -147,10 +147,13 @@ class CrawlDriver:
             return {"wave": wave, "fetched": 0, "done": True}
 
         # --- fetch simulation + extract -------------------------------
-        # batch is budget-bounded (small): broadcast it so the heavy html
-        # column never shuffles — pages scan stays map-side
-        hits = self.pages.select("url", "html").join(
-            F.broadcast(batch.select("url")), on="url", how="inner")
+        # batch is budget-bounded (small): its url set rides a broadcast
+        # variable and the membership test runs inside the extract UDF, so
+        # the heavy html column never shuffles and never leaves the
+        # scan -> Arrow columnar fast path (see extract_pages docstring;
+        # the stored-pages scan is the sandbox stand-in for network fetch)
+        batch_urls_list = [r.url for r in batch.select("url").collect()]
+        hits = self.pages.select("url", "html")
 
         # ONE extraction pass, written ONCE: the wave's entries append IS
         # the staged extraction output (content/text would thrash executor
@@ -159,7 +162,9 @@ class CrawlDriver:
         # columns).  The appended delta dir is read back directly
         # (incremental-scan analog); the snapshot only enters the
         # checkpoint at the atomic commit below.
-        entries_new = extract_pages(hits, self.catalog_items).select(
+        entries_new = extract_pages(
+            hits, self.catalog_items, url_filter=batch_urls_list,
+        ).select(
             "url",
             F.col("og_title").alias("title"),
             F.col("og_description").alias("description"),

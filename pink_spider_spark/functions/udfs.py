@@ -46,15 +46,26 @@ EXTRACT_SCHEMA = T.StructType([
 
 
 def extract_pages(df: DataFrame, catalog_items: dict | None = None,
-                  html_col: str = "html", url_col: str = "url") -> DataFrame:
+                  html_col: str = "html", url_col: str = "url",
+                  url_filter=None) -> DataFrame:
     """Run the extraction pipeline over a pages DataFrame.
 
-    Input needs (url, html); output one row per input row with EXTRACT_SCHEMA.
-    Enclosure rows keep (doc_pos, child_pos) so the reference's first-seen
-    document ordering survives the relational pipeline.
+    Input needs (url, html); output one row per (selected) input row with
+    EXTRACT_SCHEMA.  Enclosure rows keep (doc_pos, child_pos) so the
+    reference's first-seen document ordering survives the relational
+    pipeline.
+
+    ``url_filter``: optional collection of URLs; rows outside it are
+    dropped INSIDE the UDF (membership set rides a broadcast variable).
+    This deliberately replaces a broadcast hash join for wave batches:
+    joining before a pandas UDF forces the scan's columnar batches through
+    row-by-row Arrow re-batching of the fat html strings (~5x slower),
+    while the in-UDF filter keeps the scan -> Arrow fast path intact.
     """
     spark = df.sparkSession
     b_items = spark.sparkContext.broadcast(catalog_items or {})
+    b_filter = (spark.sparkContext.broadcast(set(url_filter))
+                if url_filter is not None else None)
 
     def run(batches):
         # imports inside the worker to keep the closure light
@@ -62,7 +73,10 @@ def extract_pages(df: DataFrame, catalog_items: dict | None = None,
         from pink_spider_spark.providers import Catalog
 
         catalog = Catalog(b_items.value)
+        want = b_filter.value if b_filter is not None else None
         for pdf in batches:
+            if want is not None:
+                pdf = pdf[pdf[url_col].isin(want)]
             out = []
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 product = extract(html, url, catalog)
