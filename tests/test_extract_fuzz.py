@@ -1,0 +1,56 @@
+"""Extractor robustness: arbitrary/malformed HTML must never crash and
+must keep core invariants (crawlers meet the open web's worst markup)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pink_spider_spark.extract import extract
+from pink_spider_spark.htmldom import parse_html, serialize
+
+TAGS = ["div", "p", "a", "span", "iframe", "li", "ul", "img", "br", "meta",
+        "form", "table", "h1", "footer", "script", "style", "b"]
+
+chunk = st.one_of(
+    st.text(max_size=40),
+    st.sampled_from([f"<{t}>" for t in TAGS]),
+    st.sampled_from([f"</{t}>" for t in TAGS]),
+    st.sampled_from([
+        '<a href="https://www.youtube.com/watch?v=abc">x</a>',
+        '<iframe src="https://open.spotify.com/embed/track/t1"></iframe>',
+        '<meta property="og:title" content="T">',
+        "<!-- comment -->",
+        "<!DOCTYPE html>",
+        "<p", "href=", '"', "&amp;", "&notareal;", "\x00", "<><//>",
+    ]),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(chunk, max_size=30))
+def test_extract_never_crashes(parts):
+    html = "".join(parts)
+    product = extract(html, "https://fuzz.example.com/p")
+    assert isinstance(product.text, str)
+    assert isinstance(product.content, str)
+    for t in product.tracks:
+        assert t["provider"] and t["identifier"]
+    # text never contains markup from the serializer's perspective
+    assert "<script" not in product.text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(chunk, max_size=20))
+def test_parse_serialize_roundtrip_stable(parts):
+    """serialize(parse(x)) must be a fixed point: parse it again and the
+    second serialization is byte-identical (idempotent normalization)."""
+    html = "".join(parts)
+    once = serialize(parse_html(html))
+    twice = serialize(parse_html(once))
+    assert once == twice
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_extract_handles_arbitrary_bytes(data):
+    product = extract(data, "https://fuzz.example.com/b")
+    assert isinstance(product.text, str)
