@@ -509,6 +509,65 @@ def emb_lsh_buckets(spark, sf_dir):
     return S.lsh_bucket(_t(spark, sf_dir, "embeddings"))
 
 
+def _qvec_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """The query vector's LSH bucket as a scalar subquery over vec_id=0."""
+    terms = []
+    for p in range(n_planes):
+        lits = ", ".join(f"{S.plane_component(p, d)!r}" for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product("
+            f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),"
+            f" [{lits}]::DOUBLE[]) >= 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
+@q("emb_ann_topk_of_vec0", f"""
+WITH buckets AS (SELECT vec_id, ({_planes_sql_case()}) AS bucket FROM embeddings),
+qb AS (SELECT ({_qvec_bucket_sql()}) AS qbucket)
+SELECT e.vec_id,
+  round(list_cosine_similarity(e.embedding::DOUBLE[],
+    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, qb
+WHERE b.bucket = qb.qbucket AND e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+""")
+def emb_ann_topk_of_vec0(spark, sf_dir):
+    """LSH-bucketed ANN: exact rerank restricted to the query's hyperplane
+    bucket — the 10^9-row scale path (recall < 1 by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return S.ann_topk(emb.filter("vec_id <> 0"), qv, k=10)
+
+
+@q("user_sessions", """
+WITH gaps AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 1 HOUR
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+""")
+def user_sessions(spark, sf_dir):
+    """Sessionization: lag + gap>threshold cumsum (batch analog of the
+    streaming session_window; no reference equivalent — training-data op)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # double-precision epoch seconds: keeps sub-second gap comparisons
+    # identical to DuckDB's interval arithmetic
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 3600.0), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
 @q("emb_label_centroids", """
 SELECT label, s.i - 1 AS dim_pos, round(avg(embedding[s.i]::DOUBLE), 4) AS centroid
 FROM embeddings, generate_series(1, 64) s(i)

@@ -1,0 +1,59 @@
+"""Physical-plan audit: verify the plans are the ones we designed.
+
+For each audited query: print the formatted plan and assert structural
+expectations (filter/column pushdown into the parquet scan, broadcast
+joins on dimension sides, no cartesian products, whole-stage codegen
+present).  Run: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS = {
+    # query -> (must contain, must NOT contain)
+    "part_search_red": (["PushedFilters"], ["CartesianProduct"]),
+    "orders_mget": (["PushedFilters: [*In(o_orderkey"], ["CartesianProduct"]),
+    "active_suppliers": (["PushedFilters: [*IsNotNull(s_acctbal), *GreaterThan(s_acctbal"], []),
+    "nation_customer_rollup": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    "revenue_by_segment": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "events_after_jan15": (["PushedFilters"], []),
+    "latest_order_per_customer": (["Window"], ["CartesianProduct"]),
+    "docs_token_count": (["ReadSchema: struct<doc_id:bigint,text:string>"], []),
+    "emb_knn_of_vec0": (["ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+                        ["CartesianProduct"]),
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pink_spider_spark import queries as Q
+    from pink_spider_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit")
+    failures = []
+    for name, (must, must_not) in CHECKS.items():
+        df = Q.QUERY_BUILDERS[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        probs = [f"missing: {m}" for m in must if m not in plan]
+        probs += [f"present: {m}" for m in must_not if m in plan]
+        status = "ok  " if not probs else "FAIL"
+        print(f"{status} {name}" + (f" — {'; '.join(probs)}" if probs else ""))
+        if probs:
+            failures.append(name)
+            print(plan[:4000])
+    print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} plans as designed")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
