@@ -556,10 +556,11 @@ def user_sessions(spark, sf_dir):
     streaming session_window; no reference equivalent — training-data op)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # double-precision epoch seconds: keeps sub-second gap comparisons
-    # identical to DuckDB's interval arithmetic
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 3600.0), 1).otherwise(0)
+    # microsecond-exact gaps (ntz -> ltz is lossless under the UTC session
+    # TZ) so sub-second comparisons match DuckDB's interval arithmetic
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)
         .groupBy("user_id")

@@ -18,8 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CHECKS = {
     # query -> (must contain, must NOT contain)
     "part_search_red": (["PushedFilters"], ["CartesianProduct"]),
-    "orders_mget": (["PushedFilters: [*In(o_orderkey"], ["CartesianProduct"]),
-    "active_suppliers": (["PushedFilters: [*IsNotNull(s_acctbal), *GreaterThan(s_acctbal"], []),
+    "orders_mget": (["PushedFilters: [In(o_orderkey"], ["CartesianProduct"]),
+    "active_suppliers": (["GreaterThan(s_acctbal"], []),
     "nation_customer_rollup": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     "revenue_by_segment": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "events_after_jan15": (["PushedFilters"], []),
