@@ -644,6 +644,26 @@ def docs_extract_provider_counts(spark, sf_dir):
     )
 
 
+@q("media_decode_meta", """
+SELECT doc_id AS media_id,
+  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+  CAST(64 + (doc_id % 5) * 24 AS INT) AS height,
+  CAST(1 + doc_id % 40 AS INT) AS n_frames
+FROM documents
+""")
+def media_decode_meta(spark, sf_dir):
+    """Multimodal plumbing check: binary media derived from documents is
+    decoded by the mapInPandas codec; DuckDB verifies the typed metadata
+    against the closed-form planting rule (functions/multimodal.py)."""
+    from .functions.multimodal import decode_meta, media_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return decode_meta(media).select("media_id", "kind", "width", "height",
+                                     "n_frames")
+
+
 @q("crawl_two_waves")  # no oracle: multi-step stateful op -> rows-only check
 def crawl_two_waves(spark, sf_dir):
     """Two crawl waves over a 100-page synthetic corpus; returns the seen

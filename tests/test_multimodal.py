@@ -1,0 +1,62 @@
+"""Multimodal binary-column plumbing tests (stubbed codec, real Spark)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pink_spider_spark.functions import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    df = M.media_from_documents(docs).cache()
+    df.count()
+    return df
+
+
+def test_decode_meta_roundtrip(spark, media):
+    meta = {r.media_id: r for r in M.decode_meta(media).collect()}
+    assert len(meta) == 60
+    for mid, r in meta.items():
+        assert r.kind == ("image", "audio", "video")[mid % 3]
+        assert r.width == 64 + (mid % 8) * 32
+        assert r.height == 64 + (mid % 5) * 24
+        assert r.n_frames == 1 + mid % 40
+
+
+def test_resize_images_caps_dimensions(spark, media):
+    resized = M.resize_images(media, max_side=100)
+    meta = M.decode_meta(resized).filter(F.col("kind") == "image").collect()
+    assert len(meta) > 0
+    for r in meta:
+        assert max(r.width, r.height) <= 100
+        # aspect preserved within integer rounding
+        orig_w = 64 + (r.media_id % 8) * 32
+        orig_h = 64 + (r.media_id % 5) * 24
+        assert abs(r.width / r.height - orig_w / orig_h) < 0.1
+
+
+def test_sample_frames_every_n(spark, media):
+    frames = M.sample_frames(media, every_n=7).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_index)
+    for mid, idxs in by_media.items():
+        assert mid % 3 == 2  # only videos
+        n = 1 + mid % 40
+        assert sorted(idxs) == list(range(0, n, 7))
+
+
+def test_features_deterministic_and_similarity_ready(spark, media):
+    f1 = {r.media_id: tuple(r.embedding) for r in M.extract_features(media).collect()}
+    f2 = {r.media_id: tuple(r.embedding) for r in M.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == M.FEATURE_DIM for v in f1.values())
+    # flows into the similarity operators unchanged
+    from pink_spider_spark.functions.similarity import knn_brute_force
+
+    feats = M.extract_features(media)
+    q = list(f1[0])
+    top = knn_brute_force(feats.filter("media_id <> 0"), q, k=3,
+                          vec_col="embedding", id_col="media_id").collect()
+    assert len(top) == 3
