@@ -313,6 +313,40 @@ class CrawlDriver:
             df.unpersist()
         return stats
 
+    def run_refresh(self) -> dict:
+        """The update_tracks / playlist_crawler / update_artists batch
+        refresh loops as one committed pass (reference:
+        src/update_tracks.rs:10-44, src/playlist_crawler.rs:8-35,
+        src/update_artists.rs:10-93 — cron-style binaries there, one
+        relational job each here)."""
+        ckpt = self.store.read_checkpoint()
+        if ckpt is None:
+            raise RuntimeError("bootstrap() first")
+        wave = int(ckpt["wave"])
+        pinned = dict(ckpt.get("snapshots", {}))
+
+        tracks = self._pinned("tracks", schemas.ENCLOSURE_DIM_SCHEMA)
+        playlists = self._pinned("playlists", schemas.ENCLOSURE_DIM_SCHEMA)
+        albums = self._pinned("albums", schemas.ENCLOSURE_DIM_SCHEMA)
+        playlist_tracks = self._pinned(
+            "playlist_tracks", schemas.PLAYLIST_TRACKS_SCHEMA)
+
+        tracks2 = entities.refresh_stale_dims(tracks, self.catalog_df, "track", wave)
+        albums2 = entities.refresh_stale_dims(albums, self.catalog_df, "album", wave)
+        pt2 = entities.refresh_active_playlists(
+            playlists, playlist_tracks, self.catalog_df, wave)
+        artists, track_artists = entities.artist_rows(tracks2, self.catalog_df, wave)
+
+        snapshots = dict(pinned)
+        snapshots["tracks"] = self._t("tracks").overwrite(tracks2)
+        snapshots["albums"] = self._t("albums").overwrite(albums2)
+        snapshots["playlist_tracks"] = self._t("playlist_tracks").overwrite(pt2)
+        snapshots["artists"] = self._t("artists").overwrite(artists)
+        snapshots["track_artists"] = self._t("track_artists").overwrite(track_artists)
+        counters = dict(ckpt.get("counters", {}))
+        self.store.commit_checkpoint(wave, snapshots, counters=counters)
+        return {"wave": wave, "refreshed": True}
+
     def run(self, seed_urls: list | None = None, resume: bool = False) -> list:
         """Run waves to quiescence (or max_waves).  ``resume=True`` picks up
         from the last committed checkpoint without re-seeding."""

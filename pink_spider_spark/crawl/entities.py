@@ -83,6 +83,103 @@ def link_rows(enclosures: DataFrame, kind: str, wave: int) -> DataFrame:
     )
 
 
+def refresh_stale_dims(dim: DataFrame, catalog_df: DataFrame, kind: str,
+                       wave: int) -> DataFrame:
+    """The update_tracks/update_albums/update_artists batch refresh as one
+    relational pass (reference: src/update_tracks.rs:10-44 scan
+    ``owner_id IS NULL AND state='alive'`` + per-row API fetch with a
+    500 ms sleep; here: predicate scan + ONE broadcast catalog join —
+    politeness is the scheduler's job, not a sleep).
+
+    Returns the refreshed full dim (rows with catalog data updated, state
+    flipped to dead when the catalog no longer has the item, mirroring the
+    disable path src/model/track.rs:516-519).
+    """
+    stale = dim.filter(F.col("owner_id").isNull() &
+                       (F.col("state") == "alive"))
+    fresh_keep = dim.join(stale.select("provider", "identifier"),
+                          on=["provider", "identifier"], how="left_anti")
+    cat = catalog_df.filter(F.col("kind") == kind).select(
+        "provider", "identifier",
+        F.col("title").alias("cat_title"),
+        F.col("owner_id").alias("cat_owner_id"),
+        F.col("owner_name").alias("cat_owner_name"),
+        F.col("duration").alias("cat_duration"),
+        F.col("published_at").alias("cat_published_at"),
+    )
+    refreshed = (
+        stale.join(F.broadcast(cat), on=["provider", "identifier"], how="left")
+        .select(
+            "provider", "identifier",
+            F.coalesce("cat_title", "title").alias("title"),
+            F.col("cat_owner_id").alias("owner_id"),
+            F.coalesce("cat_owner_name", "owner_name").alias("owner_name"),
+            "provider_url", "thumbnail_url", "artwork_url",
+            F.coalesce("cat_duration", "duration").alias("duration"),
+            F.coalesce("cat_published_at", "published_at").alias("published_at"),
+            F.when(F.col("cat_title").isNull(), F.lit("dead"))
+            .otherwise(F.lit("alive")).alias("state"),
+            "first_wave",
+        )
+    )
+    return fresh_keep.unionByName(refreshed)
+
+
+def refresh_active_playlists(playlists: DataFrame, playlist_tracks: DataFrame,
+                             catalog_df: DataFrame, wave: int,
+                             velocity: DataFrame | None = None) -> DataFrame:
+    """playlist_crawler semantics: re-fetch members of 'active' playlists
+    and upsert playlist_tracks (reference: src/playlist_crawler.rs:8-35,
+    find_actives src/model/playlist.rs:263-270 velocity>0 ORDER BY
+    updated_at ASC, upsert src/model/playlist_track.rs:72-90 ON CONFLICT
+    DO UPDATE).  ``velocity`` (playlist identifier -> velocity) defaults to
+    treating every playlist as active.  Returns the new playlist_tracks
+    table (existing rows kept, membership refreshed from the catalog)."""
+    active = playlists.select("provider", "identifier")
+    if velocity is not None:
+        active = active.join(
+            velocity.filter(F.col("velocity") > 0)
+            .select("provider", "identifier"),
+            on=["provider", "identifier"], how="inner")
+    cat = catalog_df.filter(F.col("kind") == "playlist").select(
+        "provider", "identifier", "child_identifiers")
+    latest = (
+        active.join(F.broadcast(cat), on=["provider", "identifier"], how="inner")
+        .select("provider", F.col("identifier").alias("playlist_identifier"),
+                F.posexplode("child_identifiers").alias("pos", "track_identifier"))
+        .withColumn("first_wave", F.lit(wave))
+    )
+    # upsert: keep rows whose (playlist, track) pair isn't re-fetched,
+    # take the fresh membership for re-fetched pairs
+    keys = ["provider", "playlist_identifier", "track_identifier"]
+    kept = playlist_tracks.join(latest.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(latest.select(playlist_tracks.columns))
+
+
+def artist_rows(tracks_dim: DataFrame, catalog_df: DataFrame,
+                wave: int) -> tuple:
+    """Artists dim + track_artists links derived from track owners
+    (reference: update_artists loop src/update_artists.rs:10-93 with the
+    case-insensitive name match at :57-59; the catalog's owner fields stand
+    in for the provider artist APIs).  Returns (artists, track_artists)."""
+    owned = tracks_dim.filter(F.col("owner_id").isNotNull())
+    w = Window.partitionBy("provider", "owner_id").orderBy("identifier")
+    artists = (
+        owned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("provider",
+                F.col("owner_id").alias("identifier"),
+                F.col("owner_name").alias("name"),
+                F.lit(wave).alias("first_wave"))
+    )
+    track_artists = owned.select(
+        "provider",
+        F.col("identifier").alias("track_identifier"),
+        F.col("owner_id").alias("artist_identifier"),
+        F.lit(wave).alias("first_wave"))
+    return artists, track_artists
+
+
 def playlist_track_rows(playlists_new: DataFrame, catalog_df: DataFrame,
                         wave: int) -> DataFrame:
     """playlist_tracks membership from catalog child lists

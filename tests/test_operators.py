@@ -1,0 +1,104 @@
+"""Unit tests for the relational operator library and text functions."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pink_spider_spark.functions import text as X
+from pink_spider_spark.operators import relational as R
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [Row(k=i % 3, v=i, name=f"item{i}") for i in range(30)]
+    return spark.createDataFrame(rows)
+
+
+def test_paginate_stable_pages(spark, people):
+    p0 = R.paginate(people, [F.desc("v")], page=0, per_page=10).collect()
+    p1 = R.paginate(people, [F.desc("v")], page=1, per_page=10).collect()
+    assert [r.v for r in p0] == list(range(29, 19, -1))
+    assert [r.v for r in p1] == list(range(19, 9, -1))
+    assert [r.page_index for r in p0] == list(range(1, 11))
+
+
+def test_topk_per_key(spark, people):
+    top2 = R.topk_per_key(people, ["k"], [F.desc("v")], 2).collect()
+    got = {}
+    for r in top2:
+        got.setdefault(r.k, []).append(r.v)
+    assert got == {0: [27, 24], 1: [28, 25], 2: [29, 26]}
+
+
+def test_latest_per_key(spark, people):
+    latest = R.latest_per_key(people, ["k"], [F.desc("v")]).collect()
+    assert {r.k: r.v for r in latest} == {0: 27, 1: 28, 2: 29}
+
+
+def test_find_or_create_keeps_existing(spark):
+    existing = spark.createDataFrame([Row(pk="a", val=1), Row(pk="b", val=2)])
+    incoming = spark.createDataFrame(
+        [Row(pk="b", val=99), Row(pk="c", val=3), Row(pk="c", val=4)])
+    merged = R.find_or_create(existing, incoming, ["pk"]).collect()
+    by_key = {r.pk: r.val for r in merged}
+    assert by_key["a"] == 1 and by_key["b"] == 2  # existing untouched
+    assert by_key["c"] in (3, 4) and len(merged) == 3
+
+
+def test_contains_filter_case_insensitive(spark, people):
+    hits = R.contains_filter(people, "name", "ITEM2").collect()
+    assert {r.name for r in hits} == {f"item{i}" for i in
+                                      [2] + list(range(20, 30))}
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="the quick brown fox."),
+                                Row(doc_id=2, text="a")])
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n"),
+        X.quality_score(F.col("text")).alias("q"),
+        X.langid(F.col("text")).alias("lang"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1].n == 4 and out[2].n == 1
+    assert 0.0 <= out[1].q <= 1.0
+    assert out[1].lang == "en"
+    import hashlib
+    assert out[1].fp == hashlib.md5(b"the quick brown fox.").hexdigest()
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "music discovery playlist curation weekly reviews melody rhythm"
+    b = "music discovery playlist curation weekly reviews melody texture"
+    c = "completely different words about sports cars and cooking recipes"
+    df = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b),
+                                Row(doc_id=3, text=c)])
+    sh = {r.doc_id: r.simhash for r in X.simhash(df).collect()}
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = ("music discovery keeps shaping how listeners find brand new "
+            "songs and artists every week across blogs and playlists")
+    near = base + " today"
+    far = "totally unrelated content about quantum chemistry simulations"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=base), Row(doc_id=2, text=near),
+        Row(doc_id=3, text=far)])
+    pairs = {(r.id_a, r.id_b) for r in X.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="abcdefghij"),
+                                Row(doc_id=2, text="abcdefghij"),
+                                Row(doc_id=3, text="zzzzzzzzzz")])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in X.ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2): 1.0}
