@@ -1,0 +1,68 @@
+"""SnapshotTable semantics: isolation, atomic commit, base-pinned appends,
+expiry — the Iceberg behaviours the crawl loop depends on."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from pink_spider_spark.sources.tables import SnapshotTable, TableStore
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tbl_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([Row(x=v) for v in vals])
+
+
+def test_append_and_snapshot_isolation(spark, root):
+    t = SnapshotTable(root, "t")
+    s1 = t.append(_df(spark, [1, 2]))
+    s2 = t.append(_df(spark, [3]))
+    assert {r.x for r in t.read(spark).collect()} == {1, 2, 3}
+    assert {r.x for r in t.read(spark, snapshot=s1).collect()} == {1, 2}
+    assert t.current_snapshot() == s2
+
+
+def test_overwrite_replaces(spark, root):
+    t = SnapshotTable(root, "t")
+    t.append(_df(spark, [1, 2]))
+    t.overwrite(_df(spark, [9]))
+    assert {r.x for r in t.read(spark).collect()} == {9}
+
+
+def test_base_pinned_append_skips_orphans(spark, root):
+    """A crashed wave's orphan append must not leak into the resumed
+    wave's snapshot when the resume pins the last committed base."""
+    t = SnapshotTable(root, "t")
+    committed = t.append(_df(spark, [1]))
+    t.append(_df(spark, [99]))  # orphan: never entered a checkpoint
+    resumed, _d = t.append_returning_dir(_df(spark, [2]), base_snapshot=committed)
+    assert {r.x for r in t.read(spark, snapshot=resumed).collect()} == {1, 2}
+
+
+def test_expire_snapshots_drops_unreferenced_dirs(spark, root):
+    t = SnapshotTable(root, "t")
+    t.overwrite(_df(spark, [1]))
+    old_dirs = set(t.snapshot_dirs())
+    t.overwrite(_df(spark, [2]))
+    t.expire_snapshots(keep_last=1)
+    import os
+    for d in old_dirs:
+        assert not os.path.exists(d)
+    assert {r.x for r in t.read(spark).collect()} == {2}
+
+
+def test_checkpoint_roundtrip(spark, root):
+    store = TableStore(root)
+    assert store.read_checkpoint() is None
+    store.commit_checkpoint(3, {"t": 2}, counters={"seen": 7})
+    ck = store.read_checkpoint()
+    assert ck["wave"] == 3 and ck["snapshots"]["t"] == 2
+    assert ck["counters"]["seen"] == 7
