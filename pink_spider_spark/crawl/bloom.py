@@ -84,6 +84,9 @@ class BloomFilter:
 def build_bloom(df: DataFrame, hash_col: str, n_estimate: int,
                 fpp: float = 0.01) -> BloomFilter:
     """Distributed build: one partial bitmap per partition, OR-reduce."""
+    from ..functions.udfs import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     proto = BloomFilter.sized_for(n_estimate, fpp)
     m_bits, k = proto.m_bits, proto.k
 
@@ -112,7 +115,10 @@ def prune_with_bloom(candidates: DataFrame, seen: DataFrame, bloom: BloomFilter,
     The flagged intermediate is cached; pass ``cache_registry`` to receive
     it for unpersisting once the consuming job has committed.
     """
+    from ..functions.udfs import ensure_package_shipped
+
     spark = candidates.sparkSession
+    ensure_package_shipped(spark)
     b = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.bits.tobytes()))
 
     @F.pandas_udf(T.BooleanType())

@@ -80,6 +80,10 @@ def decode_header(data: bytes):
 # -------------------------------------------------------------- operators
 def decode_meta(media: DataFrame) -> DataFrame:
     """Binary -> typed metadata, one Arrow pass (mapInPandas)."""
+    from .udfs import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
     def run(batches):
         for pdf in batches:
             rows = []
@@ -102,6 +106,10 @@ def decode_meta(media: DataFrame) -> DataFrame:
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Image resize: real impl = PIL thumbnail; fake path rewrites the
     header with the scaled dimensions (aspect preserved, deterministic)."""
+    from .udfs import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
     def run(batches):
         for pdf in batches:
             rows = []
@@ -127,6 +135,9 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling: emits (media_id, frame_index) rows; real impl
     decodes with av/ffmpeg, fake path enumerates the header's frame count."""
+    from .udfs import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_index", T.IntegerType(), False),
@@ -149,6 +160,10 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Content-hash feature embedding (deterministic stand-in for a model
     forward pass); output feeds the similarity operators unchanged."""
+    from .udfs import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
     def run(batches):
         for pdf in batches:
             rows = []
@@ -168,7 +183,9 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     decode pipeline has a closed-form DuckDB oracle: kind cycles by
     doc_id % 3, width = 64 + (doc_id % 8) * 32, height = 64 +
     (doc_id % 5) * 24, frames = 1 + doc_id % 40."""
-    from pyspark.sql import functions as F
+    from .udfs import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
 
     def gen(batches):
         for pdf in batches:

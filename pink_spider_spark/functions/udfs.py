@@ -21,6 +21,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_SHIPPED_SESSIONS: set = set()
+
+
+def ensure_package_shipped(spark) -> None:
+    """Make ``pink_spider_spark`` importable inside python workers no
+    matter how the session was built: zip the package and addPyFile it
+    (the spark-submit --py-files path, applied programmatically).  Needed
+    because a session created before this module was imported won't have
+    the repo root on the workers' PYTHONPATH."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"pink_spider_spark_ship_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        zf.write(full, os.path.relpath(
+                            full, os.path.dirname(pkg_root)))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
 ENCLOSURE_STRUCT = T.StructType([
     T.StructField("kind", T.StringType()),
     T.StructField("provider", T.StringType()),
@@ -63,6 +95,7 @@ def extract_pages(df: DataFrame, catalog_items: dict | None = None,
     while the in-UDF filter keeps the scan -> Arrow fast path intact.
     """
     spark = df.sparkSession
+    ensure_package_shipped(spark)
     b_items = spark.sparkContext.broadcast(catalog_items or {})
     b_filter = (spark.sparkContext.broadcast(set(url_filter))
                 if url_filter is not None else None)
@@ -134,6 +167,7 @@ def with_url_hash(df: DataFrame, url_col: str = "url",
                   out_col: str = "url_hash") -> DataFrame:
     """Seen-set key: xxhash64 over the canonical URL (JVM-side hash; the
     bloom filter derives its k probe positions from this single value)."""
+    ensure_package_shipped(df.sparkSession)
     return df.withColumn(out_col, F.xxhash64(canonicalize_url(F.col(url_col))))
 
 

@@ -261,8 +261,10 @@ def gen_pages_spark(spark, n_pages: int, items: dict | None = None,
                     weight: int = 1):
     """Distributed generation: spark.range -> mapInPandas, rows a pure
     function of the index (same bytes as gen_pages_local)."""
+    from ..functions.udfs import ensure_package_shipped
     from ..sources.schemas import PAGES_SCHEMA
 
+    ensure_package_shipped(spark)
     items = items or build_catalog_items()
     pool = _embed_pool(items)
     sc = spark.sparkContext
