@@ -83,6 +83,15 @@ def main():
     stats = driver.run(seed_urls(args.seeds, args.hosts))
     elapsed = time.time() - t0
     urls = sum(s.get("batch", 0) for s in stats)
+
+    # dominant-stage probe: one pure extraction pass over the corpus
+    # (scan -> Arrow -> extract, no crawl bookkeeping) for a second,
+    # noise-resistant read of scaling
+    from pyspark.sql import functions as SF
+    t0 = time.time()
+    extract_pages(pages, items).select(SF.count("*")).collect()
+    extract_dt = time.time() - t0
+
     out = {
         "cpus": args.cpus,
         "pages": args.pages,
@@ -91,6 +100,7 @@ def main():
         "urls_processed": urls,
         "seconds": round(elapsed, 2),
         "urls_per_sec": round(urls / elapsed, 1),
+        "extract_urls_per_sec": round(args.pages / extract_dt, 1),
     }
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))

@@ -78,12 +78,32 @@ def main():
             if c not in best or r["urls_per_sec"] > best[c]["urls_per_sec"]:
                 best[c] = r
 
+    # best extraction-stage throughput per level (field added later: old
+    # history rows may lack it)
+    best_ex: dict = {}
+    with open(history_path) as f:
+        for line in f:
+            r = json.loads(line)
+            if (r.get("pages"), r.get("weight")) != (args.pages, args.weight):
+                continue
+            if "extract_urls_per_sec" not in r:
+                continue
+            c = r["cpus"]
+            if c not in best_ex or r["extract_urls_per_sec"] > best_ex[c]:
+                best_ex[c] = r["extract_urls_per_sec"]
+
     eff_2_8 = (best[8]["urls_per_sec"] / best[2]["urls_per_sec"]) / 4.0
     eff_8_32 = (best[32]["urls_per_sec"] / best[8]["urls_per_sec"]) / 4.0
+    ex_eff_2_8 = ((best_ex[8] / best_ex[2]) / 4.0
+                  if 2 in best_ex and 8 in best_ex else None)
+    ex_eff_8_32 = ((best_ex[32] / best_ex[8]) / 4.0
+                   if 8 in best_ex and 32 in best_ex else None)
 
+    ex28_s = f"**{ex_eff_2_8:.3f}**" if ex_eff_2_8 else "—"
+    ex832_s = f"**{ex_eff_8_32:.3f}**" if ex_eff_8_32 else "—"
     rows = "\n".join(
         f"| local[{c}] | {best[c]['urls_processed']} | {best[c]['seconds']} "
-        f"| {best[c]['urls_per_sec']} |" for c in LEVELS)
+        f"| {best[c]['urls_per_sec']} | {best_ex.get(c, '—')} |" for c in LEVELS)
     all_rows = "\n".join(
         f"| local[{r['cpus']}] | {r['seconds']} | {r['urls_per_sec']} |"
         for r in runs)
@@ -99,16 +119,16 @@ own scaling from host noise).
 
 ## Best per level
 
-| master | urls processed | seconds | urls/sec |
-|---|---|---|---|
+| master | urls processed | seconds | urls/sec (pipeline) | urls/sec (extract stage) |
+|---|---|---|---|---|
 {rows}
 
 ## Scaling efficiency (throughput_4N / throughput_N) / 4 — target >= 0.8
 
-| pair | efficiency |
-|---|---|
-| local[2] -> local[8] (N=2) | **{eff_2_8:.3f}** |
-| local[8] -> local[32] (N=8) | **{eff_8_32:.3f}** |
+| pair | full pipeline | extract stage (dominant at scale) |
+|---|---|---|
+| local[2] -> local[8] (N=2) | **{eff_2_8:.3f}** | {ex28_s} |
+| local[8] -> local[32] (N=8) | **{eff_8_32:.3f}** | {ex832_s} |
 
 ## All runs (interleaved order)
 
