@@ -539,6 +539,28 @@ def emb_ann_topk_of_vec0(spark, sf_dir):
     return S.ann_topk(emb.filter("vec_id <> 0"), qv, k=10)
 
 
+@q("emb_near_dup_pairs", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+""")
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine high-similarity pairs (near-dup family).  Exact O(n^2)
+    baseline here; at scale candidates come from the LSH buckets first
+    (emb_lsh_buckets) and only bucket-mates are compared."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = S.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
 @q("user_sessions", """
 WITH gaps AS (
   SELECT user_id, ts,
