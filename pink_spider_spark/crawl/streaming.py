@@ -1,0 +1,96 @@
+"""Structured Streaming ingestion: continuous extraction over arriving pages.
+
+The reference is strictly batch (cron binaries; SURVEY.md §2.11) and the
+north rule keeps the crawler batch ("each crawl wave is a Spark job").
+This module covers the complementary capability a production pipeline
+needs: when pages arrive CONTINUOUSLY (e.g. WARC drops landing in object
+storage), run the same extraction operator as a stream —
+
+    readStream(parquet dir) -> extract UDF (mapInPandas works unchanged on
+    streaming DataFrames) -> foreachBatch sink appending to the same
+    snapshot tables the batch engine reads
+
+foreachBatch is the right sink here: each micro-batch commits through the
+SnapshotTable manifest exactly like a wave does, so batch and streaming
+ingestion share one storage contract and resume point.  Watermarking is
+not needed for the stateless extract; the windowed-rollup helper shows the
+watermark + tumbling-window shape for late-data metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import extract_pages
+from ..sources.schemas import PAGES_SCHEMA
+from ..sources.tables import TableStore
+
+
+def stream_extract(spark: SparkSession, pages_dir: str, store: TableStore,
+                   catalog_items: dict, checkpoint_dir: str,
+                   max_files_per_trigger: int = 8):
+    """Continuous extraction: pages parquet dir -> entries/enclosures
+    appends per micro-batch.  Returns the StreamingQuery (caller awaits
+    or stops it); use trigger(availableNow=True) semantics via
+    ``run_available_now`` for drain-and-stop processing."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(pages_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract_pages(batch_df, catalog_items)
+        entries = extracted.select(
+            "url",
+            F.col("og_title").alias("title"),
+            F.col("og_description").alias("description"),
+            F.col("og_image").alias("visual_url"),
+            F.col("og_locale").alias("locale"),
+            "content", "text", "enclosures", "links",
+            F.lit(int(batch_id)).cast("int").alias("crawled_wave"),
+        )
+        _sid, d = store.table("entries").append_returning_dir(entries)
+        staged = batch_df.sparkSession.read.parquet(d)
+        enclosures = (
+            staged.select("url", F.explode("enclosures").alias("e"))
+            .select("url", "e.kind", "e.provider", "e.identifier",
+                    "e.owner_id", "e.state", "e.in_catalog",
+                    "e.doc_pos", "e.child_pos"))
+        store.table("enclosures").append(enclosures)
+
+    return (
+        stream.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_available_now(spark: SparkSession, pages_dir: str, store: TableStore,
+                      catalog_items: dict, checkpoint_dir: str) -> None:
+    """Drain everything currently in pages_dir and stop (availableNow)."""
+    q = stream_extract(spark, pages_dir, store, catalog_items, checkpoint_dir)
+    q.awaitTermination()
+
+
+def windowed_enclosure_counts(spark: SparkSession, pages_dir: str,
+                              catalog_items: dict):
+    """Streaming windowed rollup with a watermark: enclosures found per
+    10-minute warc_ts window (late pages beyond 30 min dropped).  Returns
+    the streaming DataFrame for the caller to sink."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        .withWatermark("warc_ts", "30 minutes")
+    )
+    extracted = extract_pages(stream, catalog_items,
+                              passthrough_cols=["warc_ts"])
+    return (
+        extracted
+        .select("warc_ts", F.explode("enclosures").alias("e"))
+        .groupBy(F.window("warc_ts", "10 minutes"),
+                 F.col("e.provider").alias("provider"))
+        .count()
+    )

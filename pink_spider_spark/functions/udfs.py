@@ -79,13 +79,16 @@ EXTRACT_SCHEMA = T.StructType([
 
 def extract_pages(df: DataFrame, catalog_items: dict | None = None,
                   html_col: str = "html", url_col: str = "url",
-                  url_filter=None) -> DataFrame:
+                  url_filter=None, passthrough_cols: list | None = None) -> DataFrame:
     """Run the extraction pipeline over a pages DataFrame.
 
     Input needs (url, html); output one row per (selected) input row with
     EXTRACT_SCHEMA.  Enclosure rows keep (doc_pos, child_pos) so the
     reference's first-seen document ordering survives the relational
     pipeline.
+
+    ``passthrough_cols``: input columns copied onto the output rows
+    (e.g. ``warc_ts`` for streaming windowed rollups).
 
     ``url_filter``: optional collection of URLs; rows outside it are
     dropped INSIDE the UDF (membership set rides a broadcast variable).
@@ -99,6 +102,9 @@ def extract_pages(df: DataFrame, catalog_items: dict | None = None,
     b_items = spark.sparkContext.broadcast(catalog_items or {})
     b_filter = (spark.sparkContext.broadcast(set(url_filter))
                 if url_filter is not None else None)
+    passthrough = list(passthrough_cols or [])
+    out_schema = T.StructType(EXTRACT_SCHEMA.fields + [
+        df.schema[c] for c in passthrough])
 
     def run(batches):
         # imports inside the worker to keep the closure light
@@ -110,6 +116,7 @@ def extract_pages(df: DataFrame, catalog_items: dict | None = None,
         for pdf in batches:
             if want is not None:
                 pdf = pdf[pdf[url_col].isin(want)]
+            extras = {c: list(pdf[c]) for c in passthrough}
             out = []
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 product = extract(html, url, catalog)
@@ -137,9 +144,13 @@ def extract_pages(df: DataFrame, catalog_items: dict | None = None,
                     "enclosures": encl,
                     "links": product.links,
                 })
-            yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+            for c in passthrough:
+                for i, row in enumerate(out):
+                    row[c] = extras[c][i]
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return df.select(url_col, html_col).mapInPandas(run, schema=EXTRACT_SCHEMA)
+    cols = [url_col, html_col] + passthrough
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
 
 
 def _canon_one(url: str) -> str:
