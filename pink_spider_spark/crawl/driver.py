@@ -74,7 +74,10 @@ class CrawlDriver:
             from ..sources.synth import catalog_rows
 
             pdf = catalog_rows(self.catalog_items)
-            self._catalog_df = self.spark.createDataFrame(pdf).cache()
+            # explicit schema: inference chokes on all-None columns (e.g.
+            # audio_url) under a plain spark-submit session without Arrow
+            self._catalog_df = self.spark.createDataFrame(
+                pdf, schema=schemas.PROVIDER_CATALOG_SCHEMA).cache()
         return self._catalog_df
 
     # ------------------------------------------------------------ state
@@ -141,7 +144,10 @@ class CrawlDriver:
 
         batch = scheduler.per_host_budget_batch(eligible)
         batch = scheduler.wave_order(batch).cache()
-        batch_n = batch.count()
+        # ONE materializing job: the url collect doubles as the count (the
+        # cached batch is budget-bounded small by construction)
+        batch_urls_list = [r.url for r in batch.select("url").collect()]
+        batch_n = len(batch_urls_list)
         tick("dequeue")
         if batch_n == 0:
             return {"wave": wave, "fetched": 0, "done": True}
@@ -152,7 +158,6 @@ class CrawlDriver:
         # the heavy html column never shuffles and never leaves the
         # scan -> Arrow columnar fast path (see extract_pages docstring;
         # the stored-pages scan is the sandbox stand-in for network fetch)
-        batch_urls_list = [r.url for r in batch.select("url").collect()]
         hits = self.pages.select("url", "html")
 
         # ONE extraction pass, written ONCE: the wave's entries append IS
@@ -175,6 +180,7 @@ class CrawlDriver:
         )
         entries_snapshot, entries_dir = self._t("entries").append_returning_dir(
             entries_new, base_snapshot=pinned.get("entries", 0))
+        tick("entries write")
         extracted = self.spark.read.parquet(entries_dir)
         # misses derive from the staged extraction output: no second pass
         # over the pages table
@@ -186,13 +192,20 @@ class CrawlDriver:
                     "e.state", "e.in_catalog", "e.doc_pos", "e.child_pos")
         )
 
-        # entity dims: find-or-create merge + catalog enrichment (C3/J11)
+        # entity dims: find-or-create merge + catalog enrichment (C3/J11).
+        # ONE cached wave-wide dedup pass feeds all three dims + the
+        # playlist membership — without the cache each dim append replans
+        # its own explode+window job over the entries delta (3x the stages
+        # for identical tiny data)
+        encl_dedup = entities.dedup_enclosures(enclosures).cache()
+        wave_caches: list = [encl_dedup]
         dim_appends = {}
         for kind, table in (("track", "tracks"), ("playlist", "playlists"),
                             ("album", "albums")):
             existing = self._pinned(table, schemas.ENCLOSURE_DIM_SCHEMA)
             dim_appends[table] = entities.new_dim_rows(
-                enclosures, existing, kind, self.catalog_df, wave)
+                encl_dedup, existing, kind, self.catalog_df, wave,
+                assume_deduped=True)
         playlist_tracks_new = entities.playlist_track_rows(
             dim_appends["playlists"], self.catalog_df, wave)
 
@@ -213,7 +226,6 @@ class CrawlDriver:
         )
         known_estimate = max(1000, frontier_estimate)
         bloom = build_bloom(frontier, "url_hash", known_estimate, self.config.bloom_fpp)
-        wave_caches: list = []
         new_urls = prune_with_bloom(
             with_url_hash(links), frontier.select("url"), bloom,
             cache_registry=wave_caches)
@@ -284,23 +296,40 @@ class CrawlDriver:
             schemas.METRICS_SCHEMA)
 
         # --- atomic commit ----------------------------------------------
+        # the 8 per-wave table writes are independent tiny jobs whose cost
+        # is dominated by job-scheduling latency, not data: submit them
+        # concurrently from driver threads (Spark schedules concurrent jobs
+        # fine in one app) so their latencies overlap instead of adding up.
+        # The checkpoint still commits strictly after ALL writes land, so
+        # atomicity/resumability is unchanged: a crash mid-writes leaves
+        # orphan snapshot ids that the next resume never references.
+        from concurrent.futures import ThreadPoolExecutor
+
+        # materialize the shared dedup cache before fanning out: three dim
+        # threads racing on a cold cache would each recompute the window
+        encl_dedup.count()
         snapshots = dict(pinned)
-        snapshots["frontier"] = self._t("frontier").overwrite(frontier_next)
-        tick("frontier write")
-        snapshots["seen"] = self._t("seen").append(
-            seen_new, base_snapshot=pinned.get("seen", 0))
-        tick("seen write")
         snapshots["entries"] = entries_snapshot
-        snapshots["enclosures"] = self._t("enclosures").append(
-            enclosures, base_snapshot=pinned.get("enclosures", 0))
+        writes = {
+            "frontier": lambda: self._t("frontier").overwrite(frontier_next),
+            "seen": lambda: self._t("seen").append(
+                seen_new, base_snapshot=pinned.get("seen", 0)),
+            "enclosures": lambda: self._t("enclosures").append(
+                enclosures, base_snapshot=pinned.get("enclosures", 0)),
+            "playlist_tracks": lambda: self._t("playlist_tracks").append(
+                playlist_tracks_new,
+                base_snapshot=pinned.get("playlist_tracks", 0)),
+            "metrics": lambda: self._t("metrics").append(
+                metrics, base_snapshot=pinned.get("metrics", 0)),
+        }
         for table, rows in dim_appends.items():
-            snapshots[table] = self._t(table).append(
-                rows, base_snapshot=pinned.get(table, 0))
-        snapshots["playlist_tracks"] = self._t("playlist_tracks").append(
-            playlist_tracks_new, base_snapshot=pinned.get("playlist_tracks", 0))
-        snapshots["metrics"] = self._t("metrics").append(
-            metrics, base_snapshot=pinned.get("metrics", 0))
-        tick("entity writes")
+            writes[table] = (lambda t=table, r=rows:
+                             self._t(t).append(r, base_snapshot=pinned.get(t, 0)))
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futures = {name: pool.submit(fn) for name, fn in writes.items()}
+            for name, fut in futures.items():
+                snapshots[name] = fut.result()
+        tick("table writes")
         self.store.commit_checkpoint(
             wave, snapshots,
             counters={"seen": seen_count + batch_n,

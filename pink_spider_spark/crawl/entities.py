@@ -21,23 +21,35 @@ from pyspark.sql import functions as F
 DIM_KINDS = ("track", "playlist", "album")
 
 
+def dedup_enclosures(enclosures: DataFrame) -> DataFrame:
+    """One wave-wide first-seen dedup pass on (kind, provider, identifier),
+    ordered by (url, doc_pos, child_pos) for determinism.  Computed ONCE
+    per wave and cached by the driver — the per-kind dim plans then reduce
+    to filters over this tiny cached frame instead of three separate
+    explode+window jobs."""
+    w = Window.partitionBy("kind", "provider", "identifier").orderBy(
+        "url", "doc_pos", "child_pos")
+    return (enclosures
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"))
+
+
 def new_dim_rows(enclosures: DataFrame, existing: DataFrame, kind: str,
-                 catalog_df: DataFrame, wave: int) -> DataFrame:
+                 catalog_df: DataFrame, wave: int,
+                 assume_deduped: bool = False) -> DataFrame:
     """Rows to append to the ``kind`` entity table this wave.
 
     - first-seen dedup within the wave on (provider, identifier), ordered
-      by (url, doc_pos, child_pos) for determinism
+      by (url, doc_pos, child_pos) for determinism (skipped when the input
+      already went through :func:`dedup_enclosures`)
     - left_anti against the existing dim (find_or_create)
     - broadcast-enriched from the provider catalog (stand-in for the
       reference's per-enclosure REST fetches, src/youtube.rs:202-258 etc.)
     """
-    w = Window.partitionBy("provider", "identifier").orderBy(
-        "url", "doc_pos", "child_pos")
+    deduped = enclosures if assume_deduped else dedup_enclosures(enclosures)
     fresh = (
-        enclosures.filter(F.col("kind") == kind)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        deduped.filter(F.col("kind") == kind)
         .join(existing.select("provider", "identifier"),
               on=["provider", "identifier"], how="left_anti")
     )
