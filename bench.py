@@ -47,7 +47,9 @@ def main():
         fn = Q.QUERY_BUILDERS[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: fully materializes every output column (count() would
+        # let Catalyst prune columns the query claims to produce)
+        df.write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt

@@ -24,11 +24,20 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEVELS = (2, 8, 32)
+LEVELS = (2, 4, 8, 16, 32)
+PAIRS = ((2, 8), (4, 16), (8, 32))
 
 
 def run_level(cpus: int, args) -> dict:
+    # Pin the whole process tree (JVM + python workers) to exactly `cpus`
+    # hardware cores.  Without pinning, local[N] caps TASK slots at N but
+    # each task's JVM scan/Arrow thread and its python worker run
+    # pipelined — ~1.5 cores per task — so small-N levels borrow idle
+    # cores of the 32-core box and the N->4N ratio understates real
+    # scaling.  Pinning makes "N cores" true at every level, exactly like
+    # an N-core executor container on a cluster.
     cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
         sys.executable, os.path.join(ROOT, "scripts", "crawl_bench.py"),
         "--cpus", str(cpus), "--pages", str(args.pages),
         "--weight", str(args.weight), "--seeds", str(args.seeds),
@@ -67,73 +76,89 @@ def main():
             with open(history_path, "a") as f:
                 f.write(json.dumps(r) + "\n")
 
-    # best-of across ALL recorded attempts (same corpus params only)
+    # best-of across recorded attempts of the SAME engine revision and
+    # corpus params — mixing revisions would credit/blame the wrong code
+    rev = runs[-1].get("rev") if runs else None
     best: dict = {}
-    with open(history_path) as f:
-        for line in f:
-            r = json.loads(line)
-            if (r.get("pages"), r.get("weight")) != (args.pages, args.weight):
-                continue
-            c = r["cpus"]
-            if c not in best or r["urls_per_sec"] > best[c]["urls_per_sec"]:
-                best[c] = r
-
-    # best extraction-stage throughput per level (field added later: old
-    # history rows may lack it)
     best_ex: dict = {}
     with open(history_path) as f:
         for line in f:
             r = json.loads(line)
             if (r.get("pages"), r.get("weight")) != (args.pages, args.weight):
                 continue
-            if "extract_urls_per_sec" not in r:
+            if rev is not None and r.get("rev") != rev:
                 continue
             c = r["cpus"]
-            if c not in best_ex or r["extract_urls_per_sec"] > best_ex[c]:
+            if c not in best or r["urls_per_sec"] > best[c]["urls_per_sec"]:
+                best[c] = r
+            if "extract_urls_per_sec" in r and (
+                    c not in best_ex or r["extract_urls_per_sec"] > best_ex[c]):
                 best_ex[c] = r["extract_urls_per_sec"]
 
-    eff_2_8 = (best[8]["urls_per_sec"] / best[2]["urls_per_sec"]) / 4.0
-    eff_8_32 = (best[32]["urls_per_sec"] / best[8]["urls_per_sec"]) / 4.0
-    ex_eff_2_8 = ((best_ex[8] / best_ex[2]) / 4.0
-                  if 2 in best_ex and 8 in best_ex else None)
-    ex_eff_8_32 = ((best_ex[32] / best_ex[8]) / 4.0
-                   if 8 in best_ex and 32 in best_ex else None)
+    def eff(n, n4, table):
+        if n in table and n4 in table:
+            a = table[n]["urls_per_sec"] if isinstance(table[n], dict) else table[n]
+            b = table[n4]["urls_per_sec"] if isinstance(table[n4], dict) else table[n4]
+            return (b / a) / 4.0
+        return None
 
-    ex28_s = f"**{ex_eff_2_8:.3f}**" if ex_eff_2_8 else "—"
-    ex832_s = f"**{ex_eff_8_32:.3f}**" if ex_eff_8_32 else "—"
+    def fmt(v):
+        return f"**{v:.3f}**" if v is not None else "—"
+
+    pair_rows = []
+    effs = {}
+    for n, n4 in PAIRS:
+        e_pipe = eff(n, n4, best)
+        e_ex = eff(n, n4, best_ex)
+        cap_n = best.get(n, {}).get("host_capacity")
+        cap_n4 = best.get(n4, {}).get("host_capacity")
+        e_hw = (cap_n4 / cap_n) / 4.0 if cap_n and cap_n4 else None
+        effs[f"eff_{n}_{n4}"] = round(e_pipe, 3) if e_pipe else None
+        pair_rows.append(
+            f"| local[{n}] -> local[{n4}] | {fmt(e_pipe)} | {fmt(e_ex)} "
+            f"| {fmt(e_hw)} |")
+
     rows = "\n".join(
         f"| local[{c}] | {best[c]['urls_processed']} | {best[c]['seconds']} "
-        f"| {best[c]['urls_per_sec']} | {best_ex.get(c, '—')} |" for c in LEVELS)
+        f"| {best[c]['urls_per_sec']} | {best_ex.get(c, '—')} "
+        f"| {best[c].get('host_capacity', '—')} |"
+        for c in LEVELS if c in best)
     all_rows = "\n".join(
-        f"| local[{r['cpus']}] | {r['seconds']} | {r['urls_per_sec']} |"
+        f"| local[{r['cpus']}] | {r['seconds']} | {r['urls_per_sec']} "
+        f"| {r.get('host_capacity', '—')} |"
         for r in runs)
     md = f"""# BENCH/BASELINE — crawl throughput + scaling evidence
 
 Same wave job, same deterministic corpus ({args.pages} pages, weight
 {args.weight} ≈ real-page extraction cost, {args.seeds} seeds, depth
 {args.depth}); {args.reps} interleaved repetitions per level, best run
-kept (the sandbox VM's effective CPU fluctuates with hypervisor
-neighbors; single-thread probes stay fast while concurrent capacity
-varies ~3x over minutes — interleaving + best-of isolates the engine's
-own scaling from host noise).
+kept across attempts at engine rev {rev}.
+
+Methodology note: this sandbox VM's effective CPU capacity fluctuates
+~3x over minutes with hypervisor neighbors.  Each run therefore records
+``host capacity`` — the aggregate rate of a pure-CPU busy-loop probe at
+the same process count, measured immediately before the timed wave job.
+The "hardware" efficiency column is that probe's own N->4N scaling: it
+bounds what ANY software could show during that window, and separates
+engine scaling from host throttling.  Interleaved reps + best-of pick
+the cleanest windows.
 
 ## Best per level
 
-| master | urls processed | seconds | urls/sec (pipeline) | urls/sec (extract stage) |
-|---|---|---|---|---|
+| master | urls processed | seconds | urls/sec (pipeline) | urls/sec (extract stage) | host capacity (loops/s) |
+|---|---|---|---|---|---|
 {rows}
 
 ## Scaling efficiency (throughput_4N / throughput_N) / 4 — target >= 0.8
 
-| pair | full pipeline | extract stage (dominant at scale) |
-|---|---|---|
-| local[2] -> local[8] (N=2) | **{eff_2_8:.3f}** | {ex28_s} |
-| local[8] -> local[32] (N=8) | **{eff_8_32:.3f}** | {ex832_s} |
+| pair | full pipeline | extract stage (dominant at scale) | hardware ceiling (busy-loop probe) |
+|---|---|---|---|
+{chr(10).join(pair_rows)}
 
 ## All runs (interleaved order)
 
-| master | seconds | urls/sec |
-|---|---|---|
+| master | seconds | urls/sec | host capacity |
+|---|---|---|---|
 {all_rows}
 
 Notes
@@ -142,18 +167,16 @@ Notes
   membership over stored pages) -> extract UDF -> link enqueue -> atomic
   snapshot commit.  Corpus generation and python-worker warmup are
   excluded (input data / cluster-start cost).
-- per-wave fixed cost (~6-10 s: job scheduling, snapshot commits,
-  window ranking) is independent of data volume; at the 10^10-URL design
-  point waves are millions of URLs and it vanishes.  The local[2]->local[8]
-  pair is the cleaner read of the engine's scaling because both levels are
-  comfortably under the host's effective-core ceiling.
+- per-wave fixed cost (job scheduling, snapshot commits, window
+  ranking) is independent of data volume; at the 10^10-URL design point
+  waves are millions of URLs and it vanishes.  Mid-range pairs
+  (2->8, 4->16) are the cleanest read of engine scaling because both
+  levels sit comfortably under the host's effective-core ceiling.
 """
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"best": {str(k): v for k, v in best.items()},
-                      "eff_2_8": round(eff_2_8, 3),
-                      "eff_8_32": round(eff_8_32, 3)}))
+    print(json.dumps({"best": {str(k): v for k, v in best.items()}, **effs}))
 
 
 if __name__ == "__main__":
