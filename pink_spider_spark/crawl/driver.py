@@ -142,6 +142,18 @@ class CrawlDriver:
                 print(f"  [wave {wave}] {label}: {now - t0:.2f}s", flush=True)
                 t0 = now
 
+        # the seen-bloom is built over the frontier AS PINNED — fully
+        # independent of this wave's dequeue/extract, so build it on a
+        # driver thread concurrently with the whole wave body and only
+        # join right before the enqueue prune needs it
+        from concurrent.futures import ThreadPoolExecutor
+
+        known_estimate = max(1000, frontier_estimate)
+        bloom_pool = ThreadPoolExecutor(max_workers=1)
+        bloom_future = bloom_pool.submit(
+            build_bloom, frontier, "url_hash", known_estimate,
+            self.config.bloom_fpp)
+
         batch = scheduler.per_host_budget_batch(eligible)
         batch = scheduler.wave_order(batch).cache()
         # ONE materializing job: the url collect doubles as the count (the
@@ -150,6 +162,8 @@ class CrawlDriver:
         batch_n = len(batch_urls_list)
         tick("dequeue")
         if batch_n == 0:
+            bloom_future.cancel()
+            bloom_pool.shutdown(wait=False)
             return {"wave": wave, "fetched": 0, "done": True}
 
         # --- fetch simulation + extract -------------------------------
@@ -224,8 +238,8 @@ class CrawlDriver:
             .groupBy("url")
             .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
         )
-        known_estimate = max(1000, frontier_estimate)
-        bloom = build_bloom(frontier, "url_hash", known_estimate, self.config.bloom_fpp)
+        bloom = bloom_future.result()
+        bloom_pool.shutdown()
         new_urls = prune_with_bloom(
             with_url_hash(links), frontier.select("url"), bloom,
             cache_registry=wave_caches)

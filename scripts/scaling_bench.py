@@ -55,8 +55,14 @@ def main():
     ap.add_argument("--seeds", type=int, default=20000)
     ap.add_argument("--depth", type=int, default=1)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--levels", default=None,
+                    help="comma-separated parallelism levels (default 2,4,8,16,32)")
     ap.add_argument("--data-dir", default="/tmp/scaling_corpus")
     args = ap.parse_args()
+    global LEVELS, PAIRS
+    if args.levels:
+        LEVELS = tuple(int(x) for x in args.levels.split(","))
+        PAIRS = tuple((n, n * 4) for n in LEVELS if n * 4 in LEVELS)
 
     subprocess.run([
         sys.executable, os.path.join(ROOT, "scripts", "crawl_bench.py"),
