@@ -17,6 +17,13 @@ def paginate(df: DataFrame, order_by: list, page: int, per_page: int = 25) -> Da
 
     Uses a row_number window over the total order so page boundaries are
     deterministic; ``page_index`` is exposed for the caller's envelope.
+
+    Scale path: a global-order window is fine for the REST page sizes this
+    mirrors (25-row pages over dimension tables) but is a single-partition
+    bottleneck on a large fact table — there, page by KEYSET instead
+    (``WHERE (updated_at, id) < (cursor) ORDER BY ... LIMIT k`` over a
+    range-partitioned sort key, which prunes partitions and never ranks
+    the whole table).  ``events_page_after`` in queries.py shows the form.
     """
     w = Window.orderBy(*order_by)
     lo = page * per_page

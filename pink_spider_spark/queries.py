@@ -234,6 +234,36 @@ def events_after_jan15(spark, sf_dir):
 
 
 # =====================================================================
+# §2.6 O1 (scale path) — KEYSET pagination: the form offset paging takes
+# on a large fact table.  No global window: the cursor predicate
+# (ts, event_id) < (cursor_ts, cursor_id) pushes into the scan and prunes
+# partitions; ranking happens only within the one page-sized result.
+# =====================================================================
+@q("events_page_after", """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id < 500)
+ORDER BY ts DESC, event_id DESC LIMIT 25
+""")
+def events_page_after(spark, sf_dir):
+    """Keyset page fetch: 25 rows strictly after the cursor
+    (cursor = last row of the previous page).  Mirrors the reference's
+    ORDER BY updated_at DESC paging (src/model/mod.rs:118-161) in the
+    form that survives 10^10 rows: predicate pushdown + top-k, no
+    full-table ROW_NUMBER."""
+    cur_ts = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("ts") < cur_ts) |
+                ((F.col("ts") == cur_ts) & (F.col("event_id") < 500)))
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(25)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+# =====================================================================
 # §3.3 mget — batched id lookup
 # =====================================================================
 @q("orders_mget", """
