@@ -154,8 +154,11 @@ class CrawlDriver:
             build_bloom, frontier, "url_hash", known_estimate,
             self.config.bloom_fpp)
 
-        batch = scheduler.per_host_budget_batch(eligible)
-        batch = scheduler.wave_order(batch).cache()
+        # cache the batch BEFORE the global ordering: wave_pos is only
+        # consumed by the seen-ordering append, and wave_order's
+        # distributed strategy (count + range sampling) re-reads its
+        # input — against the cache those re-reads are free
+        batch = scheduler.per_host_budget_batch(eligible).cache()
         # ONE materializing job: the url collect doubles as the count (the
         # cached batch is budget-bounded small by construction)
         batch_urls_list = [r.url for r in batch.select("url").collect()]
@@ -272,8 +275,11 @@ class CrawlDriver:
         frontier_next = status_updates.unionByName(new_frontier_rows)
 
         # --- seen ordering ----------------------------------------------
+        # global in-wave rank computed here, at its only consumer; large
+        # batches take the distributed range-partition + offset strategy
+        # (see scheduler.wave_order)
         seen_new = (
-            batch.select(
+            scheduler.wave_order(batch, cache_registry=wave_caches).select(
                 "url",
                 F.lit(wave).alias("first_wave"),
                 (F.lit(seen_count) + F.col("wave_pos")).cast("long").alias("seq"))

@@ -69,13 +69,54 @@ def per_host_budget_batch(candidates: DataFrame) -> DataFrame:
             .filter(F.col("host_rank") <= F.col("max_per_wave")))
 
 
-def wave_order(batch: DataFrame) -> DataFrame:
+def wave_order(batch: DataFrame, distributed_threshold: int = 10_000,
+               cache_registry: list | None = None) -> DataFrame:
     """Deterministic in-wave sequence: rank by (priority DESC, url ASC).
 
-    A global single-partition window would be a scale bottleneck in
-    general, but wave batches are budget-bounded (≤ Σ host budgets), so
-    the sort input is small BY CONSTRUCTION — this is why the global seq
-    is computed here and not on the full frontier.
+    Two physical strategies, same result:
+
+    - small batches (REST-budget regime, ≤ Σ host budgets): one global
+      row_number window — a single post-shuffle partition, fine for
+      thousands of rows.
+    - large batches (throughput-mode budgets; millions of URLs at the
+      10^10 design point): a single-partition sort is a serial
+      bottleneck, so compute the global rank WITHOUT one:
+      range-repartition on the sort key, row_number within each range
+      partition, then add per-partition offsets (prefix sums of the tiny
+      per-partition counts, collected driver-side).  Every stage is
+      distributed; the only driver data is one count per partition.
+
+    The strategy flips on a cheap driver-side estimate when the caller
+    passes ``distributed_threshold=None``/0 (force-window) or the input
+    row count crosses the threshold (computed lazily via a count that the
+    driver already needs for batch stats).
     """
     w = Window.orderBy(F.desc("priority"), F.asc("url"))
-    return batch.withColumn("wave_pos", F.row_number().over(w))
+    n = batch.count()
+    if n <= distributed_threshold:
+        return batch.withColumn("wave_pos", F.row_number().over(w))
+
+    ranged = batch.repartitionByRange(
+        max(batch.sparkSession.sparkContext.defaultParallelism, 8),
+        F.desc("priority"), F.asc("url"))
+    local = ranged.withColumn("__pid", F.spark_partition_id())
+    w_part = Window.partitionBy("__pid").orderBy(
+        F.desc("priority"), F.asc("url"))
+    # cached: range sampling re-runs per job, so the counts job and the
+    # final read MUST see one materialized partition assignment
+    local = local.withColumn("__local_pos", F.row_number().over(w_part)).cache()
+    if cache_registry is not None:
+        cache_registry.append(local)
+    counts = {r["__pid"]: r["cnt"] for r in
+              local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[x for pid in sorted(counts)
+                          for x in (F.lit(pid), F.lit(offsets[pid]))])
+    return (local
+            .withColumn("wave_pos",
+                        (F.col("__local_pos") + omap[F.col("__pid")]).cast("int"))
+            .drop("__pid", "__local_pos"))
