@@ -27,6 +27,10 @@ CHECKS = {
     "docs_token_count": (["ReadSchema: struct<doc_id:bigint,text:string>"], []),
     "emb_knn_of_vec0": (["ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
                         ["CartesianProduct"]),
+    # keyset pagination: cursor predicate pushed to the scan, page fetched
+    # as a distributed top-k — NO global row_number window
+    "events_page_after": (["PushedFilters", "TakeOrderedAndProject"],
+                          ["Window", "CartesianProduct"]),
 }
 
 
