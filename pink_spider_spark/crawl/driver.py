@@ -51,6 +51,14 @@ class CrawlConfig:
     max_depth: int = 3
     max_waves: int = 100
     bloom_fpp: float = 0.01
+    # Above this batch size the wave stops materializing URLs on the
+    # driver: the fetch-sim switches from a broadcast url-set filter
+    # INSIDE the extract UDF (Arrow-fast-path, see extract_pages) to a
+    # distributed left_semi join of pages ⨝ batch urls.  At the 10^10
+    # design point a wave can hold millions of URLs; collecting them to
+    # the driver each wave is a GC/memory bottleneck and serializes the
+    # wave start.
+    url_collect_max: int = 100_000
 
 
 class CrawlDriver:
@@ -159,23 +167,50 @@ class CrawlDriver:
         # distributed strategy (count + range sampling) re-reads its
         # input — against the cache those re-reads are free
         batch = scheduler.per_host_budget_batch(eligible).cache()
-        # ONE materializing job: the url collect doubles as the count (the
-        # cached batch is budget-bounded small by construction)
-        batch_urls_list = [r.url for r in batch.select("url").collect()]
-        batch_n = len(batch_urls_list)
-        tick("dequeue")
-        if batch_n == 0:
+        wave_caches: list = [batch]
+        try:
+            return self._wave_body(
+                wave, pinned, frontier, excluded, batch,
+                seen_count=seen_count, frontier_estimate=frontier_estimate,
+                bloom_future=bloom_future, wave_caches=wave_caches, tick=tick)
+        finally:
+            # all exit paths (empty wave, extract failure, commit failure)
+            # release the wave's executor memory and the bloom thread
             bloom_future.cancel()
             bloom_pool.shutdown(wait=False)
+            for df in wave_caches:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    def _wave_body(self, wave, pinned, frontier, excluded, batch,
+                   seen_count, frontier_estimate, bloom_future, wave_caches,
+                   tick):
+        batch_n = batch.count()
+        tick("dequeue")
+        if batch_n == 0:
             return {"wave": wave, "fetched": 0, "done": True}
 
         # --- fetch simulation + extract -------------------------------
-        # batch is budget-bounded (small): its url set rides a broadcast
-        # variable and the membership test runs inside the extract UDF, so
-        # the heavy html column never shuffles and never leaves the
-        # scan -> Arrow columnar fast path (see extract_pages docstring;
-        # the stored-pages scan is the sandbox stand-in for network fetch)
+        # The stored-pages scan is the sandbox stand-in for network fetch.
+        # Two physical forms, gated on batch size (config.url_collect_max):
+        # - small (REST-budget regime): the batch url set rides a broadcast
+        #   variable and the membership test runs INSIDE the extract UDF,
+        #   so the heavy html column never shuffles and never leaves the
+        #   scan -> Arrow columnar fast path (see extract_pages docstring)
+        # - large (throughput regime, millions of URLs/wave at the 10^10
+        #   design point): NO url ever touches the driver — the thin
+        #   batch url projection joins the pages table left_semi (AQE
+        #   picks broadcast vs shuffle), then extraction runs over the
+        #   joined rows
         hits = self.pages.select("url", "html")
+        if batch_n <= self.config.url_collect_max:
+            batch_urls_list = [r.url for r in batch.select("url").collect()]
+            hits_kwargs = {"url_filter": batch_urls_list}
+        else:
+            hits = hits.join(batch.select("url"), on="url", how="left_semi")
+            hits_kwargs = {}
 
         # ONE extraction pass, written ONCE: the wave's entries append IS
         # the staged extraction output (content/text would thrash executor
@@ -185,7 +220,7 @@ class CrawlDriver:
         # (incremental-scan analog); the snapshot only enters the
         # checkpoint at the atomic commit below.
         entries_new = extract_pages(
-            hits, self.catalog_items, url_filter=batch_urls_list,
+            hits, self.catalog_items, **hits_kwargs,
         ).select(
             "url",
             F.col("og_title").alias("title"),
@@ -215,7 +250,7 @@ class CrawlDriver:
         # its own explode+window job over the entries delta (3x the stages
         # for identical tiny data)
         encl_dedup = entities.dedup_enclosures(enclosures).cache()
-        wave_caches: list = [encl_dedup]
+        wave_caches.append(encl_dedup)
         dim_appends = {}
         for kind, table in (("track", "tracks"), ("playlist", "playlists"),
                             ("album", "albums")):
@@ -242,7 +277,6 @@ class CrawlDriver:
             .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
         )
         bloom = bloom_future.result()
-        bloom_pool.shutdown()
         new_urls = prune_with_bloom(
             with_url_hash(links), frontier.select("url"), bloom,
             cache_registry=wave_caches)
@@ -355,12 +389,9 @@ class CrawlDriver:
             counters={"seen": seen_count + batch_n,
                       "frontier_estimate": frontier_estimate + int(links_found)})
 
-        stats = {"wave": wave, "fetched": batch_n - miss_n, "missing": miss_n,
-                 "batch": batch_n, "done": False}
-        batch.unpersist()
-        for df in wave_caches:
-            df.unpersist()
-        return stats
+        # caller's finally block unpersists batch + wave_caches
+        return {"wave": wave, "fetched": batch_n - miss_n, "missing": miss_n,
+                "batch": batch_n, "done": False}
 
     def run_refresh(self) -> dict:
         """The update_tracks / playlist_crawler / update_artists batch

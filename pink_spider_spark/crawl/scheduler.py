@@ -69,7 +69,7 @@ def per_host_budget_batch(candidates: DataFrame) -> DataFrame:
             .filter(F.col("host_rank") <= F.col("max_per_wave")))
 
 
-def wave_order(batch: DataFrame, distributed_threshold: int = 10_000,
+def wave_order(batch: DataFrame, distributed_threshold: int | None = 10_000,
                cache_registry: list | None = None) -> DataFrame:
     """Deterministic in-wave sequence: rank by (priority DESC, url ASC).
 
@@ -83,30 +83,41 @@ def wave_order(batch: DataFrame, distributed_threshold: int = 10_000,
       bottleneck, so compute the global rank WITHOUT one:
       range-repartition on the sort key, row_number within each range
       partition, then add per-partition offsets (prefix sums of the tiny
-      per-partition counts, collected driver-side).  Every stage is
-      distributed; the only driver data is one count per partition.
+      per-partition counts).  Every stage is distributed; the only driver
+      data is one count per partition.
 
-    The strategy flips on a cheap driver-side estimate when the caller
-    passes ``distributed_threshold=None``/0 (force-window) or the input
-    row count crosses the threshold (computed lazily via a count that the
-    driver already needs for batch stats).
+    ``distributed_threshold`` selects the strategy: ``None`` forces the
+    single-window form (no count job at all); ``0`` forces the
+    distributed form for any non-empty input; otherwise the input row
+    count picks the side.
+
+    Recompute hazard (and why it cannot bite): ``repartitionByRange``
+    samples its boundaries and ``spark_partition_id`` is
+    assignment-dependent, so a recomputation of lost partitions could
+    assign different pids than the counts job observed, corrupting the
+    global sequence.  The frame is therefore pinned with
+    ``localCheckpoint(eager=True)``: blocks are materialized once and the
+    lineage is TRUNCATED, so a lost block fails the job fast instead of
+    silently recomputing a different assignment.  (``cache_registry`` is
+    kept for API compatibility; checkpoint blocks are GC-managed and need
+    no explicit unpersist.)
     """
     w = Window.orderBy(F.desc("priority"), F.asc("url"))
+    if distributed_threshold is None:
+        return batch.withColumn("wave_pos", F.row_number().over(w))
     n = batch.count()
-    if n <= distributed_threshold:
+    if n <= int(distributed_threshold):
         return batch.withColumn("wave_pos", F.row_number().over(w))
 
     ranged = batch.repartitionByRange(
         max(batch.sparkSession.sparkContext.defaultParallelism, 8),
         F.desc("priority"), F.asc("url"))
-    local = ranged.withColumn("__pid", F.spark_partition_id())
     w_part = Window.partitionBy("__pid").orderBy(
         F.desc("priority"), F.asc("url"))
-    # cached: range sampling re-runs per job, so the counts job and the
-    # final read MUST see one materialized partition assignment
-    local = local.withColumn("__local_pos", F.row_number().over(w_part)).cache()
-    if cache_registry is not None:
-        cache_registry.append(local)
+    local = (ranged
+             .withColumn("__pid", F.spark_partition_id())
+             .withColumn("__local_pos", F.row_number().over(w_part))
+             .localCheckpoint(eager=True))
     counts = {r["__pid"]: r["cnt"] for r in
               local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}

@@ -67,10 +67,17 @@ def main():
             e = eff(best, pages, n, n * 4)
             ex = eff(best, pages, n, n * 4, "extract_urls_per_sec")
             hw = eff(best, pages, n, n * 4, "host_capacity")
-            if e is not None:
-                print(f"  pages={pages} {n}->{n*4}: pipeline={e:.3f} "
-                      f"extract={ex:.3f} hardware={hw:.3f} "
-                      f"engine-relative={e/hw:.3f}" if hw else "")
+            if e is None:
+                continue
+            # each field formatted with its own None guard: older history
+            # rows may lack extract_urls_per_sec / host_capacity
+            parts = [f"  pages={pages} {n}->{n*4}: pipeline={e:.3f}"]
+            if ex is not None:
+                parts.append(f"extract={ex:.3f}")
+            if hw:
+                parts.append(f"hardware={hw:.3f}")
+                parts.append(f"engine-relative={e/hw:.3f}")
+            print(" ".join(parts))
 
 
 if __name__ == "__main__":
