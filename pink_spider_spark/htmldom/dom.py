@@ -20,16 +20,17 @@ DOCTYPE = "doctype"
 
 
 class Node:
-    __slots__ = ("kind", "tag", "attrs", "text", "children", "parent")
+    __slots__ = ("kind", "tag", "attrs", "text", "children", "parent", "ns")
 
     def __init__(self, kind: str, tag: str | None = None, attrs: list | None = None,
-                 text: str = ""):
+                 text: str = "", ns: str | None = None):
         self.kind = kind
-        self.tag = tag  # already lowercase (html.parser lowercases)
+        self.tag = tag  # lowercase for HTML; spec-adjusted case for SVG/MathML
         self.attrs = attrs if attrs is not None else []  # list[(name, value)]
         self.text = text
         self.children: list[Node] = []
         self.parent: Node | None = None
+        self.ns = ns  # None = HTML namespace; "svg" | "math" for foreign
 
     def append(self, child: "Node") -> None:
         child.parent = self

@@ -42,7 +42,8 @@ def _serialize_into(node: Node, out: list, raw: bool) -> None:
     elif node.kind == COMMENT:
         out.append(f"<!--{node.text}-->")
     elif node.kind == DOCTYPE:
-        out.append(f"<!{node.text}>")
+        # html5ever's serializer writes only the doctype NAME
+        out.append(f"<!DOCTYPE {node.text}>")
     elif node.kind == ELEMENT:
         out.append("<")
         out.append(node.tag)

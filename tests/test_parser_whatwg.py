@@ -1,0 +1,150 @@
+"""WHATWG tree-construction goldens for malformed HTML.
+
+The reference parses with html5ever (reference: src/scraper.rs:76-79),
+which implements the WHATWG tree-construction algorithm with scripting
+enabled.  Each golden below is hand-pinned from the HTML Standard
+§13.2.6 semantics (adoption agency §13.2.6.4.7, foster parenting
+§13.2.6.1, the misnested-tags examples §13.2.10) — NOT snapshotted from
+our own implementation first.  Byte-identical serialization is the
+parity contract for the extraction pipeline's ``content`` output.
+"""
+
+import pytest
+
+from pink_spider_spark.extract import extract
+from pink_spider_spark.htmldom import parse_html, serialize
+
+B = "<html><head></head><body>"
+E = "</body></html>"
+
+GOLDENS = [
+    # --- adoption agency -------------------------------------------------
+    ("<b><i>x</b>y</i>", f"{B}<b><i>x</i></b><i>y</i>{E}"),
+    ("<b>1<p>2</b>3</p>", f"{B}<b>1</b><p><b>2</b>3</p>{E}"),
+    ("<em><p>x</em>y</p>", f"{B}<em></em><p><em>x</em>y</p>{E}"),
+    ("<b>bold<i>both</b>italic</i>plain",
+     f"{B}<b>bold<i>both</i></b><i>italic</i>plain{E}"),
+    ("<a href=\"1\">x<a href=\"2\">y",
+     f'{B}<a href="1">x</a><a href="2">y</a>{E}'),
+    ("<a>1<p>2</a>3</p>", f"{B}<a>1</a><p><a>2</a>3</p>{E}"),
+    # --- formatting reconstruction --------------------------------------
+    ("<p><b>x<p>y", f"{B}<p><b>x</b></p><p><b>y</b></p>{E}"),
+    ("<p><b>1</p><p>2</p><p><b>3",
+     f"{B}<p><b>1</b></p><p><b>2</b></p><p><b><b>3</b></b></p>{E}"),
+    # --- foster parenting ------------------------------------------------
+    ("<table>foo<tr><td>bar</td></tr></table>",
+     f"{B}foo<table><tbody><tr><td>bar</td></tr></tbody></table>{E}"),
+    ("<table><div>z</div><tr><td>a</td></tr></table>",
+     f"{B}<div>z</div><table><tbody><tr><td>a</td></tr></tbody></table>{E}"),
+    # fostered formatting element; cell marker blocks reconstruction
+    ("<table><b>x<tr><td>y</td></tr></table>",
+     f"{B}<b>x</b><table><tbody><tr><td>y</td></tr></tbody></table>{E}"),
+    # whitespace-only table text stays inside the table
+    ("<table>  <tr><td>x</td></tr></table>",
+     f"{B}<table>  <tbody><tr><td>x</td></tr></tbody></table>{E}"),
+    # --- implied end tags / stray end tags -------------------------------
+    ("<div></p>x</div>", f"{B}<div><p></p>x</div>{E}"),
+    ("<div><div>a<div>b", f"{B}<div><div>a<div>b</div></div></div>{E}"),
+    ("<ul><li>a<li>b</ul>", f"{B}<ul><li>a</li><li>b</li></ul>{E}"),
+    ("<ul><li>a<ul><li>b</ul>c</ul>",
+     f"{B}<ul><li>a<ul><li>b</li></ul>c</li></ul>{E}"),
+    ("<dl><dt>t<dd>d<dt>t2</dl>",
+     f"{B}<dl><dt>t</dt><dd>d</dd><dt>t2</dt></dl>{E}"),
+    ("<h1>a<h2>b", f"{B}<h1>a</h1><h2>b</h2>{E}"),
+    ("<div><span></div>x", f"{B}<div><span></span></div>x{E}"),
+    ("</br>x", f"{B}<br>x{E}"),
+    ("<image src=\"u\">", f'{B}<img src="u">{E}'),
+    # --- quirks vs no-quirks <p><table> ----------------------------------
+    ("<!DOCTYPE html><p>x<table><tr><td>y</td></tr></table>",
+     "<!DOCTYPE html><html><head></head><body><p>x</p>"
+     "<table><tbody><tr><td>y</td></tr></tbody></table></body></html>"),
+    ("<p>x<table><tr><td>y</td></tr></table>",  # quirks: p stays open
+     f"{B}<p>x<table><tbody><tr><td>y</td></tr></tbody></table></p>{E}"),
+    # --- table structure repair ------------------------------------------
+    ("<table><tr><td>a<td>b",
+     f"{B}<table><tbody><tr><td>a</td><td>b</td></tr></tbody></table>{E}"),
+    ("<table><tr><td>a<tr><td>b",
+     f"{B}<table><tbody><tr><td>a</td></tr><tr><td>b</td></tr></tbody>"
+     f"</table>{E}"),
+    ("<table><caption>c<td>x",
+     f"{B}<table><caption>c</caption><tbody><tr><td>x</td></tr></tbody>"
+     f"</table>{E}"),
+    ("<table><tr><td><b>a<td>b",
+     f"{B}<table><tbody><tr><td><b>a</b></td><td>b</td></tr></tbody>"
+     f"</table>{E}"),
+    ("<table><caption>cap</caption><tr><td>x</td></tr></table>",
+     f"{B}<table><caption>cap</caption><tbody><tr><td>x</td></tr></tbody>"
+     f"</table>{E}"),
+    # --- select ----------------------------------------------------------
+    ("<select><option>a<option>b</select>",
+     f"{B}<select><option>a</option><option>b</option></select>{E}"),
+    ("<select><optgroup><option>a<optgroup><option>b</select>",
+     f"{B}<select><optgroup><option>a</option></optgroup>"
+     f"<optgroup><option>b</option></optgroup></select>{E}"),
+    # --- rawtext / RCDATA (scripting enabled) ----------------------------
+    ("<body><noscript><p>hi</p></noscript>",
+     f"{B}<noscript><p>hi</p></noscript>{E}"),
+    ("<script>if (a<b) x()</script>k",
+     "<html><head><script>if (a<b) x()</script></head><body>k</body></html>"),
+    ("<title>a &amp; b</title><p>x",
+     "<html><head><title>a &amp; b</title></head><body><p>x</p>"
+     "</body></html>"),
+    ("<title>a<b>c</title><p>x",
+     "<html><head><title>a&lt;b&gt;c</title></head><body><p>x</p>"
+     "</body></html>"),
+    ("<pre>\nfoo</pre>", f"{B}<pre>foo</pre>{E}"),
+    ("<textarea>\nfoo</textarea>", f"{B}<textarea>foo</textarea>{E}"),
+    # --- after-body edge cases -------------------------------------------
+    ("<body>a</body>b", f"{B}ab{E}"),
+    ("<p>a</p></html>b", f"{B}<p>a</p>b{E}"),
+    ("x</html><!--c-->", f"{B}x{E}<!--c-->"),
+    # --- bogus comments ---------------------------------------------------
+    ("<?php echo ?>x", f"<!--?php echo ?-->{B}x{E}"),
+    ("<![CDATA[z]]>x", f"<!--[CDATA[z]]-->{B}x{E}"),
+    # --- foreign content --------------------------------------------------
+    ('<svg viewbox="0 0 1 1"><clippath/><foreignobject><div>q</div>'
+     "</foreignobject></svg>",
+     f'{B}<svg viewBox="0 0 1 1"><clipPath></clipPath>'
+     f"<foreignObject><div>q</div></foreignObject></svg>{E}"),
+    ("<svg><g><div>x</div></svg>",
+     f"{B}<svg><g></g></svg><div>x</div>{E}"),
+    ("<math><mi><b>x</b></mi></math>",
+     f"{B}<math><mi><b>x</b></mi></math>{E}"),
+    # --- head/body scaffold ----------------------------------------------
+    ("<meta charset=\"x\"><p>y",
+     '<html><head><meta charset="x"></head><body><p>y</p></body></html>'),
+    ("pure text", f"{B}pure text{E}"),
+    ("", "<html><head></head><body></body></html>"),
+    ("<input disabled>", f'{B}<input disabled="">{E}'),
+]
+
+
+@pytest.mark.parametrize("src,want", GOLDENS,
+                         ids=[f"g{i}" for i in range(len(GOLDENS))])
+def test_whatwg_golden(src, want):
+    assert serialize(parse_html(src)) == want
+
+
+def test_cdata_bogus_comment_never_breaks_extract():
+    product = extract("<![CDATA[<iframe src='x'>]]><p>twenty characters of "
+                      "body text right here</p>", "https://x.example/a")
+    assert "twenty characters" in product.text
+
+
+def test_enclosure_survives_misnesting():
+    """Provider iframe inside a misnested-formatting + unclosed-table mess
+    must still be discovered by the walk."""
+    html = (
+        "<b><i>intro</b>"
+        "<table><tr><iframe src=\"https://open.spotify.com/embed/track/"
+        "7GhIk7Il098yCjg4BQjzvb\"></iframe><td>cell</td></table>trailer"
+    )
+    product = extract(html, "https://x.example/b")
+    assert [t["identifier"] for t in product.tracks] == [
+        "7GhIk7Il098yCjg4BQjzvb"]
+
+
+def test_text_after_unclosed_divs_extracted():
+    html = "<div><div>" + "alpha beta gamma delta " * 10
+    product = extract(html, "https://x.example/c")
+    assert product.text.startswith("alpha beta gamma delta")
