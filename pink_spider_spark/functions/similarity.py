@@ -97,3 +97,31 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
         .groupBy(label_col, "dim_pos")
         .agg(F.round(F.avg("v"), decimals).alias("centroid"))
     )
+
+
+def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.3,
+                       n_planes: int = 8, vec_col: str = "embedding",
+                       id_col: str = "vec_id", dim: int = DIM,
+                       decimals: int = 4) -> DataFrame:
+    """Embedding near-dup pairs via LSH-bucketed candidates + exact rerank.
+
+    The scale path for the near-dup family: candidate pairs come from an
+    EQUI-join on the hyperplane bucket (shuffle keyed on small buckets,
+    never O(n^2)); the exact cosine runs only on bucket-mates.  One
+    bucket per vector means no duplicate pairs, so the expected pair set
+    is closed-form for the DuckDB oracle.  Recall < 1 by construction
+    (cross-bucket near-dups are missed); the exact all-pairs form
+    (queries.emb_near_dup_pairs) remains the small-scale verifier.
+    """
+    withb = df.join(lsh_bucket(df, n_planes, vec_col, id_col, dim), id_col)
+    a = withb.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("ea"), "bucket")
+    b = withb.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("eb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("sim_raw", decimals).alias("sim"))
+    )

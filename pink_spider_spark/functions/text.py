@@ -226,3 +226,69 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .groupBy(id_col)
         .agg(F.sum("term").alias("simhash"))
     )
+
+
+def simhash_vectorized(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       bits: int = HASH_BITS) -> DataFrame:
+    """Bit-identical ``simhash`` as ONE numpy/Arrow mapInPandas pass.
+
+    The relational definition above is the cross-engine spec (DuckDB can
+    run it) but physically explodes every (doc, token) row 60x through a
+    shuffle.  This form is the 100 TB path: zero shuffles, zero row
+    amplification — per Arrow batch it md5-hashes each DISTINCT token
+    once (memoized across the batch), unpacks the 60 bit signs into one
+    numpy matrix and folds with a matrix-vector product.  Equality with
+    the relational form is pinned by tests/test_operators.py and by the
+    driver's DuckDB oracle for ``docs_simhash``.
+
+    Semantics matched exactly: tokens = split(trim(lower(text)), '\\s+')
+    where trim strips ASCII spaces only (Spark/DuckDB ``trim``); NULL
+    text produces no output row (explode-of-NULL semantics).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        df.schema[id_col], T.StructField("simhash", T.LongType())])
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        shifts = np.arange(bits, dtype=np.uint64)
+        one = np.uint64(1)
+        cache: dict = {}
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = ws.split(str(text).lower().strip(" "))
+                cnt: dict = {}
+                for t in toks:
+                    cnt[t] = cnt.get(t, 0) + 1
+                uniq = list(cnt)
+                hs = np.empty(len(uniq), dtype=np.uint64)
+                for j, t in enumerate(uniq):
+                    h = cache.get(t)
+                    if h is None:
+                        h = cache[t] = int(hashlib.md5(
+                            t.encode("utf-8", "surrogatepass"))
+                            .hexdigest()[:15], 16)
+                    hs[j] = h
+                w = np.fromiter(cnt.values(), dtype=np.int64, count=len(uniq))
+                signs = ((hs[:, None] >> shifts[None, :]) & one) \
+                    .astype(np.int64) * 2 - 1
+                s = signs.T @ w
+                out_ids.append(did)
+                out_hashes.append(int(((s > 0).astype(np.uint64)
+                                       << shifts).sum()))
+            yield pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
+                                "simhash": pd.Series(out_hashes,
+                                                     dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

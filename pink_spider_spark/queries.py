@@ -500,8 +500,10 @@ SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS B
 FROM bits GROUP BY doc_id
 """)
 def docs_simhash(spark, sf_dir):
-    """60-bit SimHash per document."""
-    return X.simhash(_t(spark, sf_dir, "documents"))
+    """60-bit SimHash per document — vectorized numpy path (the oracle SQL
+    is the relational spec, so the hash check pins UDF == DuckDB; UDF ==
+    relational-Spark is pinned by tests/test_operators.py)."""
+    return X.simhash_vectorized(_t(spark, sf_dir, "documents"))
 
 
 # =====================================================================
@@ -589,6 +591,21 @@ def emb_near_dup_pairs(spark, sf_dir):
         .filter(F.col("sim_raw") >= 0.3)
         .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
     )
+
+
+@q("emb_near_dup_pairs_lsh", f"""
+WITH buckets AS (
+  SELECT vec_id, embedding, ({_planes_sql_case()}) AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+""")
+def emb_near_dup_pairs_lsh(spark, sf_dir):
+    """Near-dup pairs at scale: LSH-bucket equi-join candidates + exact
+    cosine rerank (no O(n^2) join anywhere in the plan).  The exact
+    all-pairs form above stays as the small-scale verifier."""
+    return S.near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"))
 
 
 @q("user_sessions", """

@@ -102,3 +102,33 @@ def test_ngram_jaccard_exact(spark):
     pairs = {(r.id_a, r.id_b): r.jaccard
              for r in X.ngram_jaccard_pairs(df, threshold=0.9).collect()}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_simhash_vectorized_bit_equal(spark):
+    """The numpy mapInPandas SimHash must be bit-identical to the
+    relational (explode) definition on real corpus text."""
+    from pink_spider_spark.functions import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rel = {r.doc_id: r.simhash for r in X.simhash(docs).collect()}
+    vec = {r.doc_id: r.simhash for r in X.simhash_vectorized(docs).collect()}
+    assert rel == vec
+    assert len(vec) > 0
+
+
+def test_near_dup_lsh_subset_of_exact(spark):
+    """LSH-bucketed near-dup pairs must be a subset of the exact all-pairs
+    result (same threshold), with non-trivial recall on the test corpus."""
+    from pink_spider_spark.functions import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {(r.id_a, r.id_b) for r in S.near_dup_pairs_lsh(emb).collect()}
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = {(r.id_a, r.id_b) for r in (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("s", S.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("s") >= 0.3).select("id_a", "id_b").collect())}
+    assert lsh <= exact
+    assert len(lsh) > 0
