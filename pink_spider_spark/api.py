@@ -34,12 +34,17 @@ DEFAULT_PER_PAGE = 25  # reference: src/main.rs:35
 def index(df: DataFrame, page: int = 0, per_page: int = DEFAULT_PER_PAGE,
           query: str | None = None, search_col: str = "title",
           active: bool = False, velocity_col: str = "velocity",
-          order_col: str = "first_wave") -> DataFrame:
+          order_col: str = "first_wave",
+          total: int | None = None) -> DataFrame:
     """Paginated entity index with optional search + active filter.
 
     The reference orders by updated_at DESC (src/model/mod.rs:123-138);
     engine tables carry wave numbers instead of wall-clock, so recency =
     (first_wave DESC, natural key) — deterministic by design.
+
+    Physically auto-routed by ``paginate``: small dims take the window
+    form, large tables the windowless TakeOrderedAndProject form (pass
+    ``total`` from the envelope count to skip the routing count job).
     """
     out = df
     if query is not None:
@@ -47,7 +52,7 @@ def index(df: DataFrame, page: int = 0, per_page: int = DEFAULT_PER_PAGE,
     if active:
         out = out.filter(F.col(velocity_col) > 0)
     order_keys = [F.desc(order_col)] + [F.asc(c) for c in _natural_key(df)]
-    return paginate(out, order_keys, page, per_page)
+    return paginate(out, order_keys, page, per_page, total=total)
 
 
 def total_count(df: DataFrame, query: str | None = None,

@@ -11,25 +11,53 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def paginate(df: DataFrame, order_by: list, page: int, per_page: int = 25) -> DataFrame:
+WINDOW_PAGINATE_MAX = 50_000
+
+
+def paginate(df: DataFrame, order_by: list, page: int, per_page: int = 25,
+             window_threshold: int | None = WINDOW_PAGINATE_MAX,
+             total: int | None = None) -> DataFrame:
     """Stable offset pagination: ORDER BY ... LIMIT per_page OFFSET page*per_page
     (reference: src/model/mod.rs:118-161, default per_page=25 src/main.rs:35).
+    ``page_index`` is exposed for the caller's envelope.
 
-    Uses a row_number window over the total order so page boundaries are
-    deterministic; ``page_index`` is exposed for the caller's envelope.
+    Auto-routed between two physical forms:
 
-    Scale path: a global-order window is fine for the REST page sizes this
-    mirrors (25-row pages over dimension tables) but is a single-partition
-    bottleneck on a large fact table — there, page by KEYSET instead
-    (``WHERE (updated_at, id) < (cursor) ORDER BY ... LIMIT k`` over a
-    range-partitioned sort key, which prunes partitions and never ranks
-    the whole table).  ``events_page_after`` in queries.py shows the form.
+    - at or below ``window_threshold`` rows (REST pages over dimension
+      tables): one global row_number window — simple, exact, fine for
+      dims but a single-partition sort at fact-table scale.
+    - above the threshold: NO global window anywhere — the page is
+      fetched as ``orderBy().offset(lo).limit(per_page)``, which compiles
+      to a single ``TakeOrderedAndProject(limit=lo+pp, offset=lo)`` doing
+      a partial top-k per input partition; ``page_index`` is then
+      attached to the page-sized (≤ per_page rows) result via a
+      single-partition sort + monotonically_increasing_id, not a window.
+      (For deep scrolls where lo itself is large, page by KEYSET instead:
+      cursor predicate pushed into the scan — ``events_page_after``.)
+
+    ``total``: pass a known row count to skip the routing count job (the
+    REST envelope computes it anyway); ``window_threshold=None`` forces
+    the window form, ``0`` forces the distributed form.
     """
-    w = Window.orderBy(*order_by)
     lo = page * per_page
+    if window_threshold is not None:
+        n = total if total is not None else df.count()
+        use_window = n <= int(window_threshold)
+    else:
+        use_window = True
+    if use_window:
+        w = Window.orderBy(*order_by)
+        return (
+            df.withColumn("page_index", F.row_number().over(w))
+            .filter((F.col("page_index") > lo)
+                    & (F.col("page_index") <= lo + per_page))
+        )
     return (
-        df.withColumn("page_index", F.row_number().over(w))
-        .filter((F.col("page_index") > lo) & (F.col("page_index") <= lo + per_page))
+        df.orderBy(*order_by).offset(lo).limit(per_page)
+        .repartition(1)
+        .sortWithinPartitions(*order_by)
+        .withColumn("page_index",
+                    (F.monotonically_increasing_id() + lo + 1).cast("int"))
     )
 
 

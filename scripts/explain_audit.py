@@ -31,6 +31,29 @@ CHECKS = {
     # as a distributed top-k — NO global row_number window
     "events_page_after": (["PushedFilters", "TakeOrderedAndProject"],
                           ["Window", "CartesianProduct"]),
+    # LSH-bucketed near-dup: candidates from an equi-join (hash join on
+    # bucket), never a nested-loop/cartesian pairing
+    "emb_near_dup_pairs_lsh": ([], ["BroadcastNestedLoopJoin",
+                                    "CartesianProduct"]),
+}
+
+# builders audited outside the registered query surface
+def _routed_paginate_plan(spark, sf_dir):
+    """paginate routed ABOVE the window threshold: the offset page must
+    compile to TakeOrderedAndProject with NO window operator at all."""
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.operators import relational as R
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return R.paginate(
+        orders, [F.desc("o_orderdate"), F.asc("o_orderkey")],
+        page=2, per_page=25, window_threshold=0)
+
+
+EXTRA_CHECKS = {
+    "paginate_routed_offset": (_routed_paginate_plan,
+                               ["TakeOrderedAndProject"], ["Window"]),
 }
 
 
@@ -41,8 +64,11 @@ def main():
 
     spark = get_spark(app_name="explain-audit")
     failures = []
-    for name, (must, must_not) in CHECKS.items():
-        df = Q.QUERY_BUILDERS[name](spark, sf_dir)
+    checks = {name: (lambda s, d, n=name: Q.QUERY_BUILDERS[n](s, d), must, must_not)
+              for name, (must, must_not) in CHECKS.items()}
+    checks.update(EXTRA_CHECKS)
+    for name, (builder, must, must_not) in checks.items():
+        df = builder(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -54,7 +80,7 @@ def main():
         if probs:
             failures.append(name)
             print(plan[:4000])
-    print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} plans as designed")
+    print(f"\n{len(checks) - len(failures)}/{len(checks)} plans as designed")
     spark.stop()
     sys.exit(1 if failures else 0)
 

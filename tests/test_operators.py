@@ -132,3 +132,21 @@ def test_near_dup_lsh_subset_of_exact(spark):
         .filter(F.col("s") >= 0.3).select("id_a", "id_b").collect())}
     assert lsh <= exact
     assert len(lsh) > 0
+
+
+def test_paginate_routes_agree(spark):
+    """Window route and windowless offset route must return identical
+    pages (rows AND page_index)."""
+    from pink_spider_spark.operators import relational as R
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    order_by = [F.desc("o_orderdate"), F.asc("o_orderkey")]
+    for page in (0, 2, 7):
+        a = R.paginate(orders, order_by, page, 25, window_threshold=None)
+        b = R.paginate(orders, order_by, page, 25, window_threshold=0)
+        ra = [(r.o_orderkey, r.page_index) for r in
+              a.select("o_orderkey", "page_index").collect()]
+        rb = [(r.o_orderkey, r.page_index) for r in
+              b.orderBy("page_index").select("o_orderkey", "page_index").collect()]
+        assert ra == rb and len(ra) == 25
