@@ -79,13 +79,13 @@ class CrawlDriver:
         enrichment joins — the relational face of the fixture the extract
         UDF consults for fetch-success decisions."""
         if self._catalog_df is None:
-            from ..sources.synth import catalog_rows
+            from ..sources.synth import catalog_df
 
-            pdf = catalog_rows(self.catalog_items)
-            # explicit schema: inference chokes on all-None columns (e.g.
-            # audio_url) under a plain spark-submit session without Arrow
-            self._catalog_df = self.spark.createDataFrame(
-                pdf, schema=schemas.PROVIDER_CATALOG_SCHEMA).cache()
+            # RAW rows (explicit schema: inference chokes on all-None
+            # columns under a plain spark-submit session without Arrow)
+            # enriched through the F9/F10/F11 scalar functions
+            self._catalog_df = catalog_df(
+                self.spark, self.catalog_items).cache()
         return self._catalog_df
 
     # ------------------------------------------------------------ state

@@ -593,6 +593,77 @@ def emb_near_dup_pairs(spark, sf_dir):
     )
 
 
+@q("docs_provider_scalars", """
+WITH raw AS (
+  SELECT doc_id,
+    lpad(((doc_id % 12) + 1)::VARCHAR, 2, '0') AS mm,
+    lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0') AS dd,
+    lpad((doc_id % 24)::VARCHAR, 2, '0') AS hh,
+    lpad((doc_id % 60)::VARCHAR, 2, '0') AS mi,
+    lpad(((doc_id * 7) % 60)::VARCHAR, 2, '0') AS ss
+  FROM documents)
+SELECT doc_id,
+  (TRY_CAST('2024-' || mm || '-' || dd || 'T' || hh || ':' || mi || ':' || ss
+    || CASE WHEN doc_id % 2 = 1 THEN '+09:00' ELSE 'Z' END AS TIMESTAMPTZ)
+    AT TIME ZONE 'UTC') AS pub_rfc3339,
+  (try_strptime('2024/' || mm || '/' || dd || ' ' || hh || ':' || mi || ':' || ss
+    || CASE WHEN doc_id % 2 = 1 THEN ' +0900' ELSE ' +0000' END,
+    '%Y/%m/%d %H:%M:%S %z') AT TIME ZONE 'UTC') AS pub_sc,
+  (to_timestamp(1700000000 + doc_id * 37) AT TIME ZONE 'UTC') AS pub_epoch,
+  'https://img.example/am/' || doc_id || '/300x300bb.jpg' AS am_thumb,
+  'https://img.example/am/' || doc_id || '/640x640bb.jpg' AS am_art,
+  CASE WHEN doc_id % 2 = 0 THEN 'yt/' || doc_id || '/default.jpg'
+       WHEN doc_id % 3 = 0 THEN 'yt/' || doc_id || '/medium.jpg'
+       ELSE 'yt/' || doc_id || '/high.jpg' END AS yt_thumb,
+  CASE WHEN doc_id % 7 = 0 THEN 'yt/' || doc_id || '/maxres.jpg'
+       WHEN doc_id % 5 = 0 THEN 'yt/' || doc_id || '/standard.jpg'
+       ELSE 'yt/' || doc_id || '/high.jpg' END AS yt_art
+FROM raw
+""")
+def docs_provider_scalars(spark, sf_dir):
+    """F9/F10/F11 as first-class oracle-checked operators: provider date
+    parsing (RFC3339 / SoundCloud / epoch), Apple artwork sizing, YouTube
+    thumbnail fallback chains — raw inputs synthesized deterministically
+    from doc_id, transforms run through functions/scalars.py, DuckDB
+    recomputes everything closed-form."""
+    from .functions import scalars as SC
+
+    d = F.col("doc_id")
+    mm = F.lpad(((d % 12) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((d % 27) + 1).cast("string"), 2, "0")
+    hh = F.lpad((d % 24).cast("string"), 2, "0")
+    mi = F.lpad((d % 60).cast("string"), 2, "0")
+    ss = F.lpad(((d * 7) % 60).cast("string"), 2, "0")
+    rfc = F.concat(F.lit("2024-"), mm, F.lit("-"), dd, F.lit("T"),
+                   hh, F.lit(":"), mi, F.lit(":"), ss,
+                   F.when(d % 2 == 1, F.lit("+09:00")).otherwise(F.lit("Z")))
+    sc_raw = F.concat(F.lit("2024/"), mm, F.lit("/"), dd, F.lit(" "),
+                      hh, F.lit(":"), mi, F.lit(":"), ss,
+                      F.when(d % 2 == 1, F.lit(" +0900"))
+                      .otherwise(F.lit(" +0000")))
+    template = F.concat(F.lit("https://img.example/am/"), d.cast("string"),
+                        F.lit("/{w}x{h}bb.jpg"))
+    yt_url = (lambda key: F.concat(F.lit("yt/"), d.cast("string"),
+                                   F.lit(f"/{key}.jpg")))
+    thumbs = F.create_map(
+        F.lit("default"), F.when(d % 2 == 0, yt_url("default")),
+        F.lit("medium"), F.when(d % 3 == 0, yt_url("medium")),
+        F.lit("high"), yt_url("high"),
+        F.lit("standard"), F.when(d % 5 == 0, yt_url("standard")),
+        F.lit("maxres"), F.when(d % 7 == 0, yt_url("maxres")),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        SC.parse_rfc3339(rfc).alias("pub_rfc3339"),
+        SC.parse_soundcloud_ts(sc_raw).alias("pub_sc"),
+        SC.parse_epoch_seconds(F.lit(1700000000) + d * 37).alias("pub_epoch"),
+        SC.artwork_sized(template, SC.AM_THUMBNAIL_SIZE).alias("am_thumb"),
+        SC.artwork_sized(template, SC.AM_ARTWORK_SIZE).alias("am_art"),
+        SC.yt_thumbnail_url(thumbs).alias("yt_thumb"),
+        SC.yt_artwork_url(thumbs).alias("yt_art"),
+    )
+
+
 @q("emb_near_dup_pairs_lsh", f"""
 WITH buckets AS (
   SELECT vec_id, embedding, ({_planes_sql_case()}) AS bucket FROM embeddings)

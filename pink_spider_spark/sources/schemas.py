@@ -116,6 +116,24 @@ PLAYLIST_TRACKS_SCHEMA = T.StructType([
     T.StructField("first_wave", T.IntegerType(), False),
 ])
 
+PROVIDER_CATALOG_RAW_SCHEMA = T.StructType([
+    T.StructField("provider", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("identifier", T.StringType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("owner_id", T.StringType(), True),
+    T.StructField("owner_name", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("published_at_raw", T.StringType(), True),
+    T.StructField("artwork_template", T.StringType(), True),
+    T.StructField("yt_thumbnails",
+                  T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("audio_url", T.StringType(), True),
+    T.StructField("duration", T.IntegerType(), True),
+    T.StructField("state", T.StringType(), True),
+    T.StructField("child_identifiers", T.ArrayType(T.StringType()), True),
+])
+
 PROVIDER_CATALOG_SCHEMA = T.StructType([
     T.StructField("provider", T.StringType(), False),
     T.StructField("kind", T.StringType(), False),

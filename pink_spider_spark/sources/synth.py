@@ -49,6 +49,40 @@ def build_catalog_items(n_per_kind: int = 8) -> dict:
     epoch = datetime.datetime(2024, 1, 1)
 
     def add(provider, kind, ident, k, children=()):
+        # RAW provider-API-shaped fields: dates in each provider's wire
+        # format (F11), Apple artwork as a {w}/{h} template (F9), YouTube
+        # thumbnails as a partial variant map (F10).  The cooked catalog
+        # (thumbnail_url/artwork_url/published_at) is DERIVED relationally
+        # by functions.scalars.enrich_catalog, like the reference's
+        # update_with_* functions (src/model/track.rs:395-460).
+        dt = epoch + datetime.timedelta(hours=k)
+        if provider == "SoundCloud":
+            if k % 3 == 2:  # offset variant: same UTC instant
+                raw_ts = (dt + datetime.timedelta(hours=9)).strftime(
+                    "%Y/%m/%d %H:%M:%S") + " +0900"
+            else:
+                raw_ts = dt.strftime("%Y/%m/%d %H:%M:%S") + " +0000"
+        elif provider == "Spotify":
+            raw_ts = str(int(dt.replace(
+                tzinfo=datetime.timezone.utc).timestamp()))
+        else:  # YouTube / AppleMusic: RFC3339
+            if k % 3 == 2:
+                raw_ts = (dt + datetime.timedelta(hours=9)).strftime(
+                    "%Y-%m-%dT%H:%M:%S") + "+09:00"
+            else:
+                raw_ts = dt.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+        if provider == "AppleMusic":
+            template = (f"https://img.example/applemusic/{ident}/"
+                        "{w}x{h}bb.jpg")
+        else:
+            template = f"https://img.example/{provider.lower()}/{ident}_640.jpg"
+        yt_thumbnails = None
+        if provider == "YouTube":
+            yt_thumbnails = {"high": f"https://i.ytimg.example/{ident}/high.jpg"}
+            for mod, key in ((2, "default"), (3, "medium"), (4, "maxres"),
+                             (5, "standard")):
+                if k % mod == 0:
+                    yt_thumbnails[key] = f"https://i.ytimg.example/{ident}/{key}.jpg"
         items[(provider, kind, ident)] = {
             "provider": provider,
             "kind": kind,
@@ -57,11 +91,11 @@ def build_catalog_items(n_per_kind: int = 8) -> dict:
             "owner_id": f"owner_{provider.lower()}_{k % 4}",
             "owner_name": f"Owner {provider} {k % 4}",
             "url": f"https://{provider.lower()}.example/{kind}/{ident}",
-            "thumbnail_url": f"https://img.example/{provider.lower()}/{ident}_300.jpg",
-            "artwork_url": f"https://img.example/{provider.lower()}/{ident}_640.jpg",
+            "published_at_raw": raw_ts,
+            "artwork_template": template,
+            "yt_thumbnails": yt_thumbnails,
             "audio_url": None,
             "duration": 120 + (k * 17) % 300,
-            "published_at": epoch + datetime.timedelta(hours=k),
             "state": "alive",
             "child_identifiers": list(children),
         }
@@ -88,6 +122,17 @@ def build_catalog_items(n_per_kind: int = 8) -> dict:
 def catalog_rows(items: dict | None = None) -> pd.DataFrame:
     items = items or build_catalog_items()
     return pd.DataFrame(list(items.values()))
+
+
+def catalog_df(spark, items: dict | None = None):
+    """RAW catalog rows -> enriched (cooked) catalog DataFrame via the
+    F9/F10/F11 scalar functions (functions/scalars.py)."""
+    from ..functions.scalars import enrich_catalog
+    from .schemas import PROVIDER_CATALOG_RAW_SCHEMA
+
+    pdf = catalog_rows(items)
+    raw = spark.createDataFrame(pdf, schema=PROVIDER_CATALOG_RAW_SCHEMA)
+    return enrich_catalog(raw)
 
 
 # ----------------------------------------------------------------- embeds

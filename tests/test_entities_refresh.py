@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from pink_spider_spark.crawl import entities
 from pink_spider_spark.sources import schemas
-from pink_spider_spark.sources.synth import build_catalog_items, catalog_rows
+from pink_spider_spark.sources.synth import build_catalog_items
+from pink_spider_spark.sources.synth import catalog_df as _build_catalog_df
 
 
 def _dim_df(spark, rows):
@@ -16,8 +17,7 @@ def _dim_df(spark, rows):
 
 @pytest.fixture(scope="module")
 def catalog_df(spark):
-    df = spark.createDataFrame(catalog_rows(build_catalog_items()))
-    return df.cache()
+    return _build_catalog_df(spark, build_catalog_items()).cache()
 
 
 def _dim_row(provider, identifier, owner_id=None, state="alive", title=None):
