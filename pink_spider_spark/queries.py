@@ -593,6 +593,55 @@ def emb_near_dup_pairs(spark, sf_dir):
     )
 
 
+@q("docs_feed_parse", """
+SELECT 'https://feeds.example.com/doc/' || (doc_id % 10) || '.xml' AS feed_url,
+  'urn:doc:' || doc_id AS origin_id,
+  'Doc title ' || doc_id AS title,
+  (to_timestamp(1700000000 + doc_id * 53) AT TIME ZONE 'UTC') AS published,
+  'https://docs.example.com/item/' || doc_id AS alternate_href,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id) - 1 AS INT)
+    AS pos
+FROM documents
+""")
+def docs_feed_parse(spark, sf_dir):
+    """S3 as a first-class oracle-checked operator: RSS XML (synthesized
+    deterministically from doc_id, 10 docs per feed) round-trips through
+    the Arrow feed-parse UDF (crawl/rss.py); DuckDB recomputes the parsed
+    fields closed-form — guid/title/link extraction, RFC822 pubDate
+    parsing, and in-document entry ordering (pos) all verified."""
+    from .crawl.rss import feed_entries_from_xml
+
+    d = F.col("doc_id")
+    ts = F.timestamp_seconds(F.lit(1700000000) + d * 53)
+    item = F.concat(
+        F.lit("<item><guid>urn:doc:"), d.cast("string"),
+        F.lit("</guid><title>Doc title "), d.cast("string"),
+        F.lit("</title><link>https://docs.example.com/item/"),
+        d.cast("string"), F.lit("</link><pubDate>"),
+        F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss +0000"),
+        F.lit("</pubDate></item>"))
+    feeds = (
+        _t(spark, sf_dir, "documents")
+        .select(d.alias("doc_id"), item.alias("item"))
+        .withColumn("feed_id", F.col("doc_id") % 10)
+        .groupBy("feed_id")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "item"))),
+            lambda s: s.item)).alias("body"))
+        .select(
+            F.concat(F.lit("https://feeds.example.com/doc/"),
+                     F.col("feed_id").cast("string"),
+                     F.lit(".xml")).alias("feed_url"),
+            F.encode(F.concat(F.lit('<rss version="2.0"><channel>'),
+                              F.col("body"),
+                              F.lit("</channel></rss>")),
+                     "utf-8").alias("xml"))
+    )
+    return feed_entries_from_xml(feeds).select(
+        "feed_url", "origin_id", "title", "published",
+        "alternate_href", "pos")
+
+
 @q("docs_provider_scalars", """
 WITH raw AS (
   SELECT doc_id,

@@ -407,3 +407,57 @@ def robots_rows(n_hosts: int = N_HOSTS) -> pd.DataFrame:
 def seed_urls(n_seeds: int, n_hosts: int = N_HOSTS) -> list:
     """Deterministic seed list: page indices 0..n_seeds-1."""
     return [page_url(i, n_hosts) for i in range(n_seeds)]
+
+
+def feed_xml_rows(n_feeds: int = 10, entries_per_feed: int = 12,
+                  n_pages: int = 300, n_hosts: int = N_HOSTS) -> pd.DataFrame:
+    """Raw RSS 2.0 XML per feed whose parse reproduces feed_entries_rows
+    EXACTLY — the raw-bytes stand-in for rss::fetch (reference:
+    src/rss.rs:24-43).  Every 5th-ish feed is ISO-8859-1 encoded with the
+    matching charset header to exercise the reference's fallback decode
+    path (src/rss.rs:33-40); null alternate -> no <link>, empty -> empty
+    <link/> (skip paths src/model/feed.rs:214-217)."""
+    import email.utils
+    from xml.sax.saxutils import escape
+
+    fe = feed_entries_rows(n_feeds, entries_per_feed, n_pages, n_hosts)
+    feeds = feeds_rows(n_feeds)
+    rows = []
+    for fi, (_, feed) in enumerate(feeds.iterrows()):
+        sub = fe[fe.feed_url == feed.url].sort_values("pos")
+        items = []
+        for _, e in sub.iterrows():
+            parts = ["<item>"]
+            parts.append(f"<guid>{escape(e.origin_id)}</guid>")
+            parts.append(f"<title>{escape(e.title)}</title>")
+            parts.append(f"<description>{escape(e.summary)}</description>")
+            parts.append(
+                f"<content:encoded>{escape(e.content)}</content:encoded>")
+            parts.append(f"<author>{escape(e.author)}</author>")
+            pub = email.utils.format_datetime(
+                e.published.to_pydatetime().replace(
+                    tzinfo=datetime.timezone.utc))
+            parts.append(f"<pubDate>{pub}</pubDate>")
+            upd = e.updated.to_pydatetime().strftime("%Y-%m-%dT%H:%M:%SZ")
+            parts.append(f"<atom:updated>{upd}</atom:updated>")
+            if e.alternate_href is None:
+                pass  # no <link>: the skip path
+            elif e.alternate_href == "":
+                parts.append("<link></link>")
+            else:
+                parts.append(f"<link>{escape(e.alternate_href)}</link>")
+            parts.append("</item>")
+            items.append("".join(parts))
+        charset = "iso-8859-1" if fi % 5 == 3 else None
+        xml = (
+            f'<?xml version="1.0" encoding="{charset or "UTF-8"}"?>'
+            '<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom" '
+            'xmlns:content="http://purl.org/rss/1.0/modules/content/">'
+            f"<channel><title>{escape(feed.title)}</title>"
+            f"<description>{escape(feed.description)}</description>"
+            f"<language>{feed.language}</language>"
+            f"<link>{escape(feed.website)}</link>"
+            + "".join(items) + "</channel></rss>")
+        data = xml.encode(charset or "utf-8")
+        rows.append({"feed_url": feed.url, "xml": data, "charset": charset})
+    return pd.DataFrame(rows)

@@ -5,11 +5,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from pink_spider_spark.crawl.feeds import crawl_feeds
+from pink_spider_spark.crawl.rss import feed_entries_from_xml, parse_feed
 from pink_spider_spark.extract import extract
 from pink_spider_spark.providers import Catalog
 from pink_spider_spark.sources.synth import (
     build_catalog_items,
     feed_entries_rows,
+    feed_xml_rows,
     feeds_rows,
     gen_pages_local,
     gen_pages_spark,
@@ -26,10 +28,74 @@ def feed_setup(spark):
     feeds_pdf = feeds_rows(8)
     fe_pdf = feed_entries_rows(8, 10, N_PAGES)
     feeds_df = spark.createDataFrame(feeds_pdf)
-    fe_df = spark.createDataFrame(fe_pdf)
+    # the entries table is DERIVED from raw feed XML by the parse UDF
+    # (reference: src/rss.rs:24-43), not taken from the synth rows —
+    # test_xml_parse_reproduces_synth_rows pins the equivalence
+    xml_df = spark.createDataFrame(feed_xml_rows(8, 10, N_PAGES))
+    fe_df = feed_entries_from_xml(xml_df).cache()
     pages_local = gen_pages_local(N_PAGES, items)
     pages_map = dict(zip(pages_local.url, pages_local.html))
     return items, pages_df, feeds_df, fe_df, feeds_pdf, fe_pdf, pages_map
+
+
+def test_xml_parse_reproduces_synth_rows(spark, feed_setup):
+    """UDF-parsed XML == the synthetic feed_entries table, byte-for-byte
+    (incl. null vs empty alternate links, 1970 published, ISO-8859-1
+    encoded feeds)."""
+    *_, fe_df, _feeds_pdf, fe_pdf, _pages = feed_setup
+    got = {(r.feed_url, r.pos): r for r in fe_df.collect()}
+    assert len(got) == len(fe_pdf)
+    for _, e in fe_pdf.iterrows():
+        r = got[(e.feed_url, e.pos)]
+        assert r.origin_id == e.origin_id
+        assert r.title == e.title
+        assert r.summary == e.summary
+        assert r.content == e.content
+        assert r.author == e.author
+        assert r.published == e.published.to_pydatetime()
+        assert r.updated == e.updated.to_pydatetime()
+        assert r.alternate_href == e.alternate_href
+
+
+def test_parse_feed_iso_8859_1_fallback():
+    """Charset-driven latin-1 decode (reference: src/rss.rs:33-40)."""
+    xml = ('<?xml version="1.0" encoding="iso-8859-1"?>'
+           "<rss version=\"2.0\"><channel><title>Caf\xe9 feed</title>"
+           "<item><guid>g1</guid><title>Entr\xe9e</title>"
+           "<link>https://x.example/a</link></item>"
+           "</channel></rss>").encode("iso-8859-1")
+    parsed = parse_feed(xml, "iso-8859-1")
+    assert parsed["meta"]["title"] == "Café feed"
+    assert parsed["entries"][0]["title"] == "Entrée"
+    # without the charset header the bytes are NOT valid utf-8: the
+    # lossy decode mangles the accent but never crashes
+    lossy = parse_feed(xml, None)
+    assert lossy["entries"][0]["title"] != "Entrée"
+
+
+def test_parse_feed_atom():
+    xml = b"""<?xml version="1.0"?>
+    <feed xmlns="http://www.w3.org/2005/Atom" xml:lang="en">
+      <title>Atom feed</title><subtitle>sub</subtitle>
+      <entry>
+        <id>urn:a:1</id><title>First</title><summary>s1</summary>
+        <author><name>alice</name></author>
+        <published>2024-03-24T12:30:59Z</published>
+        <updated>2024-03-25T01:00:00+09:00</updated>
+        <link rel="self" href="https://x.example/self"/>
+        <link rel="alternate" href="https://x.example/alt"/>
+      </entry>
+    </feed>"""
+    import datetime
+    parsed = parse_feed(xml)
+    assert parsed["meta"]["title"] == "Atom feed"
+    e = parsed["entries"][0]
+    assert e["origin_id"] == "urn:a:1"
+    assert e["alternate_href"] == "https://x.example/alt"
+    assert e["author"] == "alice"
+    assert e["published"] == datetime.datetime(2024, 3, 24, 12, 30, 59)
+    assert e["updated"] == datetime.datetime(2024, 3, 24, 16, 0, 0)
+    assert e["pos"] == 0
 
 
 def _sequential_sweep(items, feeds_pdf, fe_pdf, pages_map):
