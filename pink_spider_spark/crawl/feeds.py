@@ -104,6 +104,12 @@ def crawl_feeds(spark: SparkSession, feeds: DataFrame, feed_entries: DataFrame,
         F.col("updated"),
         F.when(F.col("origin_id") != "", F.col("origin_id"))
         .otherwise(F.col("url")).alias("origin_id"),
+        # jsonb dynamic columns ride along as JSON strings
+        # (reference: src/model/entry.rs:319-321); read back with
+        # get_json_object / from_json
+        F.col("alternate"),
+        F.col("keywords"),
+        F.col("enclosure"),
         F.col("pos"),
     )
 

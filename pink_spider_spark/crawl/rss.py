@@ -45,6 +45,14 @@ FEED_ENTRY_FIELDS = [
     T.StructField("published", T.TimestampType()),
     T.StructField("updated", T.TimestampType()),
     T.StructField("alternate_href", T.StringType()),
+    # jsonb dynamic columns (reference:
+    # db/migrate/020_add_properties_to_entries.rb:9-11,
+    # src/model/entry.rs:319-321 json!(entry.alternate/keywords/enclosure));
+    # stored as JSON strings ("[]" when empty), read back with
+    # get_json_object / from_json
+    T.StructField("alternate", T.StringType()),
+    T.StructField("keywords", T.StringType()),
+    T.StructField("enclosure", T.StringType()),
     T.StructField("pos", T.IntegerType()),
 ]
 FEED_ENTRIES_SCHEMA = T.StructType(FEED_ENTRY_FIELDS)
@@ -56,6 +64,15 @@ FEED_META_SCHEMA = T.StructType([
     T.StructField("language", T.StringType()),
     T.StructField("website", T.StringType()),
 ])
+
+
+def _json(obj) -> str:
+    """Canonical compact JSON — the jsonb serialization used everywhere
+    (both the parser and the synthetic fixtures), so equality is
+    byte-stable."""
+    import json
+
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
 def _parse_rfc822(s: str | None) -> datetime.datetime | None:
@@ -120,6 +137,15 @@ def parse_feed(data, charset: str | None = None) -> dict:
         }
         entries = []
         for pos, item in enumerate(channel.findall("item")):
+            link = item.findtext("link")
+            enclosures = []
+            for enc in item.findall("enclosure"):
+                enclosures.append({
+                    "href": enc.get("url"),
+                    "type": enc.get("type"),
+                    "length": int(enc.get("length"))
+                    if (enc.get("length") or "").isdigit() else None,
+                })
             entries.append({
                 "origin_id": item.findtext("guid"),
                 "title": item.findtext("title"),
@@ -129,7 +155,11 @@ def parse_feed(data, charset: str | None = None) -> dict:
                 "published": _parse_rfc822(item.findtext("pubDate")),
                 "updated": _parse_rfc3339(
                     item.findtext(f"{ATOM_NS}updated")),
-                "alternate_href": item.findtext("link"),
+                "alternate_href": link,
+                "alternate": _json([{"href": link}] if link else []),
+                "keywords": _json([c.text or ""
+                                   for c in item.findall("category")]),
+                "enclosure": _json(enclosures),
                 "pos": pos,
             })
         return {"meta": meta, "entries": entries}
@@ -146,12 +176,18 @@ def parse_feed(data, charset: str | None = None) -> dict:
         }
         entries = []
         for pos, entry in enumerate(root.findall(f"{ATOM_NS}entry")):
-            alternate = None
+            alternates, enclosures = [], []
             for link in entry.findall(f"{ATOM_NS}link"):
                 rel = link.get("rel", "alternate")
                 if rel == "alternate":
-                    alternate = link.get("href")
-                    break
+                    alternates.append({"href": link.get("href")})
+                elif rel == "enclosure":
+                    length = link.get("length") or ""
+                    enclosures.append({
+                        "href": link.get("href"),
+                        "type": link.get("type"),
+                        "length": int(length) if length.isdigit() else None,
+                    })
             author = entry.find(f"{ATOM_NS}author")
             entries.append({
                 "origin_id": ft(entry, "id"),
@@ -162,7 +198,13 @@ def parse_feed(data, charset: str | None = None) -> dict:
                            if author is not None else None),
                 "published": _parse_rfc3339(ft(entry, "published")),
                 "updated": _parse_rfc3339(ft(entry, "updated")),
-                "alternate_href": alternate,
+                "alternate_href": (alternates[0]["href"]
+                                   if alternates else None),
+                "alternate": _json(alternates),
+                "keywords": _json([c.get("term") or ""
+                                   for c in entry.findall(
+                                       f"{ATOM_NS}category")]),
+                "enclosure": _json(enclosures),
                 "pos": pos,
             })
         return {"meta": meta, "entries": entries}

@@ -593,6 +593,51 @@ def emb_near_dup_pairs(spark, sf_dir):
     )
 
 
+@q("docs_json_props", """
+WITH j AS (
+  SELECT doc_id,
+    '{"alternate":[{"href":"https://docs.example.com/item/' || doc_id
+      || '"}],"keywords":["music","tag' || (doc_id % 5)
+      || '"],"enclosure":[{"href":"https://media.example.com/ep' || doc_id
+      || '.mp3","type":"audio/mpeg","length":' || (1000 + doc_id * 13)
+      || '}]}' AS props
+  FROM documents)
+SELECT doc_id,
+  json_extract_string(props, '$.alternate[0].href') AS alt_href,
+  CAST(json_array_length(json_extract(props, '$.keywords')) AS INT)
+    AS n_keywords,
+  json_extract_string(props, '$.enclosure[0].type') AS enc_type,
+  CAST(json_extract(props, '$.enclosure[0].length') AS BIGINT) AS enc_length
+FROM j
+""")
+def docs_json_props(spark, sf_dir):
+    """The jsonb dynamic-column read path (reference:
+    db/migrate/020_add_properties_to_entries.rb:9-11, consumed as opaque
+    JSON at src/model/entry.rs:319-321): JSON strings synthesized from
+    doc_id, read back with get_json_object / json_array_length /
+    from_json — DuckDB recomputes with its json functions."""
+    d = F.col("doc_id")
+    props = F.concat(
+        F.lit('{"alternate":[{"href":"https://docs.example.com/item/'),
+        d.cast("string"),
+        F.lit('"}],"keywords":["music","tag'), (d % 5).cast("string"),
+        F.lit('"],"enclosure":[{"href":"https://media.example.com/ep'),
+        d.cast("string"),
+        F.lit('.mp3","type":"audio/mpeg","length":'),
+        (F.lit(1000) + d * 13).cast("string"), F.lit("}]}"))
+    enc = F.from_json(
+        F.get_json_object(props, "$.enclosure"),
+        "array<struct<href:string,type:string,length:bigint>>").getItem(0)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.get_json_object(props, "$.alternate[0].href").alias("alt_href"),
+        F.json_array_length(
+            F.get_json_object(props, "$.keywords")).alias("n_keywords"),
+        enc.getField("type").alias("enc_type"),
+        enc.getField("length").alias("enc_length"),
+    )
+
+
 @q("docs_feed_parse", """
 SELECT 'https://feeds.example.com/doc/' || (doc_id % 10) || '.xml' AS feed_url,
   'urn:doc:' || doc_id AS origin_id,

@@ -19,6 +19,7 @@ import random
 
 import pandas as pd
 
+from ..crawl.rss import _json
 from ..extract import extract
 from ..providers import Catalog
 
@@ -372,6 +373,10 @@ def feed_entries_rows(n_feeds: int = 10, entries_per_feed: int = 12,
                 alternate = ""    # skip path (empty)
             published = (datetime.datetime(1970, 1, 1)  # invalid (ts < 1000)
                          if k % 8 == 5 else epoch + datetime.timedelta(minutes=k))
+            keywords = [] if k % 4 == 2 else ["music", f"tag{k % 5}"]
+            enclosure = ([{"href": f"https://media.example.com/ep{k}.mp3",
+                           "type": "audio/mpeg", "length": 1000 + k * 331}]
+                         if k % 3 == 0 else [])
             rows.append({
                 "feed_url": f"https://feeds.example.com/rss/{f}.xml",
                 "origin_id": "" if k % 6 == 3 else f"urn:entry:{f}:{e}",
@@ -382,6 +387,10 @@ def feed_entries_rows(n_feeds: int = 10, entries_per_feed: int = 12,
                 "published": published,
                 "updated": epoch + datetime.timedelta(minutes=k, seconds=30),
                 "alternate_href": alternate,
+                # jsonb columns (db/migrate/020:9-11), canonical JSON
+                "alternate": _json([{"href": alternate}] if alternate else []),
+                "keywords": _json(keywords),
+                "enclosure": _json(enclosure),
                 "pos": e,
             })
     return pd.DataFrame(rows)
@@ -440,6 +449,13 @@ def feed_xml_rows(n_feeds: int = 10, entries_per_feed: int = 12,
             parts.append(f"<pubDate>{pub}</pubDate>")
             upd = e.updated.to_pydatetime().strftime("%Y-%m-%dT%H:%M:%SZ")
             parts.append(f"<atom:updated>{upd}</atom:updated>")
+            import json as _jsonlib
+            for kw in _jsonlib.loads(e.keywords):
+                parts.append(f"<category>{escape(kw)}</category>")
+            for enc in _jsonlib.loads(e.enclosure):
+                parts.append(
+                    f'<enclosure url="{escape(enc["href"])}" '
+                    f'type="{enc["type"]}" length="{enc["length"]}"/>')
             if e.alternate_href is None:
                 pass  # no <link>: the skip path
             elif e.alternate_href == "":

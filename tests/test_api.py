@@ -86,3 +86,22 @@ def test_playlistify_lookup_cache_hit(spark, crawled):
     url = entries.first().url
     hit = api.playlistify_lookup(entries, url).collect()
     assert len(hit) == 1 and hit[0].url == url
+
+
+def test_json_serialization_roundtrip(spark):
+    """S14: REST responses are one to_json(struct(*)) away
+    (reference: src/main.rs:65-66,127-128); round-trips through
+    from_json losslessly."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("YouTube", "ytt1", "Track 1", 120, ["a", "b"]),
+         ("Spotify", "spt2", 'quo"te', 0, [])],
+        "provider string, identifier string, title string, "
+        "duration int, tags array<string>")
+    ser = df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+    back = ser.select(F.from_json(
+        "j", df.schema).alias("s")).select("s.*")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    j = ser.orderBy("j").first().j
+    assert j.startswith('{"provider":')

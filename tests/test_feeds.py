@@ -55,6 +55,28 @@ def test_xml_parse_reproduces_synth_rows(spark, feed_setup):
         assert r.published == e.published.to_pydatetime()
         assert r.updated == e.updated.to_pydatetime()
         assert r.alternate_href == e.alternate_href
+        assert r.alternate == e.alternate
+        assert r.keywords == e.keywords
+        assert r.enclosure == e.enclosure
+
+
+def test_jsonb_read_path(spark, feed_setup):
+    """The jsonb columns answer get_json_object / from_json queries
+    (reference read path for entry.alternate/keywords/enclosure)."""
+    *_, fe_df, _f, fe_pdf, _p = feed_setup
+    got = (
+        fe_df.filter(F.get_json_object("enclosure", "$[0].type").isNotNull())
+        .select(
+            F.get_json_object("alternate", "$[0].href").alias("href"),
+            F.from_json("enclosure",
+                        "array<struct<href:string,type:string,length:long>>")
+            .getItem(0).alias("enc"))
+        .collect())
+    assert len(got) > 0
+    for r in got:
+        assert r.enc.type == "audio/mpeg"
+        assert r.enc.length >= 1000
+        assert r.href is None or r.href.startswith("https://")
 
 
 def test_parse_feed_iso_8859_1_fallback():
