@@ -413,12 +413,17 @@ class CrawlDriver:
 
         tracks2 = entities.refresh_stale_dims(tracks, self.catalog_df, "track", wave)
         albums2 = entities.refresh_stale_dims(albums, self.catalog_df, "album", wave)
+        # velocity-update path: membership discovered in the final wave
+        # drives find_actives (velocity>0) for the playlist re-fetch
+        playlists2 = entities.update_playlist_velocity(
+            playlists, playlist_tracks, since_wave=wave)
         pt2 = entities.refresh_active_playlists(
-            playlists, playlist_tracks, self.catalog_df, wave)
+            playlists2, playlist_tracks, self.catalog_df, wave)
         artists, track_artists = entities.artist_rows(tracks2, self.catalog_df, wave)
 
         snapshots = dict(pinned)
         snapshots["tracks"] = self._t("tracks").overwrite(tracks2)
+        snapshots["playlists"] = self._t("playlists").overwrite(playlists2)
         snapshots["albums"] = self._t("albums").overwrite(albums2)
         snapshots["playlist_tracks"] = self._t("playlist_tracks").overwrite(pt2)
         snapshots["artists"] = self._t("artists").overwrite(artists)

@@ -78,6 +78,9 @@ def new_dim_rows(enclosures: DataFrame, existing: DataFrame, kind: str,
             F.coalesce("cat_duration", F.lit(0)).alias("duration"),
             F.col("cat_published_at").alias("published_at"),
             "state",
+            # creation default 0 (db/migrate/022: float NOT NULL DEFAULT 0);
+            # update_playlist_velocity raises it as membership is discovered
+            F.lit(0.0).alias("velocity"),
             F.lit(wave).alias("first_wave"),
         )
     )
@@ -131,10 +134,42 @@ def refresh_stale_dims(dim: DataFrame, catalog_df: DataFrame, kind: str,
             F.coalesce("cat_published_at", "published_at").alias("published_at"),
             F.when(F.col("cat_title").isNull(), F.lit("dead"))
             .otherwise(F.lit("alive")).alias("state"),
+            "velocity",
             "first_wave",
         )
     )
     return fresh_keep.unionByName(refreshed)
+
+
+def find_actives(playlists: DataFrame) -> DataFrame:
+    """The reference's Playlist::find_actives: ``velocity > 0 ORDER BY
+    updated_at ASC`` (src/model/playlist.rs:263-270).  The engine's
+    recency analog of updated_at is first_wave; ``active_rank`` carries
+    the deterministic processing order (oldest-refreshed first)."""
+    w = Window.orderBy(F.asc("first_wave"), F.asc("provider"),
+                       F.asc("identifier"))
+    return (playlists.filter(F.col("velocity") > 0)
+            .withColumn("active_rank", F.row_number().over(w)))
+
+
+def update_playlist_velocity(playlists: DataFrame,
+                             playlist_tracks: DataFrame,
+                             since_wave: int) -> DataFrame:
+    """The velocity-update path on the playlists dim (reference:
+    playlists.velocity float NOT NULL DEFAULT 0 saved via Playlist::save,
+    src/model/playlist.rs:109-148 $9; nothing in the reference computes
+    it — it arrives via save).  The engine derives it deterministically:
+    velocity := membership rows discovered at or after ``since_wave``
+    (items-per-interval with the wave as the interval)."""
+    v = (playlist_tracks.filter(F.col("first_wave") >= since_wave)
+         .groupBy("provider",
+                  F.col("playlist_identifier").alias("identifier"))
+         .agg(F.count("*").cast("double").alias("__v")))
+    return (playlists.drop("velocity")
+            .join(v, on=["provider", "identifier"], how="left")
+            .withColumn("velocity", F.coalesce("__v", F.lit(0.0)))
+            .drop("__v")
+            .select(playlists.columns))
 
 
 def refresh_active_playlists(playlists: DataFrame, playlist_tracks: DataFrame,
@@ -144,15 +179,20 @@ def refresh_active_playlists(playlists: DataFrame, playlist_tracks: DataFrame,
     and upsert playlist_tracks (reference: src/playlist_crawler.rs:8-35,
     find_actives src/model/playlist.rs:263-270 velocity>0 ORDER BY
     updated_at ASC, upsert src/model/playlist_track.rs:72-90 ON CONFLICT
-    DO UPDATE).  ``velocity`` (playlist identifier -> velocity) defaults to
-    treating every playlist as active.  Returns the new playlist_tracks
-    table (existing rows kept, membership refreshed from the catalog)."""
-    active = playlists.select("provider", "identifier")
+    DO UPDATE).  Active set, in precedence order: an explicit ``velocity``
+    frame; else the playlists dim's own velocity column (find_actives
+    semantics, the default); else every playlist (legacy dims without the
+    column).  Returns the new playlist_tracks table (existing rows kept,
+    membership refreshed from the catalog)."""
     if velocity is not None:
-        active = active.join(
+        active = playlists.select("provider", "identifier").join(
             velocity.filter(F.col("velocity") > 0)
             .select("provider", "identifier"),
             on=["provider", "identifier"], how="inner")
+    elif "velocity" in playlists.columns:
+        active = find_actives(playlists).select("provider", "identifier")
+    else:
+        active = playlists.select("provider", "identifier")
     cat = catalog_df.filter(F.col("kind") == "playlist").select(
         "provider", "identifier", "child_identifiers")
     latest = (

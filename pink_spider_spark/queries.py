@@ -898,10 +898,19 @@ def media_decode_meta(spark, sf_dir):
                                      "n_frames")
 
 
-@q("crawl_two_waves")  # no oracle: multi-step stateful op -> rows-only check
+@q("crawl_two_waves", """
+SELECT url, CAST(first_wave AS INTEGER) AS first_wave,
+       CAST(seq AS BIGINT) AS seq
+FROM read_csv('/root/repo/fixtures/crawl_two_waves_seen.csv', header=true,
+  columns={'url':'VARCHAR','first_wave':'INTEGER','seq':'BIGINT'})
+""")
 def crawl_two_waves(spark, sf_dir):
     """Two crawl waves over a 100-page synthetic corpus; returns the seen
-    table (url, first_wave, seq).  Deterministic by construction."""
+    table (url, first_wave, seq).  Deterministic by construction; the
+    oracle is the SEQUENTIAL reference-semantics simulator's expected
+    seen table, pre-generated by scripts/gen_crawl_oracle.py into
+    fixtures/crawl_two_waves_seen.csv — full rows+schema+hash check, not
+    rows-only."""
     import shutil
     import tempfile
 

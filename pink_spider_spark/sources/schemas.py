@@ -105,6 +105,11 @@ ENCLOSURE_DIM_SCHEMA = T.StructType([
     T.StructField("duration", T.IntegerType(), True),
     T.StructField("published_at", T.TimestampType(), True),
     T.StructField("state", T.StringType(), True),
+    # velocity: reference adds it to playlists only (db/migrate/
+    # 022_add_velocity_to_playlists.rb, float NOT NULL DEFAULT 0);
+    # carried on the shared dim schema (always 0 for tracks/albums) so
+    # find_actives (src/model/playlist.rs:263-270) reads it in place
+    T.StructField("velocity", T.DoubleType(), True),
     T.StructField("first_wave", T.IntegerType(), False),
 ])
 

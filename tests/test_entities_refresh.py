@@ -20,12 +20,13 @@ def catalog_df(spark):
     return _build_catalog_df(spark, build_catalog_items()).cache()
 
 
-def _dim_row(provider, identifier, owner_id=None, state="alive", title=None):
+def _dim_row(provider, identifier, owner_id=None, state="alive", title=None,
+             velocity=0.0, first_wave=1):
     return Row(provider=provider, identifier=identifier,
                title=title or identifier, owner_id=owner_id,
                owner_name=None, provider_url=None, thumbnail_url=None,
                artwork_url=None, duration=0, published_at=None,
-               state=state, first_wave=1)
+               state=state, velocity=velocity, first_wave=first_wave)
 
 
 def test_refresh_stale_dims(spark, catalog_df):
@@ -122,3 +123,61 @@ def test_artist_rows(spark, catalog_df):
     ta = {(r.track_identifier, r.artist_identifier)
           for r in track_artists.collect()}
     assert ta == {("t1", "chan1"), ("t2", "chan1"), ("t3", "chan2")}
+
+
+def test_find_actives_velocity_and_order(spark, catalog_df):
+    """find_actives: velocity>0 filter + updated ASC ordering (reference:
+    src/model/playlist.rs:263-270).  Inactive playlists are skipped by the
+    default refresh path."""
+    playlists = _dim_df(spark, [
+        _dim_row("YouTube", "ytp0", velocity=3.0, first_wave=5),
+        _dim_row("YouTube", "ytp1", velocity=0.0, first_wave=1),  # inactive
+        _dim_row("SoundCloud", "scp0", velocity=1.0, first_wave=2),
+        _dim_row("Spotify", "spp0", velocity=2.0, first_wave=2),
+    ])
+    actives = entities.find_actives(playlists).collect()
+    assert [(r.provider, r.identifier) for r in
+            sorted(actives, key=lambda r: r.active_rank)] == [
+        ("SoundCloud", "scp0"), ("Spotify", "spp0"), ("YouTube", "ytp0")]
+    assert all(r.identifier != "ytp1" for r in actives)
+
+    # default refresh path consumes the dim's velocity column: the
+    # inactive ytp1 keeps its stale membership, active ytp0 is refreshed
+    existing = spark.createDataFrame([
+        Row(provider="YouTube", playlist_identifier="ytp0", pos=99,
+            track_identifier="stale0", first_wave=1),
+        Row(provider="YouTube", playlist_identifier="ytp1", pos=42,
+            track_identifier="stale1", first_wave=1),
+    ])
+    out = entities.refresh_active_playlists(
+        playlists, existing, catalog_df, wave=7).collect()
+    ytp0 = {(r.track_identifier, r.first_wave)
+            for r in out if r.playlist_identifier == "ytp0"}
+    ytp1 = [(r.pos, r.track_identifier)
+            for r in out if r.playlist_identifier == "ytp1"]
+    # active: catalog membership upserted at wave 7; the stale non-member
+    # row survives (ON CONFLICT DO UPDATE never deletes,
+    # src/model/playlist_track.rs:72-90)
+    fresh = {t for (t, w) in ytp0 if w == 7}
+    assert fresh == {"ytt0", "ytt1", "ytt2"}
+    assert ("stale0", 1) in ytp0
+    assert ytp1 == [(42, "stale1")]  # inactive: untouched
+
+
+def test_update_playlist_velocity(spark):
+    playlists = _dim_df(spark, [
+        _dim_row("YouTube", "ytp0"),
+        _dim_row("YouTube", "ytp1"),
+    ])
+    pt = spark.createDataFrame([
+        Row(provider="YouTube", playlist_identifier="ytp0", pos=0,
+            track_identifier="a", first_wave=3),
+        Row(provider="YouTube", playlist_identifier="ytp0", pos=1,
+            track_identifier="b", first_wave=3),
+        Row(provider="YouTube", playlist_identifier="ytp1", pos=0,
+            track_identifier="c", first_wave=1),  # older than since_wave
+    ])
+    out = {r.identifier: r.velocity
+           for r in entities.update_playlist_velocity(
+               playlists, pt, since_wave=2).collect()}
+    assert out == {"ytp0": 2.0, "ytp1": 0.0}
