@@ -27,6 +27,7 @@ HEADLINE = [
     "docs_extract_provider_counts",
     "emb_knn_of_vec0",
     "emb_lsh_buckets",
+    "emb_near_dup_pairs_lsh",
 ]
 
 

@@ -187,7 +187,18 @@ class CrawlDriver:
     def _wave_body(self, wave, pinned, frontier, excluded, batch,
                    seen_count, frontier_estimate, bloom_future, wave_caches,
                    tick):
-        batch_n = batch.count()
+        # ONE materializing job in the common (small-batch) regime: a
+        # limit-probed url collect doubles as the count; above the
+        # threshold the probe is discarded, a count() materializes the
+        # cache, and no url ever reaches the driver
+        probe = batch.select("url").limit(
+            self.config.url_collect_max + 1).collect()
+        if len(probe) <= self.config.url_collect_max:
+            batch_urls_list = [r.url for r in probe]
+            batch_n = len(batch_urls_list)
+        else:
+            batch_urls_list = None
+            batch_n = batch.count()
         tick("dequeue")
         if batch_n == 0:
             return {"wave": wave, "fetched": 0, "done": True}
@@ -205,8 +216,7 @@ class CrawlDriver:
         #   picks broadcast vs shuffle), then extraction runs over the
         #   joined rows
         hits = self.pages.select("url", "html")
-        if batch_n <= self.config.url_collect_max:
-            batch_urls_list = [r.url for r in batch.select("url").collect()]
+        if batch_urls_list is not None:
             hits_kwargs = {"url_filter": batch_urls_list}
         else:
             hits = hits.join(batch.select("url"), on="url", how="left_semi")

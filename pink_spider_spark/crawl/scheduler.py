@@ -69,7 +69,7 @@ def per_host_budget_batch(candidates: DataFrame) -> DataFrame:
             .filter(F.col("host_rank") <= F.col("max_per_wave")))
 
 
-def wave_order(batch: DataFrame, distributed_threshold: int | None = 4096,
+def wave_order(batch: DataFrame, distributed_threshold: int | None = 2048,
                cache_registry: list | None = None) -> DataFrame:
     """Deterministic in-wave sequence: rank by (priority DESC, url ASC).
 
