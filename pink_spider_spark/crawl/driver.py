@@ -92,9 +92,18 @@ class CrawlDriver:
     def _t(self, name):
         return self.store.table(name)
 
-    def bootstrap(self, seed_urls: list) -> None:
-        """Initialize frontier with the seed list (priority 1.0, depth 0)."""
-        df = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
+    def bootstrap(self, seed_urls) -> None:
+        """Initialize frontier with the seed list (priority 1.0, depth 0).
+
+        ``seed_urls``: a python list OR a DataFrame with a ``url`` column —
+        the DataFrame form keeps 10^6+-row seed sets fully distributed
+        (never materialized on the driver)."""
+        if isinstance(seed_urls, DataFrame):
+            df = seed_urls.select("url")
+            n_estimate = None
+        else:
+            df = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
+            n_estimate = len(seed_urls)
         frontier = (
             with_url_hash(df)
             .withColumn("host", host_col())
@@ -111,9 +120,14 @@ class CrawlDriver:
             "entries": 0, "enclosures": 0, "metrics": 0,
             "tracks": 0, "playlists": 0, "albums": 0, "playlist_tracks": 0,
         }
+        if n_estimate is None:
+            # the overwrite above already materialized the frontier, so
+            # this count reads parquet footers, not the data
+            n_estimate = self._t("frontier").read(
+                self.spark, schema=schemas.FRONTIER_SCHEMA).count()
         self.store.commit_checkpoint(
             0, snapshots,
-            counters={"seen": 0, "frontier_estimate": len(seed_urls)})
+            counters={"seen": 0, "frontier_estimate": int(n_estimate)})
 
     def _pinned(self, name: str, schema):
         ckpt = self.store.read_checkpoint() or {"snapshots": {}}
