@@ -37,14 +37,14 @@ def load(rev: str | None):
 def best_of(rows):
     best: dict = {}
     for r in rows:
-        key = (r["pages"], r["cpus"])
+        key = (r["pages"], r.get("weight", 0), r["cpus"])
         if key not in best or r["urls_per_sec"] > best[key]["urls_per_sec"]:
             best[key] = r
     return best
 
 
-def eff(best, pages, n, n4, field="urls_per_sec"):
-    a, b = best.get((pages, n)), best.get((pages, n4))
+def eff(best, corpus, n, n4, field="urls_per_sec"):
+    a, b = best.get(corpus + (n,)), best.get(corpus + (n4,))
     if not a or not b or not a.get(field) or not b.get(field):
         return None
     return (b[field] / a[field]) / 4.0
@@ -57,21 +57,23 @@ def main():
     rows = load(args.rev)
     best = best_of(rows)
     print(f"{len(rows)} runs at rev {args.rev or 'ANY'}")
-    for (pages, cpus) in sorted(best):
-        r = best[(pages, cpus)]
-        print(f"  pages={pages:7d} local[{cpus:2d}] {r['urls_per_sec']:8.1f} urls/s "
+    for (pages, weight, cpus) in sorted(best):
+        r = best[(pages, weight, cpus)]
+        print(f"  pages={pages:7d} w={weight:2d} local[{cpus:2d}] "
+              f"{r['urls_per_sec']:8.1f} urls/s "
               f"extract={r.get('extract_urls_per_sec', 0):8.1f} "
               f"cap={r.get('host_capacity', 0):9.1f} ({r['seconds']}s)")
-    for pages in sorted({p for (p, _) in best}):
+    for corpus in sorted({(p, w) for (p, w, _) in best}):
         for n in (2, 4, 8):
-            e = eff(best, pages, n, n * 4)
-            ex = eff(best, pages, n, n * 4, "extract_urls_per_sec")
-            hw = eff(best, pages, n, n * 4, "host_capacity")
+            e = eff(best, corpus, n, n * 4)
+            ex = eff(best, corpus, n, n * 4, "extract_urls_per_sec")
+            hw = eff(best, corpus, n, n * 4, "host_capacity")
             if e is None:
                 continue
             # each field formatted with its own None guard: older history
             # rows may lack extract_urls_per_sec / host_capacity
-            parts = [f"  pages={pages} {n}->{n*4}: pipeline={e:.3f}"]
+            parts = [f"  pages={corpus[0]} w={corpus[1]} {n}->{n*4}: "
+                     f"pipeline={e:.3f}"]
             if ex is not None:
                 parts.append(f"extract={ex:.3f}")
             if hw:
