@@ -208,12 +208,60 @@ def refresh_active_playlists(playlists: DataFrame, playlist_tracks: DataFrame,
     return kept.unionByName(latest.select(playlist_tracks.columns))
 
 
+def am_artist_search_match(artists: DataFrame,
+                           catalog_df: DataFrame) -> DataFrame:
+    """Apple Music artist search-match (reference:
+    src/update_artists.rs:47-69): search the catalog by the artist's NAME;
+    exactly one result -> take it unconditionally (:52-55); several ->
+    keep those whose name matches case-insensitively and take the first
+    (:57-63); none surviving -> unchanged.
+
+    Relationally: the per-artist API search becomes one broadcast join of
+    lower(name) against the catalog's ``search_term``; "first" is ordered
+    by catalog identifier (the deterministic stand-in for API result
+    order).  The resolved catalog artist id lands in ``am_catalog_id``
+    and the name is updated from the catalog row
+    (update_apple_music_artist, :71-80) — the dim keeps its natural key
+    (owner id) so track_artists links stay valid, mirroring the
+    reference's stable uuid linkage under identifier rewrite.
+    """
+    cand = (catalog_df
+            .filter((F.col("kind") == "artist")
+                    & (F.col("provider") == "AppleMusic"))
+            .select(F.col("identifier").alias("am_catalog_id"),
+                    F.col("title").alias("am_name"),
+                    "search_term"))
+    am = artists.filter(F.col("provider") == "AppleMusic")
+    rest = artists.filter(F.col("provider") != "AppleMusic")
+    hits = am.join(F.broadcast(cand),
+                   F.lower(F.col("name")) == F.col("search_term"), "inner")
+    w_all = Window.partitionBy("provider", "identifier")
+    hits = hits.withColumn("__n", F.count("*").over(w_all))
+    eligible = hits.filter(
+        (F.col("__n") == 1)
+        | (F.lower(F.col("am_name")) == F.lower(F.col("name"))))
+    w_pick = Window.partitionBy("provider", "identifier") \
+        .orderBy("am_catalog_id")
+    picked = (eligible
+              .withColumn("__rn", F.row_number().over(w_pick))
+              .filter(F.col("__rn") == 1)
+              .select("provider", "identifier", "am_catalog_id", "am_name"))
+    out_cols = artists.columns + ["am_catalog_id"]
+    matched = (am.join(picked, on=["provider", "identifier"], how="left")
+               .withColumn("name", F.coalesce("am_name", "name"))
+               .select(out_cols))
+    return rest.withColumn("am_catalog_id",
+                           F.lit(None).cast("string")) \
+        .select(out_cols).unionByName(matched)
+
+
 def artist_rows(tracks_dim: DataFrame, catalog_df: DataFrame,
                 wave: int) -> tuple:
     """Artists dim + track_artists links derived from track owners
-    (reference: update_artists loop src/update_artists.rs:10-93 with the
-    case-insensitive name match at :57-59; the catalog's owner fields stand
-    in for the provider artist APIs).  Returns (artists, track_artists)."""
+    (reference: update_artists loop src/update_artists.rs:10-93; the
+    catalog's owner fields stand in for the provider artist APIs), with
+    the Apple Music search-match pass applied (am_artist_search_match).
+    Returns (artists, track_artists)."""
     owned = tracks_dim.filter(F.col("owner_id").isNotNull())
     w = Window.partitionBy("provider", "owner_id").orderBy("identifier")
     artists = (
@@ -224,6 +272,7 @@ def artist_rows(tracks_dim: DataFrame, catalog_df: DataFrame,
                 F.col("owner_name").alias("name"),
                 F.lit(wave).alias("first_wave"))
     )
+    artists = am_artist_search_match(artists, catalog_df)
     track_artists = owned.select(
         "provider",
         F.col("identifier").alias("track_identifier"),

@@ -129,6 +129,7 @@ PROVIDER_CATALOG_RAW_SCHEMA = T.StructType([
     T.StructField("owner_id", T.StringType(), True),
     T.StructField("owner_name", T.StringType(), True),
     T.StructField("url", T.StringType(), True),
+    T.StructField("search_term", T.StringType(), True),
     T.StructField("published_at_raw", T.StringType(), True),
     T.StructField("artwork_template", T.StringType(), True),
     T.StructField("yt_thumbnails",
@@ -147,6 +148,7 @@ PROVIDER_CATALOG_SCHEMA = T.StructType([
     T.StructField("owner_id", T.StringType(), True),
     T.StructField("owner_name", T.StringType(), True),
     T.StructField("url", T.StringType(), True),
+    T.StructField("search_term", T.StringType(), True),
     T.StructField("thumbnail_url", T.StringType(), True),
     T.StructField("artwork_url", T.StringType(), True),
     T.StructField("audio_url", T.StringType(), True),

@@ -49,7 +49,8 @@ def build_catalog_items(n_per_kind: int = 8) -> dict:
     items: dict = {}
     epoch = datetime.datetime(2024, 1, 1)
 
-    def add(provider, kind, ident, k, children=()):
+    def add(provider, kind, ident, k, children=(), title=None,
+            search_term=None):
         # RAW provider-API-shaped fields: dates in each provider's wire
         # format (F11), Apple artwork as a {w}/{h} template (F9), YouTube
         # thumbnails as a partial variant map (F10).  The cooked catalog
@@ -88,10 +89,14 @@ def build_catalog_items(n_per_kind: int = 8) -> dict:
             "provider": provider,
             "kind": kind,
             "identifier": ident,
-            "title": f"{provider} {kind} {k}",
+            "title": title or f"{provider} {kind} {k}",
             "owner_id": f"owner_{provider.lower()}_{k % 4}",
             "owner_name": f"Owner {provider} {k % 4}",
             "url": f"https://{provider.lower()}.example/{kind}/{ident}",
+            # NOTE: dict insertion order MUST match
+            # PROVIDER_CATALOG_RAW_SCHEMA (createDataFrame(pandas, schema)
+            # maps by position)
+            "search_term": search_term,
             "published_at_raw": raw_ts,
             "artwork_template": template,
             "yt_thumbnails": yt_thumbnails,
@@ -117,6 +122,25 @@ def build_catalog_items(n_per_kind: int = 8) -> dict:
         add("SoundCloud", "user", f"scu{k}", k, [f"sct{k % n_per_kind}"])
         add("Spotify", "album", f"spa{k}", k)
         add("AppleMusic", "album", f"ama{k}", k)
+    # Apple Music artist SEARCH fixture (reference: update_artists.rs:47-69
+    # search_artists by artist name).  search_term = the lowercased query
+    # that returns the row.  Owner names are "Owner AppleMusic {0..3}":
+    # - owner 1: exactly ONE result whose name does NOT match -> taken
+    #   anyway (items.len()==1 branch, update_artists.rs:52-55)
+    # - owner 2: two results, one exact case-insensitive name match ->
+    #   the filter branch picks it (update_artists.rs:57-63)
+    # - owner 3: two results, no exact match -> "Not updated"
+    # - owner 0: no results -> unchanged
+    add("AppleMusic", "artist", "amar1", 101, title="Owner Applemusic Uno",
+        search_term="owner applemusic 1")
+    add("AppleMusic", "artist", "amar2", 102, title="Owner AppleMusic 2",
+        search_term="owner applemusic 2")
+    add("AppleMusic", "artist", "amar2x", 103,
+        title="Owner AppleMusic 2 Tribute", search_term="owner applemusic 2")
+    add("AppleMusic", "artist", "amar3a", 104, title="Owner AppleMusic Trio",
+        search_term="owner applemusic 3")
+    add("AppleMusic", "artist", "amar3b", 105, title="Owner AM Three",
+        search_term="owner applemusic 3")
     return items
 
 
@@ -132,6 +156,10 @@ def catalog_df(spark, items: dict | None = None):
     from .schemas import PROVIDER_CATALOG_RAW_SCHEMA
 
     pdf = catalog_rows(items)
+    # createDataFrame(pandas, schema) maps BY POSITION: guard the order
+    assert list(pdf.columns) == [f.name for f in
+                                 PROVIDER_CATALOG_RAW_SCHEMA.fields], \
+        "catalog dict order must match PROVIDER_CATALOG_RAW_SCHEMA"
     raw = spark.createDataFrame(pdf, schema=PROVIDER_CATALOG_RAW_SCHEMA)
     return enrich_catalog(raw)
 

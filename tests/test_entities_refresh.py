@@ -181,3 +181,38 @@ def test_update_playlist_velocity(spark):
            for r in entities.update_playlist_velocity(
                playlists, pt, since_wave=2).collect()}
     assert out == {"ytp0": 2.0, "ytp1": 0.0}
+
+
+def test_am_artist_search_match(spark, catalog_df):
+    """Apple Music artist search-match branches (reference:
+    src/update_artists.rs:47-69): single-result unconditional take,
+    multi-result case-insensitive name pick, no-exact-match skip,
+    no-result skip; non-AM providers untouched."""
+    artists = spark.createDataFrame([
+        Row(provider="AppleMusic", identifier="owner_applemusic_0",
+            name="Owner AppleMusic 0", first_wave=1),
+        Row(provider="AppleMusic", identifier="owner_applemusic_1",
+            name="Owner AppleMusic 1", first_wave=1),
+        Row(provider="AppleMusic", identifier="owner_applemusic_2",
+            name="Owner AppleMusic 2", first_wave=1),
+        Row(provider="AppleMusic", identifier="owner_applemusic_3",
+            name="Owner AppleMusic 3", first_wave=1),
+        Row(provider="YouTube", identifier="chan1",
+            name="Owner YouTube 1", first_wave=1),
+    ])
+    out = {r.identifier: r for r in entities.am_artist_search_match(
+        artists, catalog_df).collect()}
+    assert len(out) == 5
+    # no search result -> unchanged
+    assert out["owner_applemusic_0"].am_catalog_id is None
+    assert out["owner_applemusic_0"].name == "Owner AppleMusic 0"
+    # exactly one result -> taken even though the name differs (:52-55)
+    assert out["owner_applemusic_1"].am_catalog_id == "amar1"
+    assert out["owner_applemusic_1"].name == "Owner Applemusic Uno"
+    # two results -> the case-insensitive exact name wins (:57-63)
+    assert out["owner_applemusic_2"].am_catalog_id == "amar2"
+    assert out["owner_applemusic_2"].name == "Owner AppleMusic 2"
+    # two results, none exact -> "Not updated"
+    assert out["owner_applemusic_3"].am_catalog_id is None
+    # other providers bypass the AM search entirely
+    assert out["chan1"].am_catalog_id is None
