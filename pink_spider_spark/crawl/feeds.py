@@ -135,3 +135,36 @@ def crawl_feeds(spark: SparkSession, feeds: DataFrame, feed_entries: DataFrame,
                  F.array()))).alias("albums"))
     )
     return {"entries": entries, "enclosures": enclosures, "report": report}
+
+
+def update_feed_state(feeds: DataFrame, feed_entries: DataFrame,
+                      report: DataFrame | None = None) -> DataFrame:
+    """The feed velocity/state update path (reference: Feed::save persists
+    velocity and state, src/model/feed.rs:104-139; new feeds start alive
+    with velocity 0, :174-176 — nothing in the reference ever computes
+    them in-code, they arrive through save()).  The engine derives them
+    deterministically from the sweep itself:
+
+    - ``velocity`` := entries this sweep produced for the feed (the
+      items-per-sweep rate, 0 when nothing new) — from the sweep
+      ``report`` (crawl_feeds output) when given, else 0
+    - ``state``    := 'dead' when the feed's XML yielded NO parseable
+      entries at all (fetch/parse failure analog), else 'alive'
+    """
+    parsed = (feed_entries.groupBy(F.col("feed_url").alias("url"))
+              .agg(F.count("*").alias("__parsed")))
+    out = feeds.drop("velocity", "state") \
+        .join(parsed, on="url", how="left")
+    if report is not None:
+        swept = report.select(F.col("feed_id").alias("url"),
+                              F.col("entries").cast("double").alias("__v"))
+        out = out.join(swept, on="url", how="left")
+    else:
+        out = out.withColumn("__v", F.lit(None).cast("double"))
+    return (out
+            .withColumn("velocity", F.coalesce("__v", F.lit(0.0)))
+            .withColumn("state",
+                        F.when(F.col("__parsed").isNull(), F.lit("dead"))
+                        .otherwise(F.lit("alive")))
+            .drop("__parsed", "__v")
+            .select(feeds.columns))

@@ -189,3 +189,29 @@ def test_feed_sweep_crawl_once(spark, feed_setup):
         F.col("published").cast("long") < 1000).select("url").collect()}
     assert second_urls == invalid
     assert second_urls.issubset(first_urls)
+
+
+def test_update_feed_state(spark, feed_setup):
+    """Feed velocity/state update path: swept feeds get velocity =
+    entries-this-sweep and stay alive; a feed whose XML parses to nothing
+    goes dead with velocity 0."""
+    from pink_spider_spark.crawl.feeds import update_feed_state
+
+    items, pages_df, feeds_df, fe_df, feeds_pdf, fe_pdf, pages_map = feed_setup
+    # add one feed whose XML yields no entries (parse-failure analog)
+    import pandas as pd
+    broken = feeds_pdf.iloc[:1].copy()
+    broken["url"] = "https://feeds.example.com/rss/broken.xml"
+    all_feeds = spark.createDataFrame(pd.concat([feeds_pdf, broken]))
+    out = crawl_feeds(spark, all_feeds, fe_df, pages_df, items)
+    updated = {r.url: r for r in update_feed_state(
+        all_feeds, fe_df, out["report"]).collect()}
+    assert len(updated) == len(feeds_pdf) + 1
+    dead = updated["https://feeds.example.com/rss/broken.xml"]
+    assert dead.state == "dead" and dead.velocity == 0.0
+    report = {r.feed_id: r.entries for r in out["report"].collect()}
+    for url, r in updated.items():
+        if url == dead.url:
+            continue
+        assert r.state == "alive"
+        assert r.velocity == float(report.get(url, 0))
