@@ -144,6 +144,77 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 5,
+                               threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard pairs via SSJoin/PPJoin prefix filtering
+    (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08) — same output as
+    ``ngram_jaccard_pairs``, but skew-resistant: the candidate join keys
+    on each document's PREFIX shingles only.
+
+    Why this is exact: order every doc's shingles by ascending global
+    document frequency (rarest first, shingle as tie-break).  For
+    J(A,B) >= t the overlap is >= ceil(t*|A|), so if A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles share nothing with B, at most
+    ``ceil(t*|A|) - 1`` common shingles remain — contradiction.  Hence
+    every qualifying pair collides on both prefixes, and joining
+    prefix-to-prefix loses nothing.
+
+    Why this is skew-safe where the naive self-join is not: the naive
+    form joins on EVERY shingle, so one ubiquitous 5-gram ("the a")
+    forms a quadratic bucket.  Prefixes select each doc's globally
+    RAREST shingles — a shingle appearing in d documents lands in a
+    prefix only for docs where it ranks among the least frequent, so
+    hot shingles are excluded from large docs' prefixes by
+    construction, and candidate buckets stay near-uniform.  A length
+    filter (t*max(|A|,|B|) <= min(|A|,|B|)) prunes further before the
+    verification join, which touches candidate pairs only.
+
+    All stages are hash joins / partitioned windows — no global window,
+    no cartesian, survives a 100x scale-up where the naive join's hot
+    bucket is quadratic.
+    """
+    sh = shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .join(sizes, id_col)
+        .withColumn("__rank", F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df_freq", "shingle")))
+        .filter(F.col("__rank") <=
+                F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select(id_col, "shingle", "n_sh")
+    )
+    cand = (
+        ranked.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"), "shingle")
+        .join(ranked.select(F.col(id_col).alias("id_b"),
+                            F.col("n_sh").alias("n_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.lit(threshold) * F.greatest("n_a", "n_b")
+                <= F.least("n_a", "n_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    # verification: exact intersection size, candidate pairs only
+    inter = (
+        cand
+        .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"),
+              ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --------------------------------------------------------------- minhash
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 5,

@@ -458,6 +458,27 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
     return X.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+@q("docs_ngram_jaccard_pairs_prefix", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""")
+def docs_ngram_jaccard_pairs_prefix(spark, sf_dir):
+    """Exact Jaccard pairs via PPJoin-style prefix filtering — the
+    skew-safe scale path; oracle is the same exact-Jaccard SQL because
+    prefix filtering is lossless (functions/text.py
+    ngram_jaccard_pairs_prefix)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return X.ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+
+
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLE_SQL}),
 seeded AS (

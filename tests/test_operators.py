@@ -104,6 +104,26 @@ def test_ngram_jaccard_exact(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_ngram_jaccard_prefix_equals_exact(spark):
+    """Prefix-filtered (PPJoin) Jaccard must return EXACTLY the naive
+    self-join's pairs — prefix filtering is lossless for J >= t."""
+    rows = [Row(doc_id=1, text="abcdefghij"),
+            Row(doc_id=2, text="abcdefghij"),
+            Row(doc_id=3, text="zzzzzzzzzz"),
+            Row(doc_id=4, text="abcdefghij KLMNOP"),
+            Row(doc_id=5, text="the a the a the a common hot shingle"),
+            Row(doc_id=6, text="the a the a the a common hot shingle"),
+            Row(doc_id=7, text="the a unrelated tail of words here")]
+    df = spark.createDataFrame(rows)
+    for t in (0.3, 0.5, 0.9):
+        exact = {(r.id_a, r.id_b): r.jaccard
+                 for r in X.ngram_jaccard_pairs(df, threshold=t).collect()}
+        pref = {(r.id_a, r.id_b): r.jaccard
+                for r in X.ngram_jaccard_pairs_prefix(
+                    df, threshold=t).collect()}
+        assert pref == exact, f"threshold {t}: {pref} != {exact}"
+
+
 def test_simhash_vectorized_bit_equal(spark):
     """The numpy mapInPandas SimHash must be bit-identical to the
     relational (explode) definition on real corpus text."""
