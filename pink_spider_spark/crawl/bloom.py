@@ -14,10 +14,15 @@ check is a per-row SQL lookup on the unique ``entries.url`` index
 - a confirming exact anti-join removes false positives, so the bloom is
   purely a shuffle-volume optimization and can never drop a URL
 
-Scale path (documented, not needed at sandbox scale): shard the bitmap by
-``pmod(url_hash, n_shards)`` into a bloom-shard table co-partitioned with
-the frontier's hash buckets, so each executor only holds its shard;
-broadcast stays viable to ~1e9 keys (1.2 GB at 1% fpp).
+Scale path (implemented below as ``build_bloom_shards`` /
+``prune_with_bloom_shards`` / ``update_bloom_shards``): shard the bitmap
+by ``pmod(url_hash, n_shards)`` into a bloom-shard DataFrame so NO full
+bitmap ever materializes on the driver or in a broadcast — the probe is
+a cogroup of (candidates grouped by shard) with (shard bitmaps), each
+task holding exactly one shard's bitmap.  Broadcast stays viable to
+~1e9 keys (1.2 GB at 1% fpp); beyond that the shard table is the only
+form that fits: at 1e10 keys / 4096 shards each shard holds ~2.4M keys
+(~2.9 MB bitmap at 1% fpp), 12 GB total spread across executors.
 """
 
 from __future__ import annotations
@@ -138,4 +143,152 @@ def prune_with_bloom(candidates: DataFrame, seen: DataFrame, bloom: BloomFilter,
     fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_new = suspects.join(seen.select(key_col), on=key_col, how="left_anti")
+    return fresh.unionByName(confirmed_new)
+
+
+# ------------------------------------------------------------ shard table
+# The 10^10-key form: the bitmap is sharded by pmod(url_hash, n_shards)
+# into a (shard, n_shards, m_bits, k, bitmap) DataFrame.  Build, probe,
+# and incremental update are all shard-local cogroups — zero driver
+# bytes, zero broadcast bytes, each task touches one shard's bitmap.
+
+SHARD_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("n_shards", T.IntegerType()),
+    T.StructField("m_bits", T.LongType()),
+    T.StructField("k", T.IntegerType()),
+    T.StructField("bitmap", T.BinaryType()),
+])
+
+
+def _shard_col(hash_col: str, n_shards: int):
+    return F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+
+
+def build_bloom_shards(df: DataFrame, hash_col: str, n_estimate: int,
+                       n_shards: int = 64, fpp: float = 0.01) -> DataFrame:
+    """Distributed sharded build: group keys by pmod(hash, n_shards) and
+    build one per-shard bitmap inside each group task.  Sizing is per
+    shard (n_estimate / n_shards keys), so memory per task is one shard's
+    keys plus one shard's bitmap.  Nothing is collected."""
+    from ..functions.udfs import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    proto = BloomFilter.sized_for(max(1, n_estimate // n_shards), fpp)
+    m_bits, k = proto.m_bits, proto.k
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m_bits, k)
+        bf.add_many(pdf[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "shard": [int(pdf["__shard"].iloc[0])],
+            "n_shards": [n_shards], "m_bits": [m_bits], "k": [k],
+            "bitmap": [bf.bits.tobytes()]})
+
+    return (df.select(hash_col)
+            .withColumn("__shard", _shard_col(hash_col, n_shards))
+            .groupBy("__shard")
+            .applyInPandas(build, schema=SHARD_SCHEMA))
+
+
+def update_bloom_shards(shards: DataFrame, new_keys: DataFrame,
+                        hash_col: str, n_shards: int) -> DataFrame:
+    """OR a batch of new keys into an existing shard table (incremental
+    per-wave update — avoids rescanning the whole seen set).  Shards with
+    no new keys pass through untouched; keys landing in a shard with no
+    row yet get a fresh bitmap sized like its siblings."""
+    from ..functions.udfs import ensure_package_shipped
+
+    ensure_package_shipped(shards.sparkSession)
+
+    def upd(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return right[[f.name for f in SHARD_SCHEMA.fields]]
+        if right.empty:
+            # sizing must match the table; derive from any sibling is not
+            # possible inside the task, so the caller guarantees the build
+            # covered every shard id OR accepts proto sizing via closure
+            raise ValueError(
+                "update_bloom_shards: shard missing from table; build with "
+                "cover_all_shards=True or rebuild")
+        m_bits = int(right["m_bits"].iloc[0])
+        k = int(right["k"].iloc[0])
+        bf = BloomFilter(m_bits, k,
+                         np.frombuffer(right["bitmap"].iloc[0],
+                                       dtype=_U64).copy())
+        bf.add_many(left[hash_col].to_numpy(dtype=np.int64))
+        out = right.copy()
+        out["bitmap"] = [bf.bits.tobytes()]
+        return out[[f.name for f in SHARD_SCHEMA.fields]]
+
+    keyed = (new_keys.select(hash_col)
+             .withColumn("__shard", _shard_col(hash_col, n_shards)))
+    return (keyed.groupBy("__shard")
+            .cogroup(shards.groupBy("shard"))
+            .applyInPandas(upd, schema=SHARD_SCHEMA))
+
+
+def cover_all_shards(shards: DataFrame, n_shards: int) -> DataFrame:
+    """Union in empty bitmaps for shard ids the build saw no keys for, so
+    incremental updates never hit a missing shard."""
+    spark = shards.sparkSession
+    meta = shards.select("m_bits", "k").first()
+    if meta is None:
+        raise ValueError("empty shard table")
+    empty = BloomFilter(int(meta["m_bits"]), int(meta["k"]))
+    ids = spark.range(n_shards).select(
+        F.col("id").cast("int").alias("shard"),
+        F.lit(n_shards).alias("n_shards"),
+        F.lit(int(meta["m_bits"])).alias("m_bits"),
+        F.lit(int(meta["k"])).alias("k"),
+        F.lit(bytearray(empty.bits.tobytes())).alias("bitmap"))
+    missing = ids.join(shards.select("shard"), "shard", "left_anti")
+    return shards.unionByName(missing)
+
+
+def prune_with_bloom_shards(candidates: DataFrame, seen: DataFrame,
+                            shards: DataFrame, hash_col: str = "url_hash",
+                            key_col: str = "url", n_shards: int = 64,
+                            cache_registry: list | None = None) -> DataFrame:
+    """Sharded twin of ``prune_with_bloom``: rows of ``candidates``
+    definitely absent from ``seen``, with the bloom probe executed as a
+    cogroup against the shard table — no broadcast, no driver bitmap.
+    Bloom-positive suspects are still confirmed by exact left_anti join,
+    so false positives never drop a URL and a missing shard row simply
+    means "definitely fresh"."""
+    from ..functions.udfs import ensure_package_shipped
+
+    ensure_package_shipped(candidates.sparkSession)
+    out_fields = list(candidates.schema.fields) + [
+        T.StructField("__maybe_seen", T.BooleanType())]
+    out_schema = T.StructType(out_fields)
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=cand_cols + ["__maybe_seen"])
+        out = left[cand_cols].copy()
+        if right.empty:
+            out["__maybe_seen"] = False
+            return out
+        bf = BloomFilter(int(right["m_bits"].iloc[0]),
+                         int(right["k"].iloc[0]),
+                         np.frombuffer(right["bitmap"].iloc[0], dtype=_U64))
+        out["__maybe_seen"] = bf.contains_many(
+            left[hash_col].to_numpy(dtype=np.int64))
+        return out
+
+    flagged = (candidates
+               .withColumn("__shard", _shard_col(hash_col, n_shards))
+               .groupBy("__shard")
+               .cogroup(shards.groupBy("shard"))
+               .applyInPandas(probe, schema=out_schema)
+               .cache())
+    flagged.count()
+    if cache_registry is not None:
+        cache_registry.append(flagged)
+    fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed_new = suspects.join(seen.select(key_col), on=key_col,
+                                  how="left_anti")
     return fresh.unionByName(confirmed_new)

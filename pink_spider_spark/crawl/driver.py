@@ -41,7 +41,8 @@ from ..functions.udfs import canonicalize_url, extract_pages, host_col, with_url
 from ..sources import schemas
 from ..sources.tables import TableStore
 from . import entities, scheduler
-from .bloom import build_bloom, prune_with_bloom
+from .bloom import (build_bloom, build_bloom_shards, prune_with_bloom,
+                    prune_with_bloom_shards)
 
 PRIORITY_DECAY = 0.8
 
@@ -59,6 +60,13 @@ class CrawlConfig:
     # the driver each wave is a GC/memory bottleneck and serializes the
     # wave start.
     url_collect_max: int = 100_000
+    # Above this seen-set estimate the per-executor broadcast bitmap is
+    # replaced by the sharded bloom table: the bitmap is cogroup-probed
+    # shard-by-shard and never exists whole on the driver or in a
+    # broadcast (a 10^10-key bitmap at 1% fpp is ~12 GB — per executor
+    # if broadcast, ~3 MB per task if sharded).
+    bloom_shard_min: int = 2_000_000
+    bloom_n_shards: int = 64
 
 
 class CrawlDriver:
@@ -165,16 +173,30 @@ class CrawlDriver:
                 t0 = now
 
         # the seen-bloom is built over the frontier AS PINNED — fully
-        # independent of this wave's dequeue/extract, so build it on a
-        # driver thread concurrently with the whole wave body and only
-        # join right before the enqueue prune needs it
+        # independent of this wave's dequeue/extract.  Two regimes:
+        # - broadcast (small/medium seen set): built on a driver thread
+        #   concurrently with the wave body, joined right before the
+        #   enqueue prune needs it
+        # - sharded (seen estimate >= bloom_shard_min): the bitmap never
+        #   exists whole anywhere — build_bloom_shards stays a lazy
+        #   DataFrame and the probe is a shard-local cogroup inside the
+        #   prune job itself, so there is nothing to precompute
         from concurrent.futures import ThreadPoolExecutor
 
         known_estimate = max(1000, frontier_estimate)
-        bloom_pool = ThreadPoolExecutor(max_workers=1)
-        bloom_future = bloom_pool.submit(
-            build_bloom, frontier, "url_hash", known_estimate,
-            self.config.bloom_fpp)
+        bloom_pool = None
+        bloom_future = None
+        bloom_shards = None
+        if frontier_estimate >= self.config.bloom_shard_min:
+            bloom_shards = build_bloom_shards(
+                frontier, "url_hash", known_estimate,
+                n_shards=self.config.bloom_n_shards,
+                fpp=self.config.bloom_fpp)
+        else:
+            bloom_pool = ThreadPoolExecutor(max_workers=1)
+            bloom_future = bloom_pool.submit(
+                build_bloom, frontier, "url_hash", known_estimate,
+                self.config.bloom_fpp)
 
         # cache the batch BEFORE the global ordering: wave_pos is only
         # consumed by the seen-ordering append, and wave_order's
@@ -186,12 +208,15 @@ class CrawlDriver:
             return self._wave_body(
                 wave, pinned, frontier, excluded, batch,
                 seen_count=seen_count, frontier_estimate=frontier_estimate,
-                bloom_future=bloom_future, wave_caches=wave_caches, tick=tick)
+                bloom_future=bloom_future, bloom_shards=bloom_shards,
+                wave_caches=wave_caches, tick=tick)
         finally:
             # all exit paths (empty wave, extract failure, commit failure)
             # release the wave's executor memory and the bloom thread
-            bloom_future.cancel()
-            bloom_pool.shutdown(wait=False)
+            if bloom_future is not None:
+                bloom_future.cancel()
+            if bloom_pool is not None:
+                bloom_pool.shutdown(wait=False)
             for df in wave_caches:
                 try:
                     df.unpersist()
@@ -199,8 +224,8 @@ class CrawlDriver:
                     pass
 
     def _wave_body(self, wave, pinned, frontier, excluded, batch,
-                   seen_count, frontier_estimate, bloom_future, wave_caches,
-                   tick):
+                   seen_count, frontier_estimate, bloom_future, bloom_shards,
+                   wave_caches, tick):
         # ONE materializing job in the common (small-batch) regime: a
         # limit-probed url collect doubles as the count; above the
         # threshold the probe is discarded, a count() materializes the
@@ -300,10 +325,16 @@ class CrawlDriver:
             .groupBy("url")
             .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
         )
-        bloom = bloom_future.result()
-        new_urls = prune_with_bloom(
-            with_url_hash(links), frontier.select("url"), bloom,
-            cache_registry=wave_caches)
+        if bloom_shards is not None:
+            new_urls = prune_with_bloom_shards(
+                with_url_hash(links), frontier.select("url"), bloom_shards,
+                n_shards=self.config.bloom_n_shards,
+                cache_registry=wave_caches)
+        else:
+            bloom = bloom_future.result()
+            new_urls = prune_with_bloom(
+                with_url_hash(links), frontier.select("url"), bloom,
+                cache_registry=wave_caches)
         new_frontier_rows = (
             new_urls
             .withColumn("host", host_col())
