@@ -279,8 +279,22 @@ class CrawlDriver:
             "content", "text", "enclosures", "links",
             F.lit(wave).alias("crawled_wave"),
         )
+        # wave totals ride the write job itself (CollectMetrics): no
+        # separate aggregation pass over the delta on the serial path
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        entries_new = entries_new.observe(
+            obs,
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum(F.size("links")).alias("links_found"),
+        )
         entries_snapshot, entries_dir = self._t("entries").append_returning_dir(
             entries_new, base_snapshot=pinned.get("entries", 0))
+        wave_totals = obs.get
+        fetched_n = int(wave_totals["fetched"] or 0)
+        links_found = int(wave_totals["links_found"] or 0)
+        miss_n = batch_n - fetched_n
         tick("entries write")
         extracted = self.spark.read.parquet(entries_dir)
         # misses derive from the staged extraction output: no second pass
@@ -332,6 +346,7 @@ class CrawlDriver:
                 cache_registry=wave_caches)
         else:
             bloom = bloom_future.result()
+            tick("bloom wait")
             new_urls = prune_with_bloom(
                 with_url_hash(links), frontier.select("url"), bloom,
                 cache_registry=wave_caches)
@@ -375,34 +390,37 @@ class CrawlDriver:
         )
         seen_new = with_url_hash(seen_new).select(
             [f.name for f in schemas.SEEN_SCHEMA.fields])
+        tick("wave_order")
 
-        # --- per-partition lineage metrics (tiny: one row per partition,
-        # collected driver-side so links_found also feeds the counters) ---
-        metric_rows = (
-            extracted
-            .withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(
-                F.count("*").alias("fetched"),
-                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "track")))
-                .alias("extracted_tracks"),
-                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "playlist")))
-                .alias("extracted_playlists"),
-                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "album")))
-                .alias("extracted_albums"),
-                F.sum(F.size("links")).alias("links_found"),
+        # --- per-partition lineage metrics (tiny: one row per partition;
+        # the wave totals already came from the write-job Observation, so
+        # this aggregation runs INSIDE the concurrent write pool below —
+        # off the wave's serial path) ---
+        def build_metrics() -> DataFrame:
+            metric_rows = (
+                extracted
+                .withColumn("partition_id", F.spark_partition_id())
+                .groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("fetched"),
+                    F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "track")))
+                    .alias("extracted_tracks"),
+                    F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "playlist")))
+                    .alias("extracted_playlists"),
+                    F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "album")))
+                    .alias("extracted_albums"),
+                    F.sum(F.size("links")).alias("links_found"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        tick("extract+metrics")
-        links_found = sum(r.links_found or 0 for r in metric_rows)
-        miss_n = batch_n - sum(r.fetched for r in metric_rows)
-        metrics = self.spark.createDataFrame(
-            [(wave, r.partition_id, r.fetched, int(miss_n), r.extracted_tracks,
-              r.extracted_playlists, r.extracted_albums, r.links_found)
-             for r in metric_rows] or
-            [(wave, -1, 0, int(miss_n), 0, 0, 0, 0)],
-            schemas.METRICS_SCHEMA)
+            return self.spark.createDataFrame(
+                [(wave, r.partition_id, r.fetched, int(miss_n), r.extracted_tracks,
+                  r.extracted_playlists, r.extracted_albums, r.links_found)
+                 for r in metric_rows] or
+                [(wave, -1, 0, int(miss_n), 0, 0, 0, 0)],
+                schemas.METRICS_SCHEMA)
+
+        tick("extract+totals")
 
         # --- atomic commit ----------------------------------------------
         # the 8 per-wave table writes are independent tiny jobs whose cost
@@ -414,28 +432,35 @@ class CrawlDriver:
         # orphan snapshot ids that the next resume never references.
         from concurrent.futures import ThreadPoolExecutor
 
-        # materialize the shared dedup cache before fanning out: three dim
-        # threads racing on a cold cache would each recompute the window
-        encl_dedup.count()
         snapshots = dict(pinned)
         snapshots["entries"] = entries_snapshot
+        # two dependency tiers: the first fans out immediately; the dim
+        # appends (+ playlist_tracks, which plans over the playlists
+        # delta) wait on the shared dedup cache materializing — racing
+        # them on a cold cache would recompute the window three times
         writes = {
             "frontier": lambda: self._t("frontier").overwrite(frontier_next),
             "seen": lambda: self._t("seen").append(
                 seen_new, base_snapshot=pinned.get("seen", 0)),
             "enclosures": lambda: self._t("enclosures").append(
                 enclosures, base_snapshot=pinned.get("enclosures", 0)),
+            "metrics": lambda: self._t("metrics").append(
+                build_metrics(), base_snapshot=pinned.get("metrics", 0)),
+        }
+        dim_writes = {
             "playlist_tracks": lambda: self._t("playlist_tracks").append(
                 playlist_tracks_new,
                 base_snapshot=pinned.get("playlist_tracks", 0)),
-            "metrics": lambda: self._t("metrics").append(
-                metrics, base_snapshot=pinned.get("metrics", 0)),
         }
         for table, rows in dim_appends.items():
-            writes[table] = (lambda t=table, r=rows:
-                             self._t(t).append(r, base_snapshot=pinned.get(t, 0)))
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            dim_writes[table] = (lambda t=table, r=rows:
+                                 self._t(t).append(r, base_snapshot=pinned.get(t, 0)))
+        with ThreadPoolExecutor(max_workers=len(writes) + len(dim_writes) + 1) as pool:
+            encl_ready = pool.submit(encl_dedup.count)
             futures = {name: pool.submit(fn) for name, fn in writes.items()}
+            encl_ready.result()
+            futures.update(
+                {name: pool.submit(fn) for name, fn in dim_writes.items()})
             for name, fut in futures.items():
                 snapshots[name] = fut.result()
         tick("table writes")
