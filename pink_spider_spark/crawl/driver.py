@@ -379,18 +379,21 @@ class CrawlDriver:
         frontier_next = status_updates.unionByName(new_frontier_rows)
 
         # --- seen ordering ----------------------------------------------
-        # global in-wave rank computed here, at its only consumer; large
-        # batches take the distributed range-partition + offset strategy
-        # (see scheduler.wave_order)
-        seen_new = (
-            scheduler.wave_order(batch, cache_registry=wave_caches).select(
-                "url",
-                F.lit(wave).alias("first_wave"),
-                (F.lit(seen_count) + F.col("wave_pos")).cast("long").alias("seq"))
-        )
-        seen_new = with_url_hash(seen_new).select(
-            [f.name for f in schemas.SEEN_SCHEMA.fields])
-        tick("wave_order")
+        # global in-wave rank built lazily at its only consumer — the seen
+        # append below — so wave_order's eager jobs (count, range sampling,
+        # localCheckpoint pin) run inside the concurrent write pool, off
+        # the wave's serial path; large batches take the distributed
+        # range-partition + offset strategy (see scheduler.wave_order)
+        def build_seen() -> DataFrame:
+            seen_new = (
+                scheduler.wave_order(batch, cache_registry=wave_caches).select(
+                    "url",
+                    F.lit(wave).alias("first_wave"),
+                    (F.lit(seen_count) + F.col("wave_pos")).cast("long")
+                    .alias("seq"))
+            )
+            return with_url_hash(seen_new).select(
+                [f.name for f in schemas.SEEN_SCHEMA.fields])
 
         # --- per-partition lineage metrics (tiny: one row per partition;
         # the wave totals already came from the write-job Observation, so
@@ -441,7 +444,7 @@ class CrawlDriver:
         writes = {
             "frontier": lambda: self._t("frontier").overwrite(frontier_next),
             "seen": lambda: self._t("seen").append(
-                seen_new, base_snapshot=pinned.get("seen", 0)),
+                build_seen(), base_snapshot=pinned.get("seen", 0)),
             "enclosures": lambda: self._t("enclosures").append(
                 enclosures, base_snapshot=pinned.get("enclosures", 0)),
             "metrics": lambda: self._t("metrics").append(

@@ -76,6 +76,60 @@ def run_available_now(spark: SparkSession, pages_dir: str, store: TableStore,
     q.awaitTermination()
 
 
+def streaming_seen_filter(urls_stream: DataFrame, n_shards: int = 64):
+    """Custom stateful streaming operator: first-seen URL filter.
+
+    The streaming analog of the batch crawl-once / seen-set semantics
+    (reference: src/model/entry.rs:295-308 find_or_create_by_url — an
+    entry is processed the first time its URL appears, ever): URLs
+    arrive continuously; each is emitted in the micro-batch where it
+    FIRST appears and suppressed in every later micro-batch.  Built on
+    ``applyInPandasWithState`` because no built-in streaming op holds
+    cross-batch state keyed this way (dropDuplicates on an unbounded
+    stream without a watermark would grow driverless state with no
+    shard control).
+
+    Scale shape: state is keyed by ``shard = url_hash % n_shards`` and
+    holds the shard's seen-hash array, so the seen-set partitions across
+    executors exactly like the batch engine's sharded bloom
+    (crawl/bloom.py) — raise ``n_shards`` with cluster size.  Input must
+    carry ``url`` and ``url_hash`` (use functions.udfs.with_url_hash).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("url", StringType()),
+        StructField("url_hash", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("seen", ArrayType(LongType())),
+    ])
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            # batch-local first occurrence, in arrival order
+            fresh = pdf[~pdf["url_hash"].isin(seen)]
+            fresh = fresh.drop_duplicates(subset=["url_hash"], keep="first")
+            seen.update(int(h) for h in fresh["url_hash"])
+            if len(fresh):
+                yield fresh[["url", "url_hash"]]
+        state.update((list(seen),))
+
+    shard = F.pmod(F.col("url_hash"), F.lit(n_shards)).alias("__shard")
+    return (
+        urls_stream.select("url", "url_hash", shard)
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            first_seen, out_schema, state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
 def windowed_enclosure_counts(spark: SparkSession, pages_dir: str,
                               catalog_items: dict):
     """Streaming windowed rollup with a watermark: enclosures found per

@@ -179,8 +179,11 @@ Notes
   (2->8, 4->16) are the cleanest read of engine scaling because both
   levels sit comfortably under the host's effective-core ceiling.
 """
+    # auto-report goes to its own file: BENCH/BASELINE.md is the
+    # hand-maintained narrative (ladders across corpora + analysis) and
+    # must not be clobbered by a single run's snapshot
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(ROOT, "BENCH", "SCALING_LATEST.md"), "w") as f:
         f.write(md)
     print(json.dumps({"best": {str(k): v for k, v in best.items()}, **effs}))
 

@@ -59,3 +59,46 @@ def test_windowed_counts_is_streaming_plan(spark, stream_dirs):
     df = windowed_enclosure_counts(spark, pages_dir, items)
     assert df.isStreaming
     assert set(df.columns) == {"window", "provider", "count"}
+
+
+def test_streaming_seen_filter_suppresses_cross_batch_repeats(spark):
+    """applyInPandasWithState first-seen semantics: a url emitted in an
+    earlier micro-batch must be suppressed in every later one (state
+    survives across batches), and in-batch duplicates collapse to one."""
+    import pandas as pd
+
+    from pink_spider_spark.crawl.streaming import streaming_seen_filter
+    from pink_spider_spark.functions.udfs import with_url_hash
+
+    base = tempfile.mkdtemp(prefix="seen_stream_")
+    src = os.path.join(base, "urls")
+    os.makedirs(src)
+    sink_dir = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    batch1 = ["http://h0.example.com/a", "http://h0.example.com/b",
+              "http://h0.example.com/b", "http://h1.example.com/c"]
+    batch2 = ["http://h0.example.com/a", "http://h1.example.com/c",
+              "http://h1.example.com/d"]
+    schema = "url string"
+    spark.createDataFrame(pd.DataFrame({"url": batch1})) \
+        .coalesce(1).write.parquet(os.path.join(src, "b1"))
+    spark.createDataFrame(pd.DataFrame({"url": batch2})) \
+        .coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    out = streaming_seen_filter(with_url_hash(stream), n_shards=4)
+    q = (out.writeStream.format("parquet")
+         .option("path", sink_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    emitted = [r.url for r in spark.read.parquet(sink_dir).collect()]
+    # exactly the distinct urls, each once — no cross-batch re-emission
+    assert sorted(emitted) == sorted({u for u in batch1 + batch2})
+    shutil.rmtree(base, ignore_errors=True)
