@@ -28,7 +28,9 @@ def load(rev: str | None):
                 continue
             if "cpus" not in r:
                 continue
-            if rev and r.get("rev") != rev:
+            # --rev accepts a comma-list: runs of revisions that differ
+            # only in docs/scripts are the same engine and aggregate
+            if rev and r.get("rev") not in rev.split(","):
                 continue
             rows.append(r)
     return rows
