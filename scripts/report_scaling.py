@@ -36,11 +36,15 @@ def load(rev: str | None):
     return rows
 
 
-def best_of(rows):
+def best_of(rows, field="urls_per_sec"):
+    """Best run per (corpus, level) BY the given field.  Each field is
+    its own capability measure (the pipeline and the pure-extract probe
+    hit their best in different host windows), so efficiency for a field
+    compares that field's own best at N and 4N."""
     best: dict = {}
     for r in rows:
         key = (r["pages"], r.get("weight", 0), r["cpus"])
-        if key not in best or r["urls_per_sec"] > best[key]["urls_per_sec"]:
+        if r.get(field) and (key not in best or r[field] > best[key][field]):
             best[key] = r
     return best
 
@@ -58,6 +62,8 @@ def main():
     args = ap.parse_args()
     rows = load(args.rev)
     best = best_of(rows)
+    best_ex = best_of(rows, "extract_urls_per_sec")
+    best_hw = best_of(rows, "host_capacity")
     print(f"{len(rows)} runs at rev {args.rev or 'ANY'}")
     for (pages, weight, cpus) in sorted(best):
         r = best[(pages, weight, cpus)]
@@ -68,8 +74,8 @@ def main():
     for corpus in sorted({(p, w) for (p, w, _) in best}):
         for n in (2, 4, 8):
             e = eff(best, corpus, n, n * 4)
-            ex = eff(best, corpus, n, n * 4, "extract_urls_per_sec")
-            hw = eff(best, corpus, n, n * 4, "host_capacity")
+            ex = eff(best_ex, corpus, n, n * 4, "extract_urls_per_sec")
+            hw = eff(best_hw, corpus, n, n * 4, "host_capacity")
             if e is None:
                 continue
             # each field formatted with its own None guard: older history
