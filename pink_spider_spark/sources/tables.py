@@ -77,9 +77,16 @@ class SnapshotTable:
         df = spark.read.parquet(*dirs)
         return df
 
+    #: Parquet codec for all table writes.  zstd compresses the text-heavy
+    #: crawl tables (html/content/text columns) ~2x tighter than snappy for
+    #: a negligible CPU cost — at 100 TB that halves the storage + shuffle-IO
+    #: footprint, and in this sandbox it halves the per-wave write volume
+    #: that competes with compute when the host IO-throttles.
+    COMPRESSION = os.environ.get("PSS_PARQUET_COMPRESSION", "zstd")
+
     def _write_dir(self, df: DataFrame) -> str:
         path = self._new_data_dir()
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").option("compression", self.COMPRESSION).parquet(path)
         return path
 
     def append(self, df: DataFrame, base_snapshot: int | None = None) -> int:
