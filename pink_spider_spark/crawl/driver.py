@@ -67,6 +67,12 @@ class CrawlConfig:
     # if broadcast, ~3 MB per task if sharded).
     bloom_shard_min: int = 2_000_000
     bloom_n_shards: int = 64
+    # Every K waves, bin-pack the small per-wave append dirs of the
+    # append-heavy tables (Iceberg rewrite_data_files analog) and re-pin
+    # the checkpoint on the compacted snapshots.  0 = off.  At the 10^10
+    # design point a long crawl otherwise accumulates one sub-row-group
+    # dir per wave per table and scan cost drifts up with file count.
+    compact_every: int = 0
 
 
 class CrawlDriver:
@@ -361,7 +367,13 @@ class CrawlDriver:
         # --- frontier state transition ---------------------------------
         # flag tables are wave-sized (small): broadcast them so the frontier
         # scan never shuffles — at 10^10 frontier rows this is the difference
-        # between a map-only status pass and a full-table shuffle
+        # between a map-only status pass and a full-table shuffle.
+        # The overwrite IS a full-frontier rewrite per wave — a deliberate
+        # design choice, the same generation-rewrite batch crawlers use at
+        # web scale (Apache Nutch updatedb): one map-only scan-and-write
+        # with zero shuffle beats a latest-wins reconstruction (full-table
+        # shuffle on every dequeue) and Iceberg MERGE would reduce it to
+        # touched-files-only without changing this dataflow
         batch_urls = batch.select("url")
         missing_urls = misses
         status_updates = (
@@ -515,6 +527,30 @@ class CrawlDriver:
         self.store.commit_checkpoint(wave, snapshots, counters=counters)
         return {"wave": wave, "refreshed": True}
 
+    def maintain(self, small_bytes: int = 64 << 20,
+                 target_bytes: int = 128 << 20, min_dirs: int = 8) -> dict:
+        """Between-wave table maintenance: bin-pack small append dirs on
+        the append-heavy tables and re-pin the checkpoint on the compacted
+        snapshots, so subsequent base-pinned appends build on the packed
+        file list instead of re-absorbing the small dirs.  Safe at any
+        point between waves; a compaction racing a concurrent commit
+        aborts table-side (SnapshotTable.compact) and is just skipped."""
+        ckpt = self.store.read_checkpoint()
+        if not ckpt:
+            return {}
+        compacted = {}
+        for t in ("seen", "entries", "enclosures", "metrics", "playlist_tracks"):
+            sid = self._t(t).compact(self.spark, small_bytes=small_bytes,
+                                     target_bytes=target_bytes, min_dirs=min_dirs)
+            if sid is not None:
+                compacted[t] = sid
+        if compacted:
+            snaps = dict(ckpt.get("snapshots", {}))
+            snaps.update(compacted)
+            self.store.commit_checkpoint(ckpt["wave"], snaps,
+                                         counters=ckpt.get("counters", {}))
+        return compacted
+
     def run(self, seed_urls: list | None = None, resume: bool = False) -> list:
         """Run waves to quiescence (or max_waves).  ``resume=True`` picks up
         from the last committed checkpoint without re-seeding."""
@@ -523,9 +559,12 @@ class CrawlDriver:
                 raise ValueError("seed_urls required unless resuming")
             self.bootstrap(seed_urls)
         stats = []
-        for _ in range(self.config.max_waves):
+        for i in range(self.config.max_waves):
             s = self.run_wave()
             stats.append(s)
             if s.get("done"):
                 break
+            k = self.config.compact_every
+            if k and (i + 1) % k == 0:
+                self.maintain()
         return stats

@@ -441,6 +441,95 @@ def robots_rows(n_hosts: int = N_HOSTS) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def robots_txt_bodies(n_hosts: int = N_HOSTS) -> pd.DataFrame:
+    """Raw robots.txt bytes per host whose parse reproduces robots_rows
+    EXACTLY (the raw-bytes stand-in for fetching https://host/robots.txt).
+    Budgets ride on Crawl-delay: delay = WAVE_SECONDS / max_per_wave.
+    Three layout variants exercise RFC 9309 group selection: plain ``*``
+    group; a decoy ``*`` + foreign-bot group overridden by a specific
+    ``pink-spider`` group; stacked User-agent lines + comments + empty
+    Disallow + Sitemap."""
+    from ..crawl.robots import WAVE_SECONDS
+
+    rows = []
+    for h in range(n_hosts):
+        budget = 64 if h == 0 else 16
+        delay = WAVE_SECONDS / budget
+        if h % 3 == 1:
+            body = (
+                "User-agent: *\n"
+                "Disallow: /decoy\n"
+                "Crawl-delay: 30\n"
+                "\n"
+                "User-agent: megabot\n"
+                "Disallow: /\n"
+                "\n"
+                "User-agent: pink-spider\n"
+                "Disallow: /private\n"
+                f"Crawl-delay: {delay}\n"
+            )
+        elif h % 3 == 2:
+            body = (
+                "# politeness rules\n"
+                "User-agent: foobot\n"
+                "User-agent: *\n"
+                "Disallow: /private  # members only\n"
+                "Disallow:\n"
+                f"Crawl-delay: {delay}\n"
+                f"Sitemap: https://{host_name(h)}/sitemap.xml\n"
+            )
+        else:
+            body = (
+                "User-agent: *\n"
+                "Disallow: /private\n"
+                f"Crawl-delay: {delay}\n"
+            )
+        rows.append({"host": host_name(h), "body": body.encode("utf-8")})
+    return pd.DataFrame(rows)
+
+
+def sitemap_xml_bodies(n_pages: int = 120, n_hosts: int = N_HOSTS) -> pd.DataFrame:
+    """Deterministic sitemap corpus ``(url, host, body)``: every host
+    advertises ``/sitemap.xml`` listing its pages; the heavy host 0 uses
+    a ``<sitemapindex>`` over two leaf sitemaps (odd/even pages) to
+    exercise index resolution.  lastmod derives from the page index (no
+    wall clock)."""
+    by_host: dict = {}
+    for i in range(n_pages):
+        by_host.setdefault(host_of(i, n_hosts), []).append(i)
+
+    def urlset(ids):
+        items = "".join(
+            f"<url><loc>{page_url(i, n_hosts)}</loc>"
+            f"<lastmod>2024-01-{1 + i % 28:02d}</lastmod></url>"
+            for i in ids)
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"{items}</urlset>")
+
+    rows = []
+    for h, ids in sorted(by_host.items()):
+        host = host_name(h)
+        if h == 0:
+            leaves = [f"https://{host}/sitemap-0.xml",
+                      f"https://{host}/sitemap-1.xml"]
+            index = ('<?xml version="1.0" encoding="UTF-8"?>'
+                     '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                     + "".join(f"<sitemap><loc>{u}</loc></sitemap>"
+                               for u in leaves)
+                     + "</sitemapindex>")
+            rows.append({"url": f"https://{host}/sitemap.xml", "host": host,
+                         "body": index.encode("utf-8")})
+            for k, leaf in enumerate(leaves):
+                rows.append({"url": leaf, "host": host,
+                             "body": urlset([i for i in ids
+                                             if i % 2 == k]).encode("utf-8")})
+        else:
+            rows.append({"url": f"https://{host}/sitemap.xml", "host": host,
+                         "body": urlset(ids).encode("utf-8")})
+    return pd.DataFrame(rows)
+
+
 def seed_urls(n_seeds: int, n_hosts: int = N_HOSTS) -> list:
     """Deterministic seed list: page indices 0..n_seeds-1."""
     return [page_url(i, n_hosts) for i in range(n_seeds)]

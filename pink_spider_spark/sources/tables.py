@@ -115,6 +115,48 @@ class SnapshotTable:
         m = self._read_manifest()
         return self._commit(m, [path])
 
+    # ------------------------------------------------------------ compaction
+    def _dir_bytes(self, path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith("_") and not f.endswith(".crc"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def compact(self, spark: SparkSession, small_bytes: int = 64 << 20,
+                target_bytes: int = 128 << 20, min_dirs: int = 4) -> int | None:
+        """Bin-pack small data dirs into target-sized files (Iceberg
+        ``rewrite_data_files`` analog).
+
+        Per-wave appends leave one small dir per wave; at 10^10-URL scale
+        that is millions of sub-row-group files whose open/footer cost
+        dominates scans.  This rewrite touches ONLY dirs under
+        ``small_bytes`` (cost proportional to small-file volume, never a
+        full-table rewrite) and coalesces them to ``ceil(bytes /
+        target_bytes)`` files.  Optimistic concurrency: if another commit
+        lands while the rewrite runs, the compaction aborts (returns
+        None) instead of publishing a stale view — the Iceberg
+        validation-exception behavior.  Data dirs of the previous
+        snapshot remain readable until expire_snapshots.
+        """
+        m = self._read_manifest()
+        base_id = int(m["current"])
+        dirs = list(m["snapshots"].get(str(base_id), {"dirs": []})["dirs"])
+        sizes = {d: self._dir_bytes(d) for d in dirs}
+        small = [d for d in dirs if sizes[d] < small_bytes]
+        if len(small) < min_dirs:
+            return None
+        n_out = max(1, -(-sum(sizes[d] for d in small) // target_bytes))
+        packed = self._write_dir(spark.read.parquet(*small).repartition(n_out))
+        m2 = self._read_manifest()
+        if int(m2["current"]) != base_id:  # concurrent commit: abort
+            import shutil
+            shutil.rmtree(packed, ignore_errors=True)
+            return None
+        keep = [d for d in dirs if d not in set(small)]
+        return self._commit(m2, keep + [packed])
+
     def expire_snapshots(self, keep_last: int = 1) -> None:
         """Drop old snapshot entries and delete data dirs no current
         snapshot references (Iceberg expire_snapshots analog)."""

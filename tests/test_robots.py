@@ -1,0 +1,168 @@
+"""robots.txt ingestion: raw bodies -> broadcast rules table.
+
+Parser semantics pinned against RFC 9309 group selection; the Spark
+table derived from synthetic raw bodies must reproduce the structured
+robots_rows fixture field-for-field, and a crawl driven by the parsed
+table must match the sequential simulator fed from the same bytes.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pink_spider_spark.crawl import scheduler
+from pink_spider_spark.crawl.robots import (
+    DEFAULT_MAX_PER_WAVE,
+    crawl_delay_to_budget,
+    parse_robots_txt,
+    robots_dict_from_bodies,
+    robots_table_from_bodies,
+)
+from pink_spider_spark.sources.synth import robots_rows, robots_txt_bodies
+
+
+# ------------------------------------------------------------ pure parse
+def test_plain_star_group():
+    r = parse_robots_txt("User-agent: *\nDisallow: /private\nCrawl-delay: 2\n")
+    assert r["disallow_prefixes"] == ["/private"]
+    assert r["crawl_delay"] == 2.0
+
+
+def test_specific_agent_overrides_star():
+    body = (
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 30\n\n"
+        "User-agent: pink-spider\nDisallow: /b\nDisallow: /c\n"
+    )
+    r = parse_robots_txt(body, agent="pink-spider")
+    assert r["disallow_prefixes"] == ["/b", "/c"]
+    assert r["crawl_delay"] is None  # specific group has no delay
+
+
+def test_foreign_agent_group_ignored():
+    r = parse_robots_txt("User-agent: megabot\nDisallow: /\n")
+    assert r["disallow_prefixes"] == []
+
+
+def test_stacked_agent_lines_share_group():
+    body = "User-agent: foobot\nUser-agent: *\nDisallow: /x\n"
+    assert parse_robots_txt(body)["disallow_prefixes"] == ["/x"]
+
+
+def test_empty_disallow_means_allow_all():
+    assert parse_robots_txt("User-agent: *\nDisallow:\n")["disallow_prefixes"] == []
+
+
+def test_comments_and_inline_comments_stripped():
+    body = "# header\nUser-agent: *\nDisallow: /private # members\n"
+    assert parse_robots_txt(body)["disallow_prefixes"] == ["/private"]
+
+
+def test_sitemaps_collected_globally():
+    body = (
+        "Sitemap: https://h/s1.xml\nUser-agent: megabot\nDisallow: /\n"
+        "Sitemap: https://h/s2.xml\n"
+    )
+    r = parse_robots_txt(body)
+    assert r["sitemaps"] == ["https://h/s1.xml", "https://h/s2.xml"]
+
+
+def test_rules_before_any_agent_line_ignored():
+    assert parse_robots_txt("Disallow: /x\nUser-agent: *\nDisallow: /y\n")[
+        "disallow_prefixes"] == ["/y"]
+
+
+def test_bytes_body_with_bad_utf8_decodes_lossy():
+    body = b"User-agent: *\nDisallow: /caf\xe9\n"  # latin-1 stray byte
+    r = parse_robots_txt(body)
+    assert r["disallow_prefixes"] == ["/caf�"]
+
+
+def test_case_insensitive_fields_and_agent():
+    body = "USER-AGENT: Pink-Spider\nDISALLOW: /p\nCRAWL-DELAY: 1.5\n"
+    r = parse_robots_txt(body, agent="pink-spider")
+    assert r["disallow_prefixes"] == ["/p"]
+    assert r["crawl_delay"] == 1.5
+
+
+def test_delay_to_budget():
+    assert crawl_delay_to_budget(None) == DEFAULT_MAX_PER_WAVE
+    assert crawl_delay_to_budget(1.0, wave_seconds=64.0) == 64
+    assert crawl_delay_to_budget(4.0, wave_seconds=64.0) == 16
+    assert crawl_delay_to_budget(1e-9) == 1024  # capped, never unbounded
+    assert crawl_delay_to_budget(1e9) == 1      # floor of 1
+
+
+def test_default_budget_matches_scheduler_default():
+    assert DEFAULT_MAX_PER_WAVE == scheduler.DEFAULT_MAX_PER_WAVE
+
+
+# ------------------------------------------------------------ spark table
+@pytest.fixture(scope="module")
+def parsed_table(spark):
+    bodies = spark.createDataFrame(robots_txt_bodies())
+    return {r["host"]: r.asDict()
+            for r in robots_table_from_bodies(bodies).collect()}
+
+
+def test_spark_table_reproduces_structured_fixture(parsed_table):
+    expected = robots_rows()
+    assert len(parsed_table) == len(expected)
+    for _, want in expected.iterrows():
+        got = parsed_table[want["host"]]
+        assert list(got["disallow_prefixes"]) == list(want["disallow_prefixes"])
+        assert got["max_per_wave"] == want["max_per_wave"]
+
+
+def test_spark_table_sitemaps_on_variant_hosts(parsed_table):
+    hosts = sorted(parsed_table)
+    with_maps = [h for h in hosts if parsed_table[h]["sitemaps"]]
+    assert with_maps  # variant h%3==2 hosts carry a sitemap line
+    for h in with_maps:
+        assert parsed_table[h]["sitemaps"] == [f"https://{h}/sitemap.xml"]
+
+
+def test_simulator_twin_matches_spark_table(parsed_table):
+    pdf = robots_txt_bodies()
+    twin = robots_dict_from_bodies(dict(zip(pdf.host, pdf.body)))
+    assert set(twin) == set(parsed_table)
+    for h, want in twin.items():
+        assert list(parsed_table[h]["disallow_prefixes"]) == want["disallow_prefixes"]
+        assert parsed_table[h]["max_per_wave"] == want["max_per_wave"]
+
+
+# ---------------------------------------------------- crawl integration
+def test_crawl_with_parsed_robots_matches_simulator(spark):
+    """End-to-end: both engines fed from the same raw robots bytes."""
+    from pink_spider_spark.crawl.driver import CrawlConfig, CrawlDriver
+    from pink_spider_spark.crawl.simulator import simulate
+    from pink_spider_spark.sources.synth import (
+        build_catalog_items, gen_pages_local, gen_pages_spark, seed_urls)
+    from pink_spider_spark.sources.tables import TableStore
+
+    items = build_catalog_items()
+    n_pages, n_seeds, depth = 80, 5, 1
+    pages_df = gen_pages_spark(spark, n_pages, items)
+    bodies_pdf = robots_txt_bodies()
+    robots_df = robots_table_from_bodies(spark.createDataFrame(bodies_pdf))
+
+    root = tempfile.mkdtemp(prefix="robots_crawl_")
+    try:
+        store = TableStore(root)
+        driver = CrawlDriver(spark, store, pages_df, robots_df, items,
+                             CrawlConfig(max_depth=depth, max_waves=10))
+        driver.run(seed_urls(n_seeds))
+        spark_seen = {
+            (r["url"], r["first_wave"], r["seq"])
+            for r in store.table("seen").read(spark).collect()
+        }
+
+        pages_local = gen_pages_local(n_pages, items)
+        sim = simulate(dict(zip(pages_local.url, pages_local.html)),
+                       robots_dict_from_bodies(
+                           dict(zip(bodies_pdf.host, bodies_pdf.body))),
+                       items, seed_urls(n_seeds),
+                       max_depth=depth, max_waves=10)
+        assert spark_seen == set(sim.seen)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -66,3 +66,50 @@ def test_checkpoint_roundtrip(spark, root):
     ck = store.read_checkpoint()
     assert ck["wave"] == 3 and ck["snapshots"]["t"] == 2
     assert ck["counters"]["seen"] == 7
+
+
+def test_compact_binpacks_small_dirs(spark, root):
+    t = SnapshotTable(root, "t")
+    for i in range(5):
+        t.append(_df(spark, [i]))
+    before = t.snapshot_dirs()
+    assert len(before) == 5
+    sid = t.compact(spark, small_bytes=1 << 20, target_bytes=1 << 20)
+    assert sid is not None
+    after = t.snapshot_dirs()
+    assert len(after) == 1
+    assert {r.x for r in t.read(spark).collect()} == {0, 1, 2, 3, 4}
+    # previous snapshot still time-travel readable until expiry
+    assert {r.x for r in t.read(spark, snapshot=sid - 1).collect()} == {0, 1, 2, 3, 4}
+
+
+def test_compact_skips_big_dirs_and_below_min(spark, root):
+    t = SnapshotTable(root, "t")
+    t.append(_df(spark, [1]))
+    t.append(_df(spark, [2]))
+    assert t.compact(spark, min_dirs=4) is None  # too few small dirs
+    for i in range(3, 7):
+        t.append(_df(spark, [i]))
+    # all dirs "big": nothing qualifies as small
+    assert t.compact(spark, small_bytes=1, min_dirs=2) is None
+    sid = t.compact(spark, small_bytes=1 << 20, min_dirs=2)
+    assert sid is not None and len(t.snapshot_dirs()) == 1
+
+
+def test_compact_aborts_on_concurrent_commit(spark, root, monkeypatch):
+    """Iceberg-style validation: a commit landing mid-rewrite aborts the
+    compaction instead of publishing a stale file list."""
+    t = SnapshotTable(root, "t")
+    for i in range(4):
+        t.append(_df(spark, [i]))
+    real_write = t._write_dir
+
+    def write_then_race(df):
+        path = real_write(df)
+        t2 = SnapshotTable(root, "t")  # concurrent writer
+        t2.append(_df(spark, [99]))
+        return path
+
+    monkeypatch.setattr(t, "_write_dir", write_then_race)
+    assert t.compact(spark, small_bytes=1 << 20, min_dirs=2) is None
+    assert {r.x for r in t.read(spark).collect()} == {0, 1, 2, 3, 99}
