@@ -73,6 +73,11 @@ class CrawlConfig:
     # design point a long crawl otherwise accumulates one sub-row-group
     # dir per wave per table and scan cost drifts up with file count.
     compact_every: int = 0
+    # Drop crawler-trap URLs (pathological paths, infinite calendars —
+    # crawl/traps.py heuristics) at enqueue time.  Off by default so the
+    # default parity contract stays rule-free; the simulator carries the
+    # same rules for parity when enabled.
+    trap_filter: bool = False
 
 
 class CrawlDriver:
@@ -345,6 +350,9 @@ class CrawlDriver:
             .groupBy("url")
             .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
         )
+        if self.config.trap_filter:
+            from .traps import filter_traps
+            links = filter_traps(links)
         if bloom_shards is not None:
             new_urls = prune_with_bloom_shards(
                 with_url_hash(links), frontier.select("url"), bloom_shards,

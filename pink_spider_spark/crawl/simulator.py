@@ -30,7 +30,8 @@ class SimResult:
 
 
 def simulate(pages: dict, robots: dict, catalog_items: dict, seed_urls: list,
-             max_depth: int = 3, max_waves: int = 100) -> SimResult:
+             max_depth: int = 3, max_waves: int = 100,
+             trap_filter: bool = False) -> SimResult:
     """pages: url -> html (str|bytes); robots: host -> {disallow_prefixes,
     max_per_wave}; returns the canonical crawl trace."""
     catalog = Catalog(catalog_items)
@@ -102,6 +103,10 @@ def simulate(pages: dict, robots: dict, catalog_items: dict, seed_urls: list,
                     c = _canon_one(link)
                     if not c.startswith("http"):
                         continue
+                    if trap_filter:
+                        from .traps import is_trap_url
+                        if is_trap_url(c):
+                            continue
                     prio = parent["priority"] * PRIORITY_DECAY
                     d = discovered.get(c)
                     if d is None:
