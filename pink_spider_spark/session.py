@@ -44,6 +44,22 @@ def get_spark(app_name: str = "pink-spider-spark",
         # per-worker churn that collapsed 32-way scaling (0.92 efficiency
         # at 128 rows vs 0.28 at 2048 on the weight-16 corpus)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        # file-scan granularity: in local mode the whole input is a few
+        # GB, and the 128 MB default (plus 4 MB per-file open cost)
+        # bin-packs it into FEWER scan partitions than task rounds need —
+        # the 1.5 GB weight-64 bench corpus (256 x 6 MB files) becomes
+        # ~20 partitions, i.e. 2.5 task rounds at 8 cores, and the last
+        # straggler round caps N->4N scaling regardless of the engine.
+        # 16 MB bins give every local level 4+ rounds (96+ partitions).
+        # On a real cluster with TB-scale inputs the 128 MB default is
+        # right (6M tasks per 100 TB is fine for 1000 executors, but the
+        # scheduler shouldn't pay 8x that) — cluster deployments override
+        # via SPARK_GRAFT_MAX_PARTITION_BYTES / spark-submit --conf.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               "16m" if master.startswith("local") else "128m"))
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", "1m"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
