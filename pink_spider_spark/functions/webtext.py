@@ -1,0 +1,215 @@
+"""Webtext training-data pipeline operators: Gopher-style quality
+signals, corpus-level line dedup, near-dup cluster assignment via
+connected components, PII scrubbing, int8 embedding quantization.
+
+These extend the engine beyond the reference's own operator set toward
+what a 100 TB training-data pipeline needs (the reference's extraction
+loop feeds exactly such a pipeline):
+
+- ``gopher_signals``   — repetition/quality heuristics per document in
+  the style of Gopher (Rae et al. 2021) / C4: all in-row JVM column
+  expressions (higher-order functions), zero shuffle, narrow plan.
+- ``dedup_lines``      — corpus-level first-seen line deduplication
+  (RefinedWeb / FineWeb line-dedup): one shuffle keyed on the line
+  string with map-side combine (groupBy-min, not a window sort).
+- ``connected_components`` / ``dedup_clusters`` — turn near-dup PAIRS
+  (MinHash-LSH candidates) into per-document cluster ids via min-label
+  propagation; the step every real dedup pipeline needs after pair
+  generation (cf. Lee et al. 2022, "Deduplicating Training Data Makes
+  Language Models Better").
+- ``scrub_pii`` / ``pii_counts`` — regex PII redaction (emails, phone
+  numbers) as pure JVM ``regexp_replace`` / ``regexp_extract_all``.
+- ``int8_quant_stats`` — symmetric per-vector int8 quantization stats
+  (the storage/ANN-memory scale path for embedding columns).
+
+Scale notes (100 TB):
+- gopher_signals is per-row O(tokens·distinct) with no shuffle; it
+  pipelines inside WholeStageCodegen with the parquet scan.
+- dedup_lines shuffles once, hash-partitioned by line content; the
+  map-side ``min(struct(doc_id,pos))`` combine collapses duplicate
+  lines per partition before the exchange, so a line repeated a
+  million times ships one row per map task, not a million.
+- connected_components is the standard iterative-join form with
+  ``localCheckpoint`` per round to truncate lineage (without it the
+  plan doubles every iteration).  Rounds = cluster diameter — tiny for
+  near-dup graphs.  For adversarial web-scale graphs swap in
+  large-star/small-star (Kiveris et al. 2014): same join primitive,
+  O(log n) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as X
+
+# ------------------------------------------------------------- gopher
+# Thresholds chosen so the synthetic corpus splits non-degenerately
+# (221/500 pass at sf0.01); the *signals* are the operator, the
+# thresholds are configuration.
+GOPHER_MIN_WORDS = 40
+GOPHER_MWL_RANGE = (3.0, 10.0)
+GOPHER_MIN_TTR = 0.35
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.12
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality/repetition signals (Gopher rules 1/4/8-ish):
+    word count, mean word length, type-token ratio, top-token fraction,
+    and the pass/fail verdict.  All in-row expressions — the plan is a
+    narrow projection over the scan.  ``passes_gopher`` is computed from
+    the ROUNDED signals so the boolean is bit-stable across engines."""
+    tk = X.tokens(F.lower(F.col(text_col)))
+    n = F.size(tk).cast("double")
+    mwl = F.round(
+        F.aggregate(tk, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double") / n, 4)
+    ttr = F.round(F.size(F.array_distinct(tk)) / n, 4)
+    ttf = F.round(
+        F.array_max(F.transform(
+            F.array_distinct(tk),
+            lambda d: F.size(F.filter(tk, lambda t: t == d)))) / n, 4)
+    out = (df.select(F.col(id_col), n.cast("long").alias("n_words"),
+                     mwl.alias("mean_word_len"), ttr.alias("ttr"),
+                     ttf.alias("top_token_frac")))
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MWL_RANGE[0])
+        & (F.col("mean_word_len") <= GOPHER_MWL_RANGE[1])
+        & (F.col("ttr") >= GOPHER_MIN_TTR)
+        & (F.col("top_token_frac") <= GOPHER_MAX_TOP_TOKEN_FRAC))
+
+
+# --------------------------------------------------------- line dedup
+def wrap_lines(text_col: Column, k: int = 10) -> Column:
+    """Deterministically re-wrap a single-line document into k-token
+    "lines" (the synthetic corpus carries no newlines; real pages keep
+    their own line structure and skip this step).  i ranges over
+    {i : i*k < n_tokens} — identical to the oracle's constant-series
+    + WHERE form."""
+    tk = X.tokens(text_col)
+    n_lines = F.ceil(F.size(tk) / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "))
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 10) -> DataFrame:
+    """Corpus-level exact line dedup, first occurrence wins (ordered by
+    (doc_id, line position)).  groupBy-min with map-side combine — NOT a
+    window over the line partition, so a hot line never concentrates its
+    full duplicate set on one task's sort.  Documents whose every line
+    is a duplicate vanish (the RefinedWeb behavior)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(wrap_lines(F.col(text_col), k)).alias("pos", "line"))
+    kept = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col).alias("doc_id"),
+                            F.col("pos").alias("pos"))).alias("keep"))
+        .select(F.col("keep.doc_id").alias(id_col),
+                F.col("keep.pos").alias("pos"), "line"))
+    return (
+        kept.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("kept_lines"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                     lambda s: s["line"]),
+                 "\n").alias("dedup_text")))
+
+
+# ------------------------------------------- connected components / CC
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label propagation over an undirected edge set.
+
+    ``nodes``: one column ``node``; ``edges``: columns ``src``/``dst``
+    (either direction).  Returns (node, label) where label = min node id
+    reachable.  Each round is one shuffle keyed on node id; the result
+    frame is pinned with ``localCheckpoint(eager=True)`` so the iterative
+    lineage is truncated (same recompute-hazard discipline as
+    crawl/scheduler.wave_order).  Converges in ≤ diameter rounds and
+    stops early via a limit-1 changed-row probe."""
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct())
+    labels = (nodes.select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym["src"] == labels["node"])
+                 .select(F.col("dst").alias("node"), "label"))
+        new = (labels.unionByName(neigh)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 5,
+                   n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Near-dup cluster assignment: MinHash-LSH candidate pairs →
+    connected components → (doc_id, cluster_id, cluster_size).
+    Singletons cluster to themselves; cluster_id = min doc_id in the
+    component (the canonical "keeper")."""
+    pairs = X.minhash_lsh_pairs(df, text_col, id_col, k, n_hashes, bands)
+    nodes = df.select(F.col(id_col).alias("node"))
+    cc = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst")))
+    sizes = cc.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    return (cc.join(sizes, "label")
+            .select(F.col("node").alias(id_col),
+                    F.col("label").cast("long").alias("cluster_id"),
+                    "cluster_size"))
+
+
+# ----------------------------------------------------------------- PII
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — RE2-compatible patterns so
+    the same regex runs on both engines."""
+    return (F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).cast("long"),
+            F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)).cast("long"))
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails then phone numbers (order matters: email
+    local-parts may contain digits)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+
+
+# -------------------------------------------------------- quantization
+def int8_quant_stats(vec_col: Column) -> tuple[Column, Column, Column]:
+    """Symmetric int8 quantization of a float embedding: scale =
+    max|x|/127, q = round(x/scale).  Returns (scale rounded 8dp, L1 norm
+    of q, saturated-dim count) — scalar stats so the cross-engine hash
+    compares numbers, not array renderings.  All math in double (float
+    → double casts are exact)."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale, 0).cast("long"))
+    l1 = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x))
+    sat = F.size(F.filter(q, lambda x: F.abs(x) == 127)).cast("long")
+    return (F.round(scale, 8).alias("scale"),
+            l1.alias("q_l1"),
+            sat.alias("saturated"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .functions import similarity as S
 from .functions import text as X
+from .functions import webtext as W
 from .operators import relational as R
 
 QUERY_BUILDERS: dict = {}
@@ -953,3 +954,151 @@ def crawl_two_waves(spark, sf_dir):
     rows = out.collect()
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# =====================================================================
+# training-data ops: webtext quality / corpus dedup / PII / quantization
+# (functions/webtext.py; extends SURVEY §2 toward the 100 TB pipeline)
+# =====================================================================
+_LSH_PAIRS_CTES = _MINHASH_SQL.replace("WITH ", "", 1) + """
+, banded AS (
+  SELECT doc_id, seed // 4 AS band,
+    ('0x' || substr(md5(string_agg(minhash::VARCHAR, '-' ORDER BY seed)), 1, 15))::BIGINT
+      AS bucket
+  FROM sig GROUP BY doc_id, seed // 4),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+"""
+
+
+@q("docs_gopher_quality", """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+m AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS n FROM t),
+sig AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  round(list_sum(list_transform(tk, x -> length(x)))/n, 4) AS mean_word_len,
+  round(len(list_distinct(tk))/n, 4) AS ttr,
+  round(list_max(list_transform(list_distinct(tk),
+        d -> len(list_filter(tk, x -> x = d))))/n, 4) AS top_token_frac
+FROM m)
+SELECT doc_id, n_words, mean_word_len, ttr, top_token_frac,
+  (n_words >= 40 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND ttr >= 0.35 AND top_token_frac <= 0.12) AS passes_gopher
+FROM sig
+""")
+def docs_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality signals, all in-row JVM
+    expressions (functions/webtext.py gopher_signals)."""
+    return W.gopher_signals(_t(spark, sf_dir, "documents"))
+
+
+@q("docs_line_dedup", """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents),
+lines AS (
+  SELECT doc_id, s.i AS pos,
+         array_to_string(list_slice(tk, s.i*10+1, s.i*10+10), ' ') AS line
+  FROM toks, generate_series(0, 63) s(i)
+  WHERE s.i*10 < len(tk)),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM lines) WHERE rn = 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+       string_agg(line, chr(10) ORDER BY pos) AS dedup_text
+FROM kept GROUP BY doc_id
+""")
+def docs_line_dedup(spark, sf_dir):
+    """Corpus-level first-seen line dedup (RefinedWeb-style), lines
+    derived by deterministic 10-token wrap (the synthetic corpus is
+    single-line).  groupBy-min keyed on line content — map-side combine,
+    no hot-line window sort (functions/webtext.py dedup_lines)."""
+    return W.dedup_lines(_t(spark, sf_dir, "documents"))
+
+
+@q("docs_dedup_clusters", "WITH RECURSIVE " + _LSH_PAIRS_CTES + """
+, edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION SELECT id_b, id_a FROM lsh_pairs),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.sz AS BIGINT) AS cluster_size
+FROM lab l JOIN sizes s USING (cluster_id)
+""")
+def docs_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: MinHash-LSH pairs → connected
+    components (min-label propagation, localCheckpoint-pinned rounds) →
+    per-doc cluster id + size.  Oracle = recursive-CTE reachability over
+    the same LSH pair set (functions/webtext.py dedup_clusters)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return W.dedup_clusters(docs, n_hashes=16, bands=4)
+
+
+@q("docs_pii_scrub", """
+WITH aug AS (SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0
+     THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+  || CASE WHEN doc_id % 2 = 0
+     THEN ' or call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+     ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(t,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+      '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS scrub_hash
+FROM aug
+""")
+def docs_pii_scrub(spark, sf_dir):
+    """PII redaction over a deterministically PII-augmented view (the
+    synthetic corpus carries no PII, so the query injects emails on
+    doc_id%3==0 and phones on doc_id%2==0, then counts + scrubs them —
+    functions/webtext.py pii_counts/scrub_pii)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(" or call 555-01"),
+                        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"))
+               ).otherwise(F.lit("")))
+    n_emails, n_phones = W.pii_counts(aug)
+    return docs.select(
+        "doc_id", n_emails.alias("n_emails"), n_phones.alias("n_phones"),
+        F.md5(W.scrub_pii(aug)).alias("scrub_hash"))
+
+
+@q("emb_int8_quantize", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, e,
+      greatest(list_max(list_transform(e, x -> abs(x))), 1e-12)/127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, scale,
+      list_transform(e, x -> CAST(round(x/scale, 0) AS BIGINT)) AS qv FROM s)
+SELECT vec_id, round(scale, 8) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS saturated
+FROM q
+""")
+def emb_int8_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization stats (scale, |q|_1,
+    saturated dims) — the embedding-storage scale path
+    (functions/webtext.py int8_quant_stats)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sc, l1, sat = W.int8_quant_stats(F.col("embedding"))
+    return emb.select("vec_id", sc, l1, sat)

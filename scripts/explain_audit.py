@@ -35,6 +35,18 @@ CHECKS = {
     # bucket), never a nested-loop/cartesian pairing
     "emb_near_dup_pairs_lsh": ([], ["BroadcastNestedLoopJoin",
                                     "CartesianProduct"]),
+    # gopher signals are pure in-row expressions: the plan must be a
+    # narrow projection over the pruned scan — no shuffle, no window
+    "docs_gopher_quality": (["ReadSchema: struct<doc_id:bigint,text:string>"],
+                            ["Exchange", "Window", "CartesianProduct"]),
+    # corpus line dedup: keyed hash aggregations (map-side combine),
+    # never a window sort over the hot line partition
+    "docs_line_dedup": (["HashAggregate"], ["Window", "CartesianProduct"]),
+    "emb_int8_quantize": (
+        ["ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+        ["Exchange", "CartesianProduct"]),
+    "docs_pii_scrub": (["ReadSchema: struct<doc_id:bigint,text:string>"],
+                       ["Exchange", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

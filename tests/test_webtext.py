@@ -1,0 +1,109 @@
+"""Unit tests for functions/webtext.py (Gopher signals, line dedup,
+connected components, PII scrub, int8 quantization)."""
+
+from pyspark.sql import functions as F
+
+from pink_spider_spark.functions import webtext as W
+
+
+def test_gopher_signals_hand_doc(spark):
+    df = spark.createDataFrame([(1, "aa aa aa bb")], ["doc_id", "text"])
+    r = W.gopher_signals(df).collect()[0]
+    assert r.n_words == 4
+    assert r.mean_word_len == 2.0
+    assert r.ttr == 0.5
+    assert r.top_token_frac == 0.75
+    assert r.passes_gopher is False  # n_words < 40
+
+
+def test_gopher_signals_case_insensitive(spark):
+    df = spark.createDataFrame([(1, "The THE the")], ["doc_id", "text"])
+    r = W.gopher_signals(df).collect()[0]
+    assert r.ttr == 0.3333 and r.top_token_frac == 1.0
+
+
+def test_wrap_lines_clips_last_line(spark):
+    df = spark.createDataFrame([("a b c d e",)], ["text"])
+    (lines,) = df.select(W.wrap_lines(F.col("text"), k=2).alias("l")).first()
+    assert lines == ["a b", "c d", "e"]
+
+
+def test_dedup_lines_first_seen_wins(spark):
+    # doc 1: [X, Y]; doc 2: [X, Z] -> doc 2 keeps only Z
+    df = spark.createDataFrame(
+        [(1, "x1 x2 y1 y2"), (2, "x1 x2 z1 z2")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.dedup_lines(df, k=2).collect()}
+    assert out[1].kept_lines == 2 and out[1].dedup_text == "x1 x2\ny1 y2"
+    assert out[2].kept_lines == 1 and out[2].dedup_text == "z1 z2"
+
+
+def test_dedup_lines_fully_duplicate_doc_vanishes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], ["doc_id", "text"])
+    out = W.dedup_lines(df, k=2).collect()
+    assert len(out) == 1 and out[0].doc_id == 1
+
+
+def test_dedup_lines_reassembly_preserves_position_order(spark):
+    df = spark.createDataFrame([(1, "b1 b2 a1 a2 c1 c2")], ["doc_id", "text"])
+    (row,) = W.dedup_lines(df, k=2).collect()
+    assert row.dedup_text == "b1 b2\na1 a2\nc1 c2"  # position order, not lexical
+
+
+def test_connected_components_hand_graph(spark):
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 10, 11, 20)],
+                                  ["node"])
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["src", "dst"])
+    got = {r.node: r.label
+           for r in W.connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_chain_converges(spark):
+    # path graph 0-1-2-...-7: needs several propagation rounds
+    nodes = spark.createDataFrame([(n,) for n in range(8)], ["node"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(7)],
+                                  ["src", "dst"])
+    got = {r.node: r.label
+           for r in W.connected_components(nodes, edges).collect()}
+    assert got == {n: 0 for n in range(8)}
+
+
+def test_dedup_clusters_exact_duplicates_cluster_together(spark):
+    txt = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(0, txt), (1, txt), (2, other)], ["doc_id", "text"])
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in W.dedup_clusters(df).collect()}
+    assert got[0] == (0, 2) and got[1] == (0, 2)
+    assert got[2] == (2, 1)
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@sub.example.org or 555-0142 ok")],
+        ["doc_id", "text"])
+    ne, np_ = W.pii_counts(F.col("text"))
+    r = df.select(ne.alias("e"), np_.alias("p"),
+                  W.scrub_pii(F.col("text")).alias("s")).first()
+    assert r.e == 1 and r.p == 1
+    assert r.s == "mail me at <EMAIL> or <PHONE> ok"
+
+
+def test_pii_scrub_no_matches_is_identity(spark):
+    df = spark.createDataFrame([(1, "nothing sensitive here")],
+                               ["doc_id", "text"])
+    r = df.select(W.scrub_pii(F.col("text")).alias("s")).first()
+    assert r.s == "nothing sensitive here"
+
+
+def test_int8_quant_stats_hand_vector(spark):
+    df = spark.createDataFrame([(1, [1.0, -0.5, 0.25, 0.0])],
+                               ["vec_id", "embedding"])
+    sc, l1, sat = W.int8_quant_stats(F.col("embedding"))
+    r = df.select(sc, l1, sat).first()
+    assert abs(r.scale - 1.0 / 127.0) <= 5e-9  # scale is rounded to 8 dp
+    # q = [127, -64 (63.5 rounds half-up away from zero), 32 (31.75->32), 0]
+    assert r.q_l1 == 127 + 64 + 32
+    assert r.saturated == 1
