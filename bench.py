@@ -68,6 +68,27 @@ def main():
     robots_pdf = robots_rows()
     robots_pdf["max_per_wave"] = 1_000_000
     robots = spark.createDataFrame(robots_pdf)
+
+    # crawl warmup (excluded from timing, like the query warmup above):
+    # the FIRST crawl of a session pays ~45 s of one-time cost — Python
+    # worker fork + pandas/pyarrow import in every mapInPandas slot, JVM
+    # codegen JIT for each distinct wave-job shape, shuffle/localCheckpoint
+    # store init.  A 200-page/50-seed single wave pays all of it on a
+    # trivial input so the timed run below measures steady-state
+    # throughput (the regime that matters at 10^10-URL waves, where cold
+    # start amortizes to zero).  Measured: same 8k run is ~18 s warm vs
+    # 60-75 s cold depending on host window.
+    warm_pages = gen_pages_spark(spark, 200, items, weight=4).cache()
+    warm_pages.count()
+    warm_root = tempfile.mkdtemp(prefix="bench_crawl_warm_")
+    # wave_order_threshold=0: the warmup exercises the DISTRIBUTED
+    # ordering path (the one the timed waves use), not the small-batch
+    # global window
+    CrawlDriver(spark, TableStore(warm_root), warm_pages, robots, items,
+                CrawlConfig(max_depth=1, max_waves=1,
+                            wave_order_threshold=0)).run(seed_urls(50))
+    shutil.rmtree(warm_root, ignore_errors=True)
+    warm_pages.unpersist()
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     driver = CrawlDriver(spark, TableStore(root), pages, robots, items,
                          CrawlConfig(max_depth=1, max_waves=10))

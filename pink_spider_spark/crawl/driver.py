@@ -78,6 +78,12 @@ class CrawlConfig:
     # default parity contract stays rule-free; the simulator carries the
     # same rules for parity when enabled.
     trap_filter: bool = False
+    # Batch size above which wave_order switches from the single global
+    # window to the distributed range-partition + offset strategy (see
+    # scheduler.wave_order).  0 forces distributed for any batch — used
+    # by warmup runs so even tiny waves exercise (and JIT-warm) the
+    # scale path and never emit the single-partition WindowExec warning.
+    wave_order_threshold: int = 2048
 
 
 class CrawlDriver:
@@ -406,7 +412,10 @@ class CrawlDriver:
         # range-partition + offset strategy (see scheduler.wave_order)
         def build_seen() -> DataFrame:
             seen_new = (
-                scheduler.wave_order(batch, cache_registry=wave_caches).select(
+                scheduler.wave_order(
+                    batch,
+                    distributed_threshold=self.config.wave_order_threshold,
+                    cache_registry=wave_caches).select(
                     "url",
                     F.lit(wave).alias("first_wave"),
                     (F.lit(seen_count) + F.col("wave_pos")).cast("long")
