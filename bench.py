@@ -28,6 +28,8 @@ HEADLINE = [
     "emb_knn_of_vec0",
     "emb_lsh_buckets",
     "emb_near_dup_pairs_lsh",
+    "docs_gopher_quality",
+    "docs_line_dedup",
 ]
 
 

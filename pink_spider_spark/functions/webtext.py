@@ -213,3 +213,98 @@ def int8_quant_stats(vec_col: Column) -> tuple[Column, Column, Column]:
     return (F.round(scale, 8).alias("scale"),
             l1.alias("q_l1"),
             sat.alias("saturated"))
+
+
+# ---------------------------------------------------------- repetition
+def bigrams(text_col: Column) -> Column:
+    """Word 2-grams as an array (lowercased tokens)."""
+    tk = X.tokens(F.lower(text_col))
+    n = F.size(tk)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)))
+
+
+def trigrams(text_col: Column) -> Column:
+    tk = X.tokens(F.lower(text_col))
+    n = F.size(tk)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                              F.element_at(tk, i + 1),
+                              F.element_at(tk, i + 2)))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition rules 5/6-style: the most frequent word-bigram's
+    share of all bigrams, and the fraction of trigram OCCURRENCES whose
+    trigram repeats within the document.  Explode + count keyed on
+    (doc_id, gram) — two map-side-combining aggregations hash-partitioned
+    by document, linear at any corpus size (requires ≥3 tokens/doc)."""
+    bi = (df.select(F.col(id_col),
+                    F.explode(bigrams(F.col(text_col))).alias("g"))
+          .groupBy(id_col, "g").agg(F.count("*").alias("c"))
+          .groupBy(id_col)
+          .agg(F.max("c").alias("max_bi"), F.sum("c").alias("n_bi")))
+    tri = (df.select(F.col(id_col),
+                     F.explode(trigrams(F.col(text_col))).alias("g"))
+           .groupBy(id_col, "g").agg(F.count("*").alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                .alias("dup_tri"),
+                F.sum("c").alias("n_tri")))
+    return (bi.join(tri, id_col)
+            .select(id_col,
+                    F.round(F.col("max_bi") / F.col("n_bi").cast("double"), 4)
+                    .alias("top_bigram_frac"),
+                    F.round(F.col("dup_tri") / F.col("n_tri").cast("double"), 4)
+                    .alias("dup_trigram_frac")))
+
+
+# --------------------------------------------------------------- tf-idf
+def distinctive_terms_topk(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k distinctive terms per document: ranked by (tf DESC, df ASC,
+    token ASC) — term frequency first, corpus rarity as the tie-break —
+    with the tf-idf score (tf·ln((N+1)/(df+1))) exposed rounded.  The
+    rank key is all-integer so the ordering is bit-stable across engines
+    (ranking directly on the float score would hinge on ulp-level libm
+    agreement).  Shuffles are keyed on token (df) and doc (tf/top-k) —
+    both linear; the df side is a broadcast-sized aggregate for any
+    real vocabulary."""
+    tok = (df.select(F.col(id_col),
+                     F.explode(X.tokens(F.lower(F.col(text_col))))
+                     .alias("token")))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = (tok.select(id_col, "token").distinct()
+             .groupBy("token").agg(F.count("*").alias("df")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("tf"), F.asc("df"), F.asc("token")))
+    return (tf.join(dfreq, "token")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "token", F.col("rank").cast("long").alias("rank"),
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    F.round(F.col("tf") * F.log(
+                        F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 4)
+                    .alias("tfidf")))
+
+
+# ------------------------------------------------------------ sampling
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.1) -> DataFrame:
+    """Deterministic hash-based stratified sampling (training-mix
+    construction): keep a row iff h60(id)%10000 < rate[stratum]*10000.
+    Pure in-row predicate — pushes into the scan, no shuffle, and the
+    same row set is selected on every engine/run (unlike df.sample)."""
+    h = X.h60(F.col(id_col).cast("string"))
+    rate = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
+    return df.filter(F.pmod(h, F.lit(10000)) <
+                     (rate * 10000).cast("long"))

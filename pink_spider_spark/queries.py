@@ -1102,3 +1102,68 @@ def emb_int8_quantize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sc, l1, sat = W.int8_quant_stats(F.col("embedding"))
     return emb.select("vec_id", sc, l1, sat)
+
+
+@q("docs_repetition_signals", """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+bi AS (
+  SELECT doc_id, tk[s.i] || ' ' || tk[s.i+1] AS g
+  FROM t, generate_series(1, 400) s(i) WHERE s.i < len(tk)),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bia AS (SELECT doc_id, max(c) AS max_bi, sum(c) AS n_bi FROM bic GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, tk[s.i] || ' ' || tk[s.i+1] || ' ' || tk[s.i+2] AS g
+  FROM t, generate_series(1, 400) s(i) WHERE s.i + 1 < len(tk)),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tria AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+                sum(c) AS n_tri FROM tric GROUP BY doc_id)
+SELECT b.doc_id, round(max_bi / CAST(n_bi AS DOUBLE), 4) AS top_bigram_frac,
+       round(dup_tri / CAST(n_tri AS DOUBLE), 4) AS dup_trigram_frac
+FROM bia b JOIN tria t2 ON b.doc_id = t2.doc_id
+""")
+def docs_repetition_signals(spark, sf_dir):
+    """Gopher repetition rules: top-bigram share + duplicated-trigram
+    occurrence fraction (functions/webtext.py repetition_signals)."""
+    return W.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@q("docs_distinctive_terms", """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) t(token)),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY token),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rank
+  FROM tf JOIN dfreq USING (token))
+SELECT doc_id, token, CAST(rank AS BIGINT) AS rank, tf, df,
+  round(tf * ln((nd.n + 1.0) / (df + 1)), 4) AS tfidf
+FROM ranked, nd WHERE rank <= 3
+""")
+def docs_distinctive_terms(spark, sf_dir):
+    """Top-3 distinctive terms per doc by the all-integer (tf DESC,
+    df ASC, token ASC) key, tf-idf exposed rounded (functions/webtext.py
+    distinctive_terms_topk)."""
+    return W.distinctive_terms_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@q("docs_stratified_sample", """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
+  CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END
+       * 10000 AS BIGINT)
+""")
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling for training-mix
+    construction: 50% of en, 20% of zh, 10% of the rest — same rows on
+    every engine/run (functions/webtext.py stratified_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (W.stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.2},
+                                default_rate=0.1)
+            .select("doc_id", "lang", "source"))

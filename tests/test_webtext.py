@@ -107,3 +107,48 @@ def test_int8_quant_stats_hand_vector(spark):
     # q = [127, -64 (63.5 rounds half-up away from zero), 32 (31.75->32), 0]
     assert r.q_l1 == 127 + 64 + 32
     assert r.saturated == 1
+
+
+def test_repetition_signals_hand_doc(spark):
+    # tokens: a b a b a  -> bigrams: ab, ba, ab, ba (top 2/4); trigrams:
+    # aba, bab, aba -> dup occurrences 2/3
+    df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    r = W.repetition_signals(df).collect()[0]
+    assert r.top_bigram_frac == 0.5
+    assert r.dup_trigram_frac == 0.6667
+
+
+def test_repetition_signals_no_repeats(spark):
+    df = spark.createDataFrame([(1, "q w e r t y")], ["doc_id", "text"])
+    r = W.repetition_signals(df).collect()[0]
+    assert r.top_bigram_frac == 0.2  # every bigram unique: 1/5
+    assert r.dup_trigram_frac == 0.0
+
+
+def test_distinctive_terms_rank_key(spark):
+    # doc 1: 'x' tf=2; 'common' tf=2 but df=2 -> x (df=1) ranks first
+    df = spark.createDataFrame(
+        [(1, "x x common common y"), (2, "common z")], ["doc_id", "text"])
+    out = {(r.doc_id, r.rank): r for r in
+           W.distinctive_terms_topk(df, k=2).collect()}
+    assert out[(1, 1)].token == "x" and out[(1, 1)].tf == 2
+    assert out[(1, 2)].token == "common" and out[(1, 2)].df == 2
+    # tfidf = tf * ln((N+1)/(df+1)) = 2*ln(3/2) for x
+    import math
+    assert abs(out[(1, 1)].tfidf - round(2 * math.log(3 / 2), 4)) < 1e-9
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = {r.doc_id for r in
+            W.stratified_sample(df, "lang", {"en": 0.5}, default_rate=0.1)
+            .collect()}
+    out2 = {r.doc_id for r in
+            W.stratified_sample(df, "lang", {"en": 0.5}, default_rate=0.1)
+            .collect()}
+    assert out1 == out2  # deterministic
+    en = sum(1 for i in out1 if i % 2 == 0)
+    fr = len(out1) - en
+    assert 400 <= en <= 600    # ~50% of 1000
+    assert 50 <= fr <= 150     # ~10% of 1000
