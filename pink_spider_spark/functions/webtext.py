@@ -308,3 +308,116 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
         rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
     return df.filter(F.pmod(h, F.lit(10000)) <
                      (rate * 10000).cast("long"))
+
+
+# ----------------------------------------------------- decontamination
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Word n-grams (space-joined, lowercased); empty array when the
+    document has fewer than n tokens."""
+    tk = X.tokens(F.lower(text_col))
+    m = F.size(tk)
+    return F.when(m >= n, F.transform(
+        F.sequence(F.lit(1), m - (n - 1)),
+        lambda i: F.array_join(F.slice(tk, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,
+                  threshold: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C / Llama-style n-gram
+    overlap): for every candidate document, the fraction of its DISTINCT
+    word n-grams that appear anywhere in the benchmark/eval set.  A doc
+    is ``contaminated`` when that fraction reaches ``threshold``.
+
+    Scale shape: the benchmark side is an eval suite — MBs, not TBs —
+    so its distinct-gram set is broadcast; the corpus side computes
+    per-doc distinct grams IN-ROW (``array_distinct`` before the
+    explode, no (doc,gram) shuffle) and the only exchange is the
+    doc-keyed count aggregation with map-side combine.  Linear in
+    corpus size, no skew surface (gram hot-ness never forms a join
+    key on the big side — the join is broadcast-hash)."""
+    cand = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+        .alias("gram"))
+    bgrams = (bench.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct().withColumn("hit", F.lit(1)))
+    scored = (cand.join(F.broadcast(bgrams), "gram", "left")
+              .groupBy(id_col)
+              .agg(F.count("*").cast("long").alias("n_grams"),
+                   F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                   .cast("long").alias("hit_grams")))
+    frac = F.round(F.col("hit_grams") / F.col("n_grams").cast("double"), 4)
+    return scored.select(
+        id_col, "n_grams", "hit_grams", frac.alias("contamination_frac"),
+        (frac >= threshold).alias("contaminated"))
+
+
+# ----------------------------------------------------- unigram LM score
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality proxy: corpus unigram model P(w) = c_w/total,
+    per-document score = -mean log2 P(w) (bits/token — the exponent of a
+    unigram perplexity).  Outlier-high means rare-token soup; outlier-low
+    means degenerate repetition — both are filter targets.
+
+    Two doc-independent aggregations, both linear: a token-keyed count
+    (the vocabulary — small, broadcast back) and a doc-keyed average.
+    The corpus total rides the vocab frame via a broadcast single-row
+    cross join, so the corpus is scanned exactly twice and no scalar
+    ever blocks on the driver."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(X.tokens(F.lower(F.col(text_col)))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total))
+    return (tok.join(F.broadcast(model), "token")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(-F.avg(F.log2(F.col("c").cast("double")
+                                       / F.col("total"))), 4)
+                 .alias("bits_per_token")))
+
+
+# ------------------------------------------------- filter pipeline
+def filter_pipeline(docs: DataFrame, bench: DataFrame, n: int = 3,
+                    threshold: float = 0.5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """End-to-end kept-corpus decision — the materialization step of a
+    training-data pipeline: a document is kept iff it (1) passes the
+    Gopher quality gate, (2) is the first-seen copy of its normalized
+    fingerprint (exact dedup), (3) is not n-gram-contaminated against
+    the benchmark, and (4) is not itself a benchmark document.  Emits
+    one row per document with each component verdict, so the decision
+    is auditable (why was this doc dropped?).
+
+    All components reuse the individually-verified operators; the plan
+    is three doc-keyed joins (fingerprint-keyed dedup agg + two
+    broadcast-fed aggregates), every shuffle keyed on doc or
+    fingerprint — linear, no skew surface."""
+    bench_ids = bench.select(F.col(id_col)).withColumn("in_b", F.lit(True))
+    cand = docs.join(bench_ids.select(id_col), id_col, "left_anti")
+    g = gopher_signals(docs, text_col, id_col).select(
+        id_col, "passes_gopher")
+    cont = contamination(cand, bench, n, threshold, text_col, id_col) \
+        .select(id_col, "contaminated")
+    keepers = (docs
+               .withColumn("fp", X.fingerprint(F.col(text_col)))
+               .groupBy("fp").agg(F.min(id_col).alias(id_col))
+               .select(id_col).withColumn("is_keeper", F.lit(True)))
+    out = (docs.select(id_col)
+           .join(g, id_col)
+           .join(F.broadcast(bench_ids), id_col, "left")
+           .join(cont, id_col, "left")
+           .join(keepers, id_col, "left"))
+    in_bench = F.coalesce(F.col("in_b"), F.lit(False))
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    is_dup = ~F.coalesce(F.col("is_keeper"), F.lit(False))
+    return out.select(
+        id_col, "passes_gopher", in_bench.alias("in_benchmark"),
+        contaminated.alias("contaminated"), is_dup.alias("is_dup"),
+        (F.col("passes_gopher") & ~in_bench & ~contaminated & ~is_dup)
+        .alias("kept"))

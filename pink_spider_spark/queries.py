@@ -1167,3 +1167,97 @@ def docs_stratified_sample(spark, sf_dir):
     return (W.stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.2},
                                 default_rate=0.1)
             .select("doc_id", "lang", "source"))
+
+
+@q("docs_decontaminate", """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, s.i, s.i + 2), ' ') AS gram
+      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 2 <= len(tk)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
+sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hit_grams
+       FROM g LEFT JOIN bench b ON g.gram = b.gram
+       WHERE g.doc_id % 23 != 0 GROUP BY g.doc_id)
+SELECT doc_id, n_grams, hit_grams,
+       round(hit_grams / CAST(n_grams AS DOUBLE), 4) AS contamination_frac,
+       (round(hit_grams / CAST(n_grams AS DOUBLE), 4) >= 0.5) AS contaminated
+FROM sc
+""")
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct word-3-gram overlap of every
+    candidate doc against the benchmark set (doc_id % 23 == 0 stands in
+    for an eval suite); contaminated at >= 50% overlap
+    (functions/webtext.py contamination — broadcast bench grams,
+    in-row distinct, single doc-keyed agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cand = docs.filter(F.col("doc_id") % 23 != 0)
+    return W.contamination(cand, bench, n=3, threshold=0.5)
+
+
+@q("docs_unigram_logprob", """
+WITH tok AS (SELECT doc_id, t.token
+             FROM documents,
+                  UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  t(token)),
+v AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS total FROM v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(log2(c / total)), 4) AS bits_per_token
+FROM tok JOIN v USING (token), tot
+GROUP BY doc_id
+""")
+def docs_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy: -mean log2 P(token) per doc
+    under the corpus unigram model (functions/webtext.py
+    unigram_logprob)."""
+    return W.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@q("docs_filter_pipeline", """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+m AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS n FROM t),
+sig AS (SELECT doc_id,
+  (CAST(n AS BIGINT) >= 40
+   AND round(list_sum(list_transform(tk, x -> length(x)))/n, 4) >= 3.0
+   AND round(list_sum(list_transform(tk, x -> length(x)))/n, 4) <= 10.0
+   AND round(len(list_distinct(tk))/n, 4) >= 0.35
+   AND round(list_max(list_transform(list_distinct(tk),
+         d -> len(list_filter(tk, x -> x = d))))/n, 4) <= 0.12)
+  AS passes_gopher FROM m),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, s.i, s.i + 2), ' ') AS gram
+      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 2 <= len(tk)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
+cont AS (SELECT g.doc_id,
+         (round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE), 4) >= 0.5) AS contaminated
+         FROM g LEFT JOIN bench b ON g.gram = b.gram
+         WHERE g.doc_id % 23 != 0 GROUP BY g.doc_id),
+keepers AS (SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents) GROUP BY fp)
+SELECT d.doc_id, s.passes_gopher,
+       (d.doc_id % 23 = 0) AS in_benchmark,
+       coalesce(c.contaminated, FALSE) AS contaminated,
+       (k.doc_id IS NULL) AS is_dup,
+       (s.passes_gopher AND d.doc_id % 23 != 0
+        AND NOT coalesce(c.contaminated, FALSE)
+        AND k.doc_id IS NOT NULL) AS kept
+FROM documents d
+JOIN sig s ON d.doc_id = s.doc_id
+LEFT JOIN cont c ON d.doc_id = c.doc_id
+LEFT JOIN keepers k ON d.doc_id = k.doc_id
+""")
+def docs_filter_pipeline(spark, sf_dir):
+    """End-to-end kept-corpus decision: Gopher gate AND first-seen
+    fingerprint AND not contaminated AND not a benchmark doc — one
+    auditable row per document (functions/webtext.py filter_pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    return W.filter_pipeline(docs, bench, n=3, threshold=0.5)

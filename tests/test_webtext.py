@@ -152,3 +152,69 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
     fr = len(out1) - en
     assert 400 <= en <= 600    # ~50% of 1000
     assert 50 <= fr <= 150     # ~10% of 1000
+
+
+def test_contamination_hand_docs(spark):
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")],
+                                  ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),       # exact copy -> frac 1.0
+         (2, "alpha beta gamma nine ten"),    # 1 of 3 distinct 3-grams
+         (3, "one two three four five")],     # no overlap
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.contamination(docs, bench, n=3).collect()}
+    assert out[1].contamination_frac == 1.0 and out[1].contaminated
+    assert out[2].n_grams == 3 and out[2].hit_grams == 1
+    assert out[2].contamination_frac == 0.3333 and not out[2].contaminated
+    assert out[3].hit_grams == 0 and not out[3].contaminated
+
+
+def test_contamination_distinct_gram_semantics(spark):
+    # repeated gram in the candidate counts once (distinct semantics)
+    bench = spark.createDataFrame([(9, "x y z")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "x y z x y z")], ["doc_id", "text"])
+    r = W.contamination(docs, bench, n=3).collect()[0]
+    # distinct grams of doc 1: "x y z", "y z x", "z x y" -> 1 hit of 3
+    assert r.n_grams == 3 and r.hit_grams == 1
+
+
+def test_unigram_logprob_hand_corpus(spark):
+    import math
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.unigram_logprob(df).collect()}
+    # counts: a=2 b=2 c=1, total=5
+    assert out[1].n_tokens == 3
+    assert out[1].bits_per_token == round(-math.log2(2 / 5), 4)
+    assert out[2].bits_per_token == round(
+        -(math.log2(2 / 5) + math.log2(1 / 5)) / 2, 4)
+
+
+def test_filter_pipeline_component_verdicts(spark):
+    passing = " ".join(f"tok{i:02d}" for i in range(40))
+    bench_text = " ".join(f"bch{i:02d}" for i in range(40))
+    contaminated = bench_text + " extra words here now"
+    docs = spark.createDataFrame(
+        [(1, passing),            # kept
+         (2, passing),            # dup of 1 -> dropped
+         (3, bench_text),         # the benchmark doc itself -> dropped
+         (4, contaminated),       # gopher-passing but contaminated
+         (5, "a a a")],           # fails gopher
+        ["doc_id", "text"])
+    bench = docs.filter("doc_id = 3")
+    out = {r.doc_id: r for r in
+           W.filter_pipeline(docs, bench, n=3).collect()}
+    assert out[1].kept and out[1].passes_gopher and not out[1].is_dup
+    assert out[2].is_dup and not out[2].kept
+    assert out[3].in_benchmark and not out[3].kept
+    assert out[4].passes_gopher and out[4].contaminated and not out[4].kept
+    assert not out[5].passes_gopher and not out[5].kept
+    assert sum(1 for r in out.values() if r.kept) == 1
+
+
+def test_contamination_plan_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    plan = (W.contamination(docs, docs, n=2)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
