@@ -47,6 +47,18 @@ CHECKS = {
         ["Exchange", "CartesianProduct"]),
     "docs_pii_scrub": (["ReadSchema: struct<doc_id:bigint,text:string>"],
                        ["Exchange", "CartesianProduct"]),
+    # decontamination: bench gram set joins broadcast-hash; the corpus
+    # side never sort-merges on the gram key
+    "docs_decontaminate": (["BroadcastHashJoin"],
+                           ["SortMergeJoin", "BroadcastNestedLoopJoin",
+                            "CartesianProduct"]),
+    # unigram LM: vocab and total both come back broadcast — no
+    # sort-merge anywhere; doc/token hash aggregations only
+    "docs_unigram_logprob": (["BroadcastHashJoin", "HashAggregate"],
+                             ["SortMergeJoin", "CartesianProduct"]),
+    # stratified sample: in-row hash predicate, no shuffle at all
+    "docs_stratified_sample": ([], ["Exchange", "Window",
+                                    "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface
