@@ -1,0 +1,97 @@
+"""Link-graph PageRank for frontier prioritization.
+
+A Common-Crawl-scale frontier should not dequeue in FIFO/seed order:
+authority-ranked hosts first is the standard production policy (cf.
+Common Crawl's harmonic-centrality-ranked seed lists).  The crawl
+already materializes the link graph — every entries row carries
+``(url, links)`` — so rank is derivable from the engine's own tables
+with no new source.
+
+- ``pagerank(edges)``     — generic iterative PageRank over a distinct
+  (src, dst) edge frame.  Dangling mass is dropped (nodes with no
+  out-edges contribute nothing; they still receive teleport + inbound
+  mass) — the common simplified variant, mirrored exactly by the SQL
+  oracle (`graph_pagerank` in queries.py).
+- ``host_pagerank(entries)`` — host-level edges from extracted pages.
+- ``with_host_rank_priority(frontier, ranks)`` — joins host rank onto
+  frontier rows as the priority column (an OPT-IN priority source; the
+  default wave priority is untouched so reference-ordering parity is
+  preserved).
+
+Scale shape (10^10 URLs): host-level, so the graph is ~10^7 nodes, not
+10^10 — ranks and out-degrees are broadcast-sized; each iteration is
+one src-keyed broadcast join + one dst-keyed linear aggregation with
+map-side combine.  ``localCheckpoint`` truncates lineage per round
+(same policy as webtext.connected_components).  Determinism: ranks are
+rounded to 8 dp every round, so Spark and the oracle walk identical
+trajectories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import host_col
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             decimals: int = 8) -> DataFrame:
+    """Iterative PageRank over distinct (src, dst) edges → (node, rank).
+    Node set = src ∪ dst; init 1/n; per round:
+    rank(v) = (1-d)/n + d·Σ rank(u)/outdeg(u) over in-edges u→v."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double")
+                                  .alias("outdeg"))
+    ranks = (nodes.crossJoin(F.broadcast(nn))
+             .select("node", F.round(F.lit(1.0) / F.col("n"), decimals)
+                     .alias("rank")))
+    for _ in range(iters):
+        contribs = (e.join(outdeg, "src")
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c")))
+        ranks = (nodes.crossJoin(F.broadcast(nn))
+                 .join(contribs.withColumnRenamed("dst", "node"),
+                       "node", "left")
+                 .select("node", F.round(
+                     F.lit(1.0 - damping) / F.col("n")
+                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)),
+                     decimals).alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks
+
+
+def host_pagerank(entries: DataFrame, iters: int = 3,
+                  damping: float = 0.85) -> DataFrame:
+    """Host-level PageRank from extracted pages: edges = (host(url) →
+    host(link)) over the entries table's links arrays, self-loops
+    dropped.  Returns (node=host, rank)."""
+    edges = (entries
+             .select(host_col("url").alias("src"),
+                     F.explode("links").alias("link"))
+             .select("src", host_col("link").alias("dst"))
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                     & (F.col("src") != F.col("dst"))))
+    return pagerank(edges, iters=iters, damping=damping)
+
+
+def with_host_rank_priority(frontier: DataFrame, host_ranks: DataFrame,
+                            scale: int = 1_000_000) -> DataFrame:
+    """Replace frontier priority with the host's link-authority rank
+    (scaled to an integer; unknown hosts rank 0).  Opt-in — callers
+    that need reference-ordering parity keep the default priority."""
+    ranked = host_ranks.select(F.col("node").alias("__host"),
+                               (F.col("rank") * scale).cast("long")
+                               .alias("__hr"))
+    return (frontier
+            .withColumn("__host", host_col("url"))
+            .join(F.broadcast(ranked), "__host", "left")
+            .withColumn("priority",
+                        F.coalesce(F.col("__hr"), F.lit(0)).cast("long"))
+            .drop("__host", "__hr"))

@@ -1,0 +1,72 @@
+"""Iterative clustering over embedding columns: deterministic Lloyd's
+k-means expressed as DataFrame ops.
+
+Extends the engine's similarity toolkit (knn/LSH/centroids in
+functions/similarity.py) with the iterative-algorithm class: corpus
+bucketing for training-mix curation (cluster-balanced sampling, topic
+discovery over web text — cf. the clustering stages in CCNet and
+SemDedup-style pipelines).
+
+Scale shape (100 TB): the centroid set is always tiny (k vectors), so
+the assignment step is a broadcast cross join + in-row distance fold —
+no shuffle of the corpus beyond one vec-keyed argmin aggregation; the
+update step is the label_centroids shape (posexplode + (cluster, pos)
+keyed avg with map-side combine).  Every iteration is O(corpus · k)
+work with exactly two linear shuffles; rounds are bounded by ``iters``.
+
+Determinism contract (cross-engine oracle): distances and centroid
+coordinates are rounded (6 dp) at every step, vectors are cast to
+double before any arithmetic, and argmin ties break on the lowest
+centroid id — so Spark and the SQL oracle walk identical trajectories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(emb: DataFrame, centroids: DataFrame, id_col: str,
+            vec_col: str) -> DataFrame:
+    """Nearest centroid per vector: broadcast the k centroids, compute
+    the squared-L2 distance in-row (zip_with + ordered fold — bit-stable
+    evaluation order), argmin via min(struct(dist, cid))."""
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.col("cvec"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x), 6)
+    scored = (emb.crossJoin(F.broadcast(centroids))
+              .select(F.col(id_col), F.col("cid"), dist.alias("d")))
+    return (scored.groupBy(id_col)
+            .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+            .select(F.col(id_col), F.col("m.cid").alias("cluster")))
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  decimals: int = 6) -> DataFrame:
+    """Deterministic Lloyd's k-means: init centroids = the k lowest-id
+    vectors, then ``iters`` rounds of (assign → recompute means).
+    Returns (id, cluster) after the final assignment.  Empty clusters
+    keep no centroid (standard Lloyd's drop behavior)."""
+    vecs = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias(vec_col))
+    centroids = (vecs.filter(F.col(id_col) < k)
+                 .select(F.col(id_col).alias("cid"),
+                         F.col(vec_col).alias("cvec")))
+    assigned = _assign(vecs, centroids, id_col, vec_col)
+    for _ in range(iters - 1):
+        members = (assigned.join(vecs, id_col)
+                   .select("cluster",
+                           F.posexplode(vec_col).alias("pos", "v")))
+        centroids = (members.groupBy("cluster", "pos")
+                     .agg(F.round(F.avg("v"), decimals).alias("cv"))
+                     .groupBy("cluster")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct("pos", "cv"))).alias("pairs"))
+                     .select(F.col("cluster").alias("cid"),
+                             F.transform(F.col("pairs"),
+                                         lambda p: p["cv"]).alias("cvec")))
+        assigned = _assign(vecs, centroids, id_col, vec_col)
+    return assigned

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .crawl import rank as K
+from .functions import clustering as C
 from .functions import similarity as S
 from .functions import text as X
 from .functions import webtext as W
@@ -1261,3 +1263,79 @@ def docs_filter_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     return W.filter_pipeline(docs, bench, n=3, threshold=0.5)
+
+
+@q("emb_kmeans", """
+WITH e AS (SELECT vec_id, s.i AS pos, CAST(embedding[s.i] AS DOUBLE) AS val
+           FROM embeddings, generate_series(1, 64) s(i)),
+c0 AS (SELECT vec_id AS cid, pos, val FROM e WHERE vec_id < 8),
+d1 AS (SELECT e.vec_id, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.cid, e.pos, round(avg(e.val), 6) AS val
+       FROM a1 JOIN e USING (vec_id) GROUP BY a1.cid, e.pos),
+d2 AS (SELECT e.vec_id, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
+""")
+def emb_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 2 iterations, init = the 8
+    lowest-id vectors): iterative broadcast-assign + centroid-mean
+    rounds (functions/clustering.py kmeans_assign).  The iterative-
+    algorithm class: every round is a broadcast cross join + two linear
+    keyed shuffles, trajectory pinned cross-engine by 6-dp rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return C.kmeans_assign(emb, k=8, iters=2)
+
+
+@q("graph_pagerank", """
+WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM ed GROUP BY src),
+r0 AS (SELECT node, round(1.0 / nn.n, 8) AS rank FROM nodes, nn),
+p1 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r0 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(p1.c, 0), 8) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN p1 ON nodes.node = p1.node),
+p2 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r1 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(p2.c, 0), 8) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN p2 ON nodes.node = p2.node),
+p3 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r2 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(p3.c, 0), 8) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN p3 ON nodes.node = p3.node)
+SELECT node, rank FROM r3
+""")
+def graph_pagerank(spark, sf_dir):
+    """Link-graph PageRank (3 rounds, d=0.85, 8-dp-pinned trajectory)
+    over the customer→supplier purchase graph — the frontier-priority
+    algorithm (crawl/rank.py pagerank / host_pagerank), oracle-checked
+    on a deterministic edge set derived from the testdata star schema."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst")))
+    return K.pagerank(edges, iters=3, damping=0.85)

@@ -1,0 +1,32 @@
+"""Deterministic Lloyd's k-means (functions/clustering.py) — hand pins."""
+
+from pink_spider_spark.functions import clustering as C
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_two_clear_clusters(spark):
+    df = _emb(spark, [(0, [0.0, 0.0]), (1, [10.0, 10.0]),
+                      (2, [1.0, 1.0]), (3, [9.0, 9.0])])
+    out = {r.vec_id: r.cluster for r in
+           C.kmeans_assign(df, k=2, iters=2).collect()}
+    assert out == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_kmeans_tie_breaks_to_lowest_centroid_id(spark):
+    df = _emb(spark, [(0, [0.0, 0.0]), (1, [2.0, 2.0]), (2, [1.0, 1.0])])
+    out = {r.vec_id: r.cluster for r in
+           C.kmeans_assign(df, k=2, iters=1).collect()}
+    assert out[2] == 0  # equidistant to centroids 0 and 1 -> lowest cid
+
+
+def test_kmeans_exact_one_dim_trajectory(spark):
+    # init c0=0, c1=10: assign {0,2,3}->0 (mean 0.5), {1,4}->1 (mean 7.7)
+    # round 2 distances: 5.4 -> |5.4-0.5|=4.9 vs |5.4-7.7|=2.3 -> stays 1
+    df = _emb(spark, [(0, [0.0]), (1, [10.0]), (2, [0.5]),
+                      (3, [1.0]), (4, [5.4])])
+    out = {r.vec_id: r.cluster for r in
+           C.kmeans_assign(df, k=2, iters=2).collect()}
+    assert out == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1}

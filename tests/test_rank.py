@@ -1,0 +1,46 @@
+"""Link-graph PageRank (crawl/rank.py) — hand-computed pins."""
+
+from pink_spider_spark.crawl import rank as K
+
+
+def test_pagerank_hand_graph_one_round(spark):
+    # a->b, a->c, b->c ; n=3, init 1/3, d=0.85
+    # contribs: b <- a/2 = 1/6 ; c <- a/2 + b/1 = 1/2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    r = {x.node: x.rank for x in K.pagerank(edges, iters=1).collect()}
+    assert r["a"] == 0.05                       # teleport only (no in-edges)
+    assert r["b"] == round(0.05 + 0.85 / 6, 8)  # 0.19166667
+    assert r["c"] == round(0.05 + 0.85 / 2, 8)  # 0.475
+    # ranks are rounded to 8 dp each, so the sum is within ~n*5e-9
+    assert abs(sum(r.values()) - (0.05 * 3 + 0.85 * (1 / 6 + 1 / 2))) < 1e-7
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], ["src", "dst"])
+    r = {x.node: x.rank for x in K.pagerank(edges, iters=1).collect()}
+    # outdeg(a) must be 2 (distinct), so b gets a/2 not 2a/3
+    assert r["b"] == round(0.15 / 3 + 0.85 * (1 / 3) / 2, 8)
+
+
+def test_host_pagerank_edges_and_self_loops(spark):
+    entries = spark.createDataFrame(
+        [("http://a.com/x", ["http://b.com/y", "http://a.com/self"]),
+         ("http://b.com/z", ["http://a.com/q"])],
+        ["url", "links"])
+    r = {x.node: x.rank for x in K.host_pagerank(entries, iters=1).collect()}
+    assert set(r) == {"a.com", "b.com"}          # self-loop dropped
+    # symmetric 2-cycle: both converge to 1/2-ish teleport+mass
+    assert r["a.com"] == r["b.com"] == round(0.15 / 2 + 0.85 / 2, 8)
+
+
+def test_with_host_rank_priority(spark):
+    frontier = spark.createDataFrame(
+        [("http://a.com/1", 7), ("http://nowhere.org/2", 7)],
+        ["url", "priority"])
+    ranks = spark.createDataFrame([("a.com", 0.25)], ["node", "rank"])
+    out = {r.url: r.priority for r in
+           K.with_host_rank_priority(frontier, ranks).collect()}
+    assert out["http://a.com/1"] == 250_000
+    assert out["http://nowhere.org/2"] == 0      # unknown host -> 0
