@@ -90,3 +90,39 @@ def contains_filter(df: DataFrame, col: str, query: str) -> Column | DataFrame:
     """Case-insensitive substring search — the ?query= ILIKE '%q%' filter
     (reference: src/main.rs:45-51, src/model/mod.rs:55-58)."""
     return df.filter(F.lower(F.col(col)).contains(query.lower()))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_cols: list,
+              left_time: str = "ts", right_time: str = "ts",
+              payload_cols: list | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Left as-of join: for every left row, the most recent right row
+    with ``right_time <= left_time`` in the same key group (the standard
+    time-series enrichment operator; Spark has no native ASOF JOIN).
+
+    Composed scale-first as ONE union + per-key ordered window with
+    ``last(payload, ignorenulls=True)``: a single shuffle keyed on the
+    join key, linear in |left|+|right| — never a range-explosion or
+    per-row backward scan.  Ties (right_time == left_time) match, like
+    DuckDB/kdb asof semantics: right rows sort before left rows at equal
+    timestamps.  Unmatched left rows keep NULL payload columns.
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns
+        if c not in set(key_cols) | {right_time}]
+    pay = F.struct(F.col(right_time).alias(right_time),
+                   *[F.col(c).alias(c) for c in payload_cols])
+    r = right.select(*key_cols, F.col(right_time).alias("__t"),
+                     F.lit(0).alias("__src"), pay.alias("__p"))
+    l = left.select("*", F.col(left_time).alias("__t"),
+                    F.lit(1).alias("__src"))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(*key_cols).orderBy("__t", "__src")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+               .filter(F.col("__src") == 1))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__m.{right_time}").alias(f"{right_time}{suffix}"))
+    out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}")
+                 for c in payload_cols]
+    return matched.select(*out_cols)

@@ -1339,3 +1339,93 @@ def graph_pagerank(spark, sf_dir):
                      F.concat(F.lit("s"),
                               F.col("l_suppkey").cast("string")).alias("dst")))
     return K.pagerank(edges, iters=3, damping=0.85)
+
+
+@q("events_asof_last_signup", """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS ts_asof, r.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def events_asof_last_signup(spark, sf_dir):
+    """As-of join (time-series enrichment): every click event picks the
+    user's most recent signup event at-or-before its timestamp
+    (operators/relational.py asof_join — one union + per-key ordered
+    window, single key-shuffle, no range explosion); oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup") \
+        .select("user_id", "ts", "value")
+    return R.asof_join(clicks, signups, ["user_id"],
+                       payload_cols=["value"])
+
+
+@q("revenue_rollup", """
+SELECT n.n_name, c.c_mktsegment,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+""")
+def revenue_rollup(spark, sf_dir):
+    """Hierarchical grouping-sets aggregation (ROLLUP nation →
+    segment → grand total): Spark `rollup` with broadcast dim joins —
+    one fact shuffle, subtotal rows computed by Catalyst's Expand."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (joined.rollup("n_name", "c_mktsegment")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("line_count")))
+
+
+@q("events_weekday_pivot", """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+""")
+def events_weekday_pivot(spark, sf_dir):
+    """PIVOT: event counts per weekday × type (Spark `pivot` with an
+    explicit value list so the plan is a single pass, no distinct-values
+    job; DuckDB oracle is the equivalent conditional aggregation).
+    dow is Sunday=0 (Spark dayofweek()-1 == DuckDB dayofweek())."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (ev.withColumn("dow", (F.dayofweek("ts") - 1).cast("long"))
+           .groupBy("dow").pivot("event_type", types).count())
+    return out.select("dow", *[F.coalesce(F.col(t), F.lit(0))
+                               .cast("long").alias(t) for t in types])
+
+
+@q("events_value_quantiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def events_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL percentile_cont semantics; at 100 TB swap to
+    `percentile_approx` — documented trade, exact form is the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99")))

@@ -170,3 +170,35 @@ def test_paginate_routes_agree(spark):
         rb = [(r.o_orderkey, r.page_index) for r in
               b.orderBy("page_index").select("o_orderkey", "page_index").collect()]
         assert ra == rb and len(ra) == 25
+
+
+def test_asof_join_hand_rows(spark):
+    """Match/tie/no-match semantics of the as-of join."""
+    from pink_spider_spark.operators import relational as R
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50), (4, "u3", 10)],
+        ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [("u1", 90, 1.0), ("u1", 200, 2.0), ("u1", 300, 3.0),
+         ("u2", 50, 9.0)],                    # tie: right at exactly l.ts
+        ["user_id", "ts", "value"])
+    out = {r.event_id: r for r in
+           R.asof_join(left, right, ["user_id"],
+                       payload_cols=["value"]).collect()}
+    assert (out[1].ts_asof, out[1].value_asof) == (90, 1.0)   # skips future
+    assert (out[2].ts_asof, out[2].value_asof) == (200, 2.0)  # most recent
+    assert (out[3].ts_asof, out[3].value_asof) == (50, 9.0)   # tie matches
+    assert out[4].ts_asof is None and out[4].value_asof is None  # no match
+    assert len(out) == 4  # every left row survives
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    from pink_spider_spark.operators import relational as R
+
+    left = spark.createDataFrame([(1, "u1", 100)], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame([("u1", 90, 1.0)], ["user_id", "ts", "value"])
+    plan = (R.asof_join(left, right, ["user_id"], payload_cols=["value"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
