@@ -1,0 +1,54 @@
+"""Deterministic distinct-count sketches.
+
+KMV (k-minimum-values / bottom-k) cardinality estimation: keep the k
+smallest values of a uniform hash of the keys; the k-th smallest,
+normalized to [0,1), estimates density, so distinct ≈ (k-1)/norm(kth).
+Unlike HyperLogLog (whose register layout is engine-specific), KMV is a
+pure function of the hash — so Spark and the DuckDB oracle produce
+BIT-IDENTICAL sketches and estimates, which is why it is the engine's
+verifiable sketch primitive (same spirit as the theta sketch family).
+
+Scale shape: the hash is the shared cross-engine h60 (md5-derived, in
+text.py).  The min-k aggregation is two-phase salted — k smallest per
+(group, salt) partition-bounded window, then k smallest of the ≤
+salt·k survivors per group — the same skew-immune dequeue pattern as
+the crawl scheduler's per-host budget; no group ever sorts its full
+distinct set on one task.  Memory per group is O(k), merge is
+union+re-min — the sketch is distributive, so map-side partials work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as X
+
+H_SPACE = float(1 << 60)  # h60 values are uniform in [0, 2^60)
+
+
+def kmv_distinct(df: DataFrame, key_cols: list, value_col: str,
+                 k: int = 64, salts: int = 16) -> DataFrame:
+    """Per-group KMV distinct estimate of ``value_col``.  Returns
+    (group..., exact_distinct, kmv_estimate); groups with fewer than k
+    distinct values report the exact count (the sketch is exact below
+    k by construction)."""
+    hashed = (df.select(*key_cols,
+                        X.h60(F.col(value_col).cast("string")).alias("hv"))
+              .distinct())
+    salted = hashed.withColumn("__s", F.pmod(F.col("hv"), F.lit(salts)))
+    w1 = Window.partitionBy(*key_cols, "__s").orderBy("hv")
+    survivors = (salted.withColumn("__r", F.row_number().over(w1))
+                 .filter(F.col("__r") <= k).drop("__r", "__s"))
+    w2 = Window.partitionBy(*key_cols).orderBy("hv")
+    topk = (survivors.withColumn("__r", F.row_number().over(w2))
+            .filter(F.col("__r") <= k))
+    agg = (topk.groupBy(*key_cols)
+           .agg(F.count("*").alias("m"), F.max("hv").alias("kth")))
+    # m < k means the group's full distinct set fit in the sketch.
+    exact = hashed.groupBy(*key_cols).agg(F.count("*").alias("nd"))
+    est = F.when(F.col("m") < k, F.col("nd").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * (F.lit(H_SPACE) / F.col("kth")), 4))
+    return (agg.join(exact, list(key_cols))
+            .select(*key_cols, F.col("nd").cast("long")
+                    .alias("exact_distinct"), est.alias("kmv_estimate")))

@@ -126,3 +126,31 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list,
     out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}")
                  for c in payload_cols]
     return matched.select(*out_cols)
+
+
+def range_join_bucketed(points: DataFrame, intervals: DataFrame,
+                        point_col: str, start_col: str, end_col: str,
+                        bucket_width: float) -> DataFrame:
+    """Interval/range join without a range-join operator: every interval
+    is exploded to the buckets it covers (``sequence`` over
+    floor(start/w)..floor(end/w)), points are bucketed once, the join is
+    a plain EQUI-join on the bucket, and the exact range predicate
+    refines.  A point's bucket is unique, so no dedup is needed.
+
+    This is the scale-safe form of ``points JOIN intervals ON start <=
+    p < end``: the naive predicate join compiles to
+    BroadcastNestedLoopJoin (O(|P|·|I|)); here cost is linear in
+    |P| + |I|·(span/width) and shuffles hash on the bucket key.  Pick
+    ``bucket_width`` ≈ the maximum interval length so each interval
+    covers ≤ 2 buckets.  Timestamps should be pre-cast to double epoch
+    seconds by the caller."""
+    p = points.withColumn(
+        "__b", F.floor(F.col(point_col) / F.lit(float(bucket_width))))
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.floor(F.col(start_col) / F.lit(float(bucket_width))),
+            F.floor(F.col(end_col) / F.lit(float(bucket_width))))))
+    return (p.join(i, "__b")
+            .filter((F.col(point_col) >= F.col(start_col))
+                    & (F.col(point_col) < F.col(end_col)))
+            .drop("__b"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from .crawl import rank as K
 from .functions import clustering as C
 from .functions import similarity as S
+from .functions import sketches as SK
 from .functions import text as X
 from .functions import webtext as W
 from .operators import relational as R
@@ -1429,3 +1430,80 @@ def events_value_quantiles(spark, sf_dir):
             .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
                  F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
                  F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99")))
+
+
+@q("signup_click_window_counts", """
+SELECT s.event_id, CAST(count(c.event_id) AS BIGINT) AS clicks_1h
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON epoch_us(c.ts) >= epoch_us(s.ts)
+ AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+GROUP BY s.event_id
+""")
+def signup_click_window_counts(spark, sf_dir):
+    """Range/interval join: clicks falling in each signup's 1-hour
+    window, counted per signup (operators/relational.py
+    range_join_bucketed — intervals exploded to covered time buckets,
+    plain equi-join on bucket + exact refine; the naive predicate join
+    is a nested loop).  Integer microsecond arithmetic on both engines
+    so the boundary is bit-exact."""
+    ev = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast is
+    # the identity shift and micros agree with DuckDB's epoch_us.
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("event_id", us("ts").alias("start"))
+               .withColumn("end", F.col("start") + hour_us))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      us("ts").alias("pt")))
+    hits = R.range_join_bucketed(clicks, signups, "pt", "start", "end",
+                                 float(hour_us))
+    counts = hits.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("clicks_1h"))
+    return (signups.select("event_id").join(counts, "event_id", "left")
+            .select("event_id",
+                    F.coalesce(F.col("clicks_1h"), F.lit(0)).cast("long")
+                    .alias("clicks_1h")))
+
+
+@q("events_distinct_users_kmv", """
+WITH h AS (SELECT DISTINCT event_type,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events),
+r AS (SELECT event_type, hv,
+        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h)
+SELECT event_type, CAST(nd AS BIGINT) AS exact_distinct,
+       round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+             ELSE 63 * (1152921504606846976.0 / hv) END, 4) AS kmv_estimate
+FROM r WHERE rn = LEAST(64, nd)
+""")
+def events_distinct_users_kmv(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch per event type — the
+    engine's verifiable sketch primitive: bit-identical estimate on
+    both engines because the sketch is a pure function of the shared
+    h60 hash (functions/sketches.py kmv_distinct; salted two-phase
+    min-k, no group ever sorts its full distinct set on one task).
+    exact_distinct is emitted for estimate-quality inspection."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+@q("events_hourly_rollup", """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2
+""")
+def events_hourly_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup (continuous-aggregate shape):
+    hour bucket × type counters + sums — one linear keyed shuffle; the
+    streaming twin is crawl/streaming.py's watermarked windowed rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                       "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 2).alias("value_sum")))

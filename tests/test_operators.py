@@ -202,3 +202,43 @@ def test_asof_join_single_shuffle_no_range_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_bucketed_boundaries_and_spans(spark):
+    from pink_spider_spark.operators import relational as R
+
+    # interval A [10, 20) sits inside one bucket; B [95, 115) spans two
+    points = spark.createDataFrame(
+        [(1, 10.0), (2, 19.9), (3, 20.0), (4, 100.0), (5, 114.9),
+         (6, 115.0), (7, 50.0)], ["pid", "pt"])
+    intervals = spark.createDataFrame(
+        [("A", 10.0, 20.0), ("B", 95.0, 115.0)], ["iid", "s", "e"])
+    hits = {(r.pid, r.iid) for r in
+            R.range_join_bucketed(points, intervals, "pt", "s", "e",
+                                  bucket_width=100.0).collect()}
+    assert hits == {(1, "A"), (2, "A"), (4, "B"), (5, "B")}
+    # start inclusive (pid 1), end exclusive (pids 3 and 6), miss (7)
+
+
+def test_range_join_matches_naive_predicate_join(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.operators import relational as R
+
+    rng = random.Random(7)
+    points = spark.createDataFrame(
+        [(i, rng.uniform(0, 1000)) for i in range(300)], ["pid", "pt"])
+    ivs = []
+    for j in range(40):
+        s = rng.uniform(0, 950)
+        ivs.append((j, s, s + rng.uniform(0, 50)))
+    intervals = spark.createDataFrame(ivs, ["iid", "s", "e"])
+    fast = {(r.pid, r.iid) for r in
+            R.range_join_bucketed(points, intervals, "pt", "s", "e",
+                                  bucket_width=50.0).collect()}
+    naive = {(r.pid, r.iid) for r in
+             points.join(intervals, (F.col("pt") >= F.col("s"))
+                         & (F.col("pt") < F.col("e"))).collect()}
+    assert fast == naive and len(fast) > 0
