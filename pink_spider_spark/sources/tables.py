@@ -115,6 +115,25 @@ class SnapshotTable:
         m = self._read_manifest()
         return self._commit(m, [path])
 
+    def merge(self, spark: SparkSession, source: DataFrame, key_cols: list,
+              schema=None, base_snapshot: int | None = None) -> int:
+        """MERGE INTO analog (upsert): source rows replace same-key rows
+        of the base snapshot, unmatched source rows insert — the
+        WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT shape.
+
+        Physical form = copy-on-write MERGE, exactly what Iceberg
+        compiles MERGE INTO to without position deletes: base snapshot
+        ⟕ anti-join on the key set, union the source, one new snapshot.
+        The anti-join's build side is the source key projection (wave
+        deltas are small next to the table → broadcast), so the base
+        scan stays map-only; at 100 TB Iceberg additionally prunes to
+        touched files only, which changes IO, not this dataflow."""
+        base = self.read(spark, schema=schema, snapshot=base_snapshot)
+        src = source.select(*base.columns)
+        kept = base.join(src.select(*key_cols).distinct(),
+                         list(key_cols), "left_anti")
+        return self.overwrite(kept.unionByName(src))
+
     # ------------------------------------------------------------ compaction
     def _dir_bytes(self, path: str) -> int:
         total = 0

@@ -113,3 +113,31 @@ def test_compact_aborts_on_concurrent_commit(spark, root, monkeypatch):
     monkeypatch.setattr(t, "_write_dir", write_then_race)
     assert t.compact(spark, small_bytes=1 << 20, min_dirs=2) is None
     assert {r.x for r in t.read(spark).collect()} == {0, 1, 2, 3, 99}
+
+
+def test_merge_upsert_semantics(spark, root):
+    """MERGE INTO analog: matched keys update, unmatched insert,
+    untouched rows survive, and the pre-merge snapshot stays readable."""
+    t = SnapshotTable(root, "dim")
+    t.append(spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]))
+    pre = t.current_snapshot()
+    sid = t.merge(spark, spark.createDataFrame(
+        [Row(k=2, v="B2"), Row(k=9, v="new")]), ["k"])
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # time travel: the parent snapshot is unchanged
+    old = {r.k: r.v for r in t.read(spark, snapshot=pre).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+    assert sid > pre
+
+
+def test_merge_duplicate_source_rows_pass_through(spark, root):
+    t = SnapshotTable(root, "dim2")
+    t.append(spark.createDataFrame([Row(k=1, v="a")]))
+    t.merge(spark, spark.createDataFrame(
+        [Row(k=1, v="x"), Row(k=1, v="x")]), ["k"])
+    rows = t.read(spark).collect()
+    assert {(r.k, r.v) for r in rows} == {(1, "x")}
+    assert len(rows) == 2  # both source rows land (MERGE dedup is the
+    # caller's contract, same as Iceberg's cardinality check would flag)
