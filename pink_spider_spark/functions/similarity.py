@@ -90,12 +90,15 @@ def ann_topk(df: DataFrame, query_vec: list, k: int = 10,
 def label_centroids(df: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label", dim: int = DIM,
                     decimals: int = 4) -> DataFrame:
-    """Per-label centroid, long format (label, dim_pos, value)."""
+    """Per-label centroid, long format (label, dim_pos, value).
+    ``+ 0.0`` canonicalizes IEEE -0.0 (a centroid of values averaging to
+    a tiny negative can round to -0.0 on one engine and 0.0 on another;
+    they compare equal but serialize differently)."""
     return (
         df.select(label_col, F.posexplode(F.col(vec_col).cast("array<double>"))
                   .alias("dim_pos", "v"))
         .groupBy(label_col, "dim_pos")
-        .agg(F.round(F.avg("v"), decimals).alias("centroid"))
+        .agg((F.round(F.avg("v"), decimals) + F.lit(0.0)).alias("centroid"))
     )
 
 

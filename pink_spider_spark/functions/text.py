@@ -59,18 +59,35 @@ def stopword_hits(text_col: Column) -> Column:
 
 
 def quality_score(text_col: Column) -> Column:
-    """Length/punctuation/stopword quality heuristic in [0,1]."""
-    n_tok = token_count(text_col).cast("double")
-    n_chars = F.length(text_col).cast("double")
-    punct = (n_chars - F.length(F.regexp_replace(text_col, r"[.,!?]", ""))).cast("double")
-    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, stopword_hits(text_col) / n_tok).otherwise(F.lit(0.0))
-    return F.round(
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3,
-        4,
-    )
+    """Length/punctuation/stopword quality heuristic in [0,1]:
+    0.4·min(n_tok/100, 1) + 0.3·(1 − min(10·punct/n_chars, 1))
+    + 0.3·min(5·stop_hits/n_tok, 1).
+
+    Computed as ONE exact integer numerator over one denominator so the
+    only floating-point operation is a single correctly-rounded
+    division — bit-identical on every engine.  The naive three-term
+    double sum is order-dependent: a document whose exact score is a
+    half at the 4th decimal (e.g. 0.84025) rounds differently depending
+    on which side of the half the engine's summation error lands.
+    Long arithmetic is exact for documents up to ~10^9 char·token
+    products, far beyond any real page."""
+    n_tok = token_count(text_col).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[.,!?]", ""))
+    stop = stopword_hits(text_col).cast("long")
+    # exact numerator over denominator n_chars·n_tok, scaled ×10000:
+    # 0.4·min(nt,100)/100 → 40·min(nt,100)·nc·nt, etc.
+    numer = (F.lit(40) * F.least(n_tok, F.lit(100)) * n_chars * n_tok
+             + F.lit(3000) * n_tok * (n_chars - F.least(punct * 10, n_chars))
+             + F.lit(3000) * n_chars * F.least(stop * 5, n_tok))
+    # half-up rounding to 4 dp done IN INTEGER MATH (q = ⌊(2a+b)/2b⌋),
+    # because engines disagree on round(double) at exact decimal halves
+    # (Spark rounds the shortest decimal repr, DuckDB the binary value).
+    # The one remaining float op, q/10⁴ with q ≤ 10⁴, is exact.
+    d = n_chars * n_tok
+    q = F.call_function("div", F.lit(2) * numer + d, F.lit(2) * d)
+    return F.when((n_chars > 0) & (n_tok > 0),
+                  q.cast("double") / F.lit(10000.0)).otherwise(F.lit(0.0))
 
 
 # --------------------------------------------------------------- lang id

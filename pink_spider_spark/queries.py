@@ -399,16 +399,18 @@ def docs_token_count(spark, sf_dir):
 @q("docs_quality", """
 WITH q AS (
   SELECT doc_id,
-    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
-    CAST(length(text) AS DOUBLE) AS n_chars,
-    CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS BIGINT) AS punct,
     CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-      t -> t IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS stop_hits
+      t -> t IN ('the','a','and','of','to','in','is','it','for','on'))) AS BIGINT) AS stop_hits
   FROM documents)
-SELECT doc_id, round(
-    least(n_tok/100.0, 1.0)*0.4
-  + (1.0 - least(CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0 END * 10.0, 1.0))*0.3
-  + least(CASE WHEN n_tok > 0 THEN stop_hits/n_tok ELSE 0 END * 5.0, 1.0)*0.3, 4) AS quality
+SELECT doc_id, CASE WHEN n_chars > 0 AND n_tok > 0 THEN
+  CAST((2 * (40 * least(n_tok, 100) * n_chars * n_tok
+             + 3000 * n_tok * (n_chars - least(punct * 10, n_chars))
+             + 3000 * n_chars * least(stop_hits * 5, n_tok))
+        + n_chars * n_tok) // (2 * n_chars * n_tok) AS DOUBLE) / 10000.0
+  ELSE 0.0 END AS quality
 FROM q
 """)
 def docs_quality(spark, sf_dir):
@@ -829,7 +831,8 @@ def user_sessions(spark, sf_dir):
 
 
 @q("emb_label_centroids", """
-SELECT label, s.i - 1 AS dim_pos, round(avg(embedding[s.i]::DOUBLE), 4) AS centroid
+SELECT label, s.i - 1 AS dim_pos,
+       round(avg(embedding[s.i]::DOUBLE), 4) + 0.0 AS centroid
 FROM embeddings, generate_series(1, 64) s(i)
 GROUP BY label, s.i - 1
 """)
