@@ -148,3 +148,33 @@ def windowed_enclosure_counts(spark: SparkSession, pages_dir: str,
                  F.col("e.provider").alias("provider"))
         .count()
     )
+
+
+def stream_interval_join(left, right, key: str, left_ts: str,
+                         right_ts: str, max_lag_minutes: int = 10,
+                         watermark: str = "30 minutes"):
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the same key whose event time falls in
+    [left_ts, left_ts + max_lag] — in crawl terms, attribute discovered
+    links (right) to the fetch that produced them (left) without ever
+    materializing either side.
+
+    Both inputs carry event-time watermarks and the join condition
+    bounds right_ts relative to left_ts, which is exactly what
+    Structured Streaming needs to EVICT buffered state: a row is held
+    only until the opposite watermark passes its match window, so state
+    is O(rate × lag), not O(stream).  Output columns are prefixed
+    ``l_``/``r_`` (stream-stream joins forbid post-join renames of the
+    time columns)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+           + F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")))
+    joined = l.join(r, cond, "inner")
+    out = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
+    out += [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns
+            if c != key]
+    return joined.select(*out)

@@ -102,3 +102,47 @@ def test_streaming_seen_filter_suppresses_cross_batch_repeats(spark):
     # exactly the distinct urls, each once — no cross-batch re-emission
     assert sorted(emitted) == sorted({u for u in batch1 + batch2})
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Watermarked stream-stream interval join == the equivalent static
+    join (availableNow drain), and out-of-window pairs are excluded."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pink_spider_spark.crawl.streaming import stream_interval_join
+
+    base = tempfile.mkdtemp(prefix="ssj_")
+    ldir, rdir = os.path.join(base, "l"), os.path.join(base, "r")
+    sink, ckpt = os.path.join(base, "out"), os.path.join(base, "ck")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    fetches = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "fetch_ts": [t0, t0 + dt.timedelta(minutes=5),
+                     t0 + dt.timedelta(minutes=40)]})
+    discov = pd.DataFrame({
+        "url": ["u1", "u1", "u2", "u3"],
+        "disc_ts": [t0 + dt.timedelta(minutes=3),       # in window
+                    t0 + dt.timedelta(minutes=20),      # > 10 min: out
+                    t0 + dt.timedelta(minutes=4),       # before fetch: out
+                    t0 + dt.timedelta(minutes=45)]})    # in window
+    spark.createDataFrame(fetches).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(discov).coalesce(1).write.parquet(rdir)
+
+    lstream = spark.readStream.schema("url string, fetch_ts timestamp") \
+        .parquet(ldir)
+    rstream = spark.readStream.schema("url string, disc_ts timestamp") \
+        .parquet(rdir)
+    q = (stream_interval_join(lstream, rstream, "url",
+                              "fetch_ts", "disc_ts", max_lag_minutes=10)
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.l_url, r.r_disc_ts) for r in spark.read.parquet(sink).collect()}
+    assert got == {("u1", t0 + dt.timedelta(minutes=3)),
+                   ("u3", t0 + dt.timedelta(minutes=45))}
+    shutil.rmtree(base, ignore_errors=True)
