@@ -59,6 +59,19 @@ CHECKS = {
     # stratified sample: in-row hash predicate, no shuffle at all
     "docs_stratified_sample": ([], ["Exchange", "Window",
                                     "CartesianProduct"]),
+    # as-of join: one union + keyed window — never a range/nested-loop
+    "events_asof_last_signup": (["Window"],
+                                ["BroadcastNestedLoopJoin",
+                                 "CartesianProduct", "SortMergeJoin"]),
+    # bucketed range join: plain hash equi-join on the bucket key
+    "signup_click_window_counts": ([], ["BroadcastNestedLoopJoin",
+                                        "CartesianProduct"]),
+    # rollup compiles to Expand + hash aggregate, dims broadcast
+    "revenue_rollup": (["Expand", "BroadcastHashJoin"],
+                       ["CartesianProduct"]),
+    "events_weekday_pivot": (["HashAggregate"],
+                             ["Exchange hashpartitioning(event_type",
+                              "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface
