@@ -129,3 +129,29 @@ def playlistify_lookup(entries: DataFrame, url: str) -> DataFrame:
     (reference: src/main.rs:173-192; a miss would enqueue the URL into the
     frontier for the next wave — batch engines don't scrape inline)."""
     return entries.filter(F.col("url") == url)
+
+
+def playlistify(driver, url: str, force: bool = False) -> DataFrame:
+    """GET /playlistify?url=U&force= — the FULL find_or_playlistify
+    semantics (reference: src/main.rs:162-192):
+
+    - cache hit, ``force=False`` → the stored entry, no crawl
+    - cache hit, ``force=True``  → re-scrape: the URL bypasses crawl-once
+      via ``driver.recrawl`` and one wave refreshes its entry in place
+      (seen ordering preserved)
+    - miss → create_by_url: the URL is enqueued and crawled
+
+    ``driver``: a CrawlDriver over the entry store.  Returns the (possibly
+    refreshed) entry row as a DataFrame."""
+    from .sources import schemas
+
+    def _entries():
+        return driver.store.table("entries").read(
+            driver.spark, schema=schemas.ENTRY_SCHEMA)
+
+    hit = _entries().filter(F.col("url") == url)
+    if force or hit.limit(1).count() == 0:
+        driver.recrawl([url])
+        driver.run_wave()
+        return _entries().filter(F.col("url") == url)
+    return hit

@@ -123,11 +123,17 @@ class CrawlDriver:
         ``seed_urls``: a python list OR a DataFrame with a ``url`` column —
         the DataFrame form keeps 10^6+-row seed sets fully distributed
         (never materialized on the driver)."""
+        t0 = time.time()
         if isinstance(seed_urls, DataFrame):
             df = seed_urls.select("url")
             n_estimate = None
         else:
-            df = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
+            # Arrow-batched pandas frame: a 10^6-row python seed list would
+            # crawl through py4j row-at-a-time as a list of tuples
+            import pandas as pd
+
+            df = self.spark.createDataFrame(
+                pd.DataFrame({"url": list(seed_urls)}))
             n_estimate = len(seed_urls)
         frontier = (
             with_url_hash(df)
@@ -138,10 +144,13 @@ class CrawlDriver:
             .withColumn("status", F.lit("pending"))
             .select([f.name for f in schemas.FRONTIER_SCHEMA.fields])
         )
+        # every table except the frontier pins snapshot 0 — by manifest
+        # construction the empty snapshot — so bootstrap is ONE write job
+        # (the old empty-seen overwrite was a whole Spark job spent
+        # writing zero rows)
         snapshots = {
             "frontier": self._t("frontier").overwrite(frontier),
-            "seen": self._t("seen").overwrite(
-                self.spark.createDataFrame([], schemas.SEEN_SCHEMA)),
+            "seen": 0,
             "entries": 0, "enclosures": 0, "metrics": 0,
             "tracks": 0, "playlists": 0, "albums": 0, "playlist_tracks": 0,
         }
@@ -153,6 +162,8 @@ class CrawlDriver:
         self.store.commit_checkpoint(
             0, snapshots,
             counters={"seen": 0, "frontier_estimate": int(n_estimate)})
+        if _TIMING:
+            print(f"  [bootstrap] {time.time() - t0:.2f}s", flush=True)
 
     def _pinned(self, name: str, schema):
         ckpt = self.store.read_checkpoint() or {"snapshots": {}}
@@ -163,6 +174,7 @@ class CrawlDriver:
     def run_wave(self) -> dict:
         """Run one wave; returns wave stats.  Resumable: reads only the
         snapshots pinned by the last committed checkpoint."""
+        _wave_t0 = time.time()
         ckpt = self.store.read_checkpoint()
         if ckpt is None:
             raise RuntimeError("bootstrap() first")
@@ -174,20 +186,25 @@ class CrawlDriver:
         # running counters ride in the checkpoint: no per-wave table recount
         seen_count = int(counters.get("seen", 0))
         frontier_estimate = int(counters.get("frontier_estimate", 1000))
+        # force-recrawl rows (see .recrawl()) dequeue like pending rows but
+        # skip the seen append and MERGE their extraction over the old one
+        recrawl_pending = int(counters.get("recrawl", 0))
 
-        pending = frontier.filter(F.col("status") == "pending")
+        pending = frontier.filter(F.col("status").isin("pending", "recrawl"))
         flagged = scheduler.with_robots(pending, self.robots)
         excluded = flagged.filter(F.col("excluded"))
         eligible = flagged.filter(~F.col("excluded"))
 
         t0 = time.time()
+        ticks: dict = {}
 
         def tick(label):
             nonlocal t0
+            now = time.time()
+            ticks[label] = round(ticks.get(label, 0.0) + (now - t0), 3)
             if _TIMING:
-                now = time.time()
                 print(f"  [wave {wave}] {label}: {now - t0:.2f}s", flush=True)
-                t0 = now
+            t0 = now
 
         # the seen-bloom is built over the frontier AS PINNED — fully
         # independent of this wave's dequeue/extract.  Two regimes:
@@ -222,11 +239,16 @@ class CrawlDriver:
         batch = scheduler.per_host_budget_batch(eligible).cache()
         wave_caches: list = [batch]
         try:
-            return self._wave_body(
+            r = self._wave_body(
                 wave, pinned, frontier, excluded, batch,
                 seen_count=seen_count, frontier_estimate=frontier_estimate,
                 bloom_future=bloom_future, bloom_shards=bloom_shards,
-                wave_caches=wave_caches, tick=tick)
+                wave_caches=wave_caches, tick=tick, ticks=ticks,
+                recrawl_pending=recrawl_pending)
+            if _TIMING:
+                print(f"  [wave {wave}] WALL: {time.time() - _wave_t0:.2f}s",
+                      flush=True)
+            return r
         finally:
             # all exit paths (empty wave, extract failure, commit failure)
             # release the wave's executor memory and the bloom thread
@@ -242,7 +264,7 @@ class CrawlDriver:
 
     def _wave_body(self, wave, pinned, frontier, excluded, batch,
                    seen_count, frontier_estimate, bloom_future, bloom_shards,
-                   wave_caches, tick):
+                   wave_caches, tick, ticks, recrawl_pending=0):
         # ONE materializing job in the common (small-batch) regime: a
         # limit-probed url collect doubles as the count; above the
         # threshold the probe is discarded, a count() materializes the
@@ -258,6 +280,11 @@ class CrawlDriver:
         tick("dequeue")
         if batch_n == 0:
             return {"wave": wave, "fetched": 0, "done": True}
+        # force-recrawl rows in this batch (counted against the cached
+        # batch — a tiny job, and only ever run while a recrawl is live)
+        n_recrawl = 0
+        if recrawl_pending:
+            n_recrawl = batch.filter(F.col("status") == "recrawl").count()
 
         # --- fetch simulation + extract -------------------------------
         # The stored-pages scan is the sandbox stand-in for network fetch.
@@ -312,8 +339,20 @@ class CrawlDriver:
         fetched_n = int(wave_totals["fetched"] or 0)
         links_found = int(wave_totals["links_found"] or 0)
         miss_n = batch_n - fetched_n
-        tick("entries write")
+        tick("entries_write")
         extracted = self.spark.read.parquet(entries_dir)
+        if n_recrawl:
+            # force path (reference: src/main.rs:162-192 force=true →
+            # entry.playlistify + save): the refreshed extraction REPLACES
+            # the url's previous entry — copy-on-write MERGE keyed on url.
+            # Brand-new urls in the same wave pass through the merge as
+            # plain inserts; a recrawl whose page went missing appends no
+            # delta row and so KEEPS its old entry (the reference's
+            # failed-force behavior).  Seen ordering is untouched.
+            entries_snapshot = self._t("entries").merge(
+                self.spark, extracted, ["url"], schema=schemas.ENTRY_SCHEMA,
+                base_snapshot=pinned.get("entries", 0))
+            tick("entries_merge")
         # misses derive from the staged extraction output: no second pass
         # over the pages table
         misses = batch.select("url").join(
@@ -325,21 +364,23 @@ class CrawlDriver:
         )
 
         # entity dims: find-or-create merge + catalog enrichment (C3/J11).
-        # ONE cached wave-wide dedup pass feeds all three dims + the
-        # playlist membership — without the cache each dim append replans
-        # its own explode+window job over the entries delta (3x the stages
-        # for identical tiny data)
-        encl_dedup = entities.dedup_enclosures(enclosures).cache()
-        wave_caches.append(encl_dedup)
-        dim_appends = {}
-        for kind, table in (("track", "tracks"), ("playlist", "playlists"),
-                            ("album", "albums")):
-            existing = self._pinned(table, schemas.ENCLOSURE_DIM_SCHEMA)
-            dim_appends[table] = entities.new_dim_rows(
-                encl_dedup, existing, kind, self.catalog_df, wave,
-                assume_deduped=True)
-        playlist_tracks_new = entities.playlist_track_rows(
-            dim_appends["playlists"], self.catalog_df, wave)
+        # ONE wave-wide dedup pass feeds all three dims + the playlist
+        # membership.  Built lazily: the derived-table writer pins it with
+        # an eager localCheckpoint (inside the concurrent pool, overlapped
+        # with the frontier/seen jobs) so the four consuming branches of
+        # the single union write read materialized blocks instead of
+        # racing to recompute the explode+window 4x
+        def build_dim_frames(encl_dedup) -> tuple:
+            dim_appends = {}
+            for kind, table in (("track", "tracks"), ("playlist", "playlists"),
+                                ("album", "albums")):
+                existing = self._pinned(table, schemas.ENCLOSURE_DIM_SCHEMA)
+                dim_appends[table] = entities.new_dim_rows(
+                    encl_dedup, existing, kind, self.catalog_df, wave,
+                    assume_deduped=True)
+            playlist_tracks_new = entities.playlist_track_rows(
+                dim_appends["playlists"], self.catalog_df, wave)
+            return dim_appends, playlist_tracks_new
 
         # --- discovered links -> new frontier rows ---------------------
         parent = batch.select("url", "priority", "depth")
@@ -359,50 +400,57 @@ class CrawlDriver:
         if self.config.trap_filter:
             from .traps import filter_traps
             links = filter_traps(links)
-        if bloom_shards is not None:
-            new_urls = prune_with_bloom_shards(
-                with_url_hash(links), frontier.select("url"), bloom_shards,
-                n_shards=self.config.bloom_n_shards,
-                cache_registry=wave_caches)
-        else:
-            bloom = bloom_future.result()
-            tick("bloom wait")
-            new_urls = prune_with_bloom(
-                with_url_hash(links), frontier.select("url"), bloom,
-                cache_registry=wave_caches)
-        new_frontier_rows = (
-            new_urls
-            .withColumn("host", host_col())
-            .withColumn("discovered_wave", F.lit(wave))
-            .withColumn("status", F.lit("pending"))
-            .select([f.name for f in schemas.FRONTIER_SCHEMA.fields])
-        )
 
-        # --- frontier state transition ---------------------------------
-        # flag tables are wave-sized (small): broadcast them so the frontier
-        # scan never shuffles — at 10^10 frontier rows this is the difference
-        # between a map-only status pass and a full-table shuffle.
-        # The overwrite IS a full-frontier rewrite per wave — a deliberate
-        # design choice, the same generation-rewrite batch crawlers use at
-        # web scale (Apache Nutch updatedb): one map-only scan-and-write
-        # with zero shuffle beats a latest-wins reconstruction (full-table
-        # shuffle on every dequeue) and Iceberg MERGE would reduce it to
-        # touched-files-only without changing this dataflow
-        batch_urls = batch.select("url")
-        missing_urls = misses
-        status_updates = (
-            frontier.join(F.broadcast(batch_urls.withColumn("__b", F.lit(1))), "url", "left")
-            .join(F.broadcast(missing_urls.withColumn("__m", F.lit(1))), "url", "left")
-            .join(F.broadcast(excluded.select("url").withColumn("__x", F.lit(1))), "url", "left")
-            .withColumn(
-                "status",
-                F.when(F.col("__m").isNotNull(), F.lit("missing"))
-                .when(F.col("__b").isNotNull(), F.lit("fetched"))
-                .when(F.col("__x").isNotNull(), F.lit("excluded"))
-                .otherwise(F.col("status")))
-            .drop("__b", "__m", "__x")
-        )
-        frontier_next = status_updates.unionByName(new_frontier_rows)
+        # --- frontier transition, built lazily (runs inside the pool) ----
+        # the enqueue prune's eager cache-count (the one compute-heavy job
+        # between extraction and commit) used to run on the wave's SERIAL
+        # path; as a pool task it overlaps the seen/derived-table writes
+        def build_frontier_next() -> DataFrame:
+            if bloom_shards is not None:
+                new_urls = prune_with_bloom_shards(
+                    with_url_hash(links), frontier.select("url"), bloom_shards,
+                    n_shards=self.config.bloom_n_shards,
+                    cache_registry=wave_caches)
+            else:
+                new_urls = prune_with_bloom(
+                    with_url_hash(links), frontier.select("url"),
+                    bloom_future.result(), cache_registry=wave_caches)
+            new_frontier_rows = (
+                new_urls
+                .withColumn("host", host_col())
+                .withColumn("discovered_wave", F.lit(wave))
+                .withColumn("status", F.lit("pending"))
+                .select([f.name for f in schemas.FRONTIER_SCHEMA.fields])
+            )
+
+            # frontier state transition: flag tables are wave-sized
+            # (small) — broadcast them so the frontier scan never shuffles;
+            # at 10^10 frontier rows this is the difference between a
+            # map-only status pass and a full-table shuffle.
+            # The overwrite IS a full-frontier rewrite per wave — a
+            # deliberate design choice, the same generation-rewrite batch
+            # crawlers use at web scale (Apache Nutch updatedb): one
+            # map-only scan-and-write with zero shuffle beats a latest-wins
+            # reconstruction (full-table shuffle on every dequeue) and
+            # Iceberg MERGE would reduce it to touched-files-only without
+            # changing this dataflow
+            status_updates = (
+                frontier
+                .join(F.broadcast(batch.select("url").withColumn(
+                    "__b", F.lit(1))), "url", "left")
+                .join(F.broadcast(misses.withColumn("__m", F.lit(1))),
+                      "url", "left")
+                .join(F.broadcast(excluded.select("url").withColumn(
+                    "__x", F.lit(1))), "url", "left")
+                .withColumn(
+                    "status",
+                    F.when(F.col("__m").isNotNull(), F.lit("missing"))
+                    .when(F.col("__b").isNotNull(), F.lit("fetched"))
+                    .when(F.col("__x").isNotNull(), F.lit("excluded"))
+                    .otherwise(F.col("status")))
+                .drop("__b", "__m", "__x")
+            )
+            return status_updates.unionByName(new_frontier_rows)
 
         # --- seen ordering ----------------------------------------------
         # global in-wave rank built lazily at its only consumer — the seen
@@ -411,9 +459,15 @@ class CrawlDriver:
         # the wave's serial path; large batches take the distributed
         # range-partition + offset strategy (see scheduler.wave_order)
         def build_seen() -> DataFrame:
+            # force-recrawl rows keep their original (first_wave, seq):
+            # they are excluded here, and wave_pos ranks only the
+            # first-time urls so the global sequence stays contiguous
+            src = batch
+            if n_recrawl:
+                src = batch.filter(F.col("status") != "recrawl")
             seen_new = (
                 scheduler.wave_order(
-                    batch,
+                    src,
                     distributed_threshold=self.config.wave_order_threshold,
                     cache_registry=wave_caches).select(
                     "url",
@@ -424,86 +478,169 @@ class CrawlDriver:
             return with_url_hash(seen_new).select(
                 [f.name for f in schemas.SEEN_SCHEMA.fields])
 
-        # --- per-partition lineage metrics (tiny: one row per partition;
-        # the wave totals already came from the write-job Observation, so
-        # this aggregation runs INSIDE the concurrent write pool below —
-        # off the wave's serial path) ---
-        def build_metrics() -> DataFrame:
-            metric_rows = (
-                extracted
-                .withColumn("partition_id", F.spark_partition_id())
-                .groupBy("partition_id")
-                .agg(
-                    F.count("*").alias("fetched"),
-                    F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "track")))
-                    .alias("extracted_tracks"),
-                    F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "playlist")))
-                    .alias("extracted_playlists"),
-                    F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "album")))
-                    .alias("extracted_albums"),
-                    F.sum(F.size("links")).alias("links_found"),
-                )
-                .collect()
+        # --- per-partition lineage metrics: one row per partition from a
+        # doc-keyed aggregation over the (column-pruned) entries delta —
+        # pure DataFrame, no driver collect — plus one driver row
+        # (partition_id = -1) carrying the wave's stage timings known at
+        # build time; the complete tick map rides the checkpoint counters
+        stage_known = dict(ticks)
+        metrics_agg = (
+            extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "track")))
+                .alias("extracted_tracks"),
+                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "playlist")))
+                .alias("extracted_playlists"),
+                F.sum(F.size(F.filter("enclosures", lambda e: e.kind == "album")))
+                .alias("extracted_albums"),
+                F.sum(F.size("links")).alias("links_found"),
             )
-            return self.spark.createDataFrame(
-                [(wave, r.partition_id, r.fetched, int(miss_n), r.extracted_tracks,
-                  r.extracted_playlists, r.extracted_albums, r.links_found)
-                 for r in metric_rows] or
-                [(wave, -1, 0, int(miss_n), 0, 0, 0, 0)],
-                schemas.METRICS_SCHEMA)
-
-        tick("extract+totals")
+            .select(F.lit(wave).alias("wave"), "partition_id",
+                    "fetched", F.lit(int(miss_n)).cast("long").alias("missing"),
+                    "extracted_tracks", "extracted_playlists",
+                    "extracted_albums", "links_found",
+                    F.lit(None).cast(schemas.METRICS_SCHEMA["stage_secs"]
+                                     .dataType).alias("stage_secs")))
+        driver_row = self.spark.createDataFrame(
+            [(wave, -1, 0, int(miss_n), 0, 0, 0, 0, stage_known)],
+            schemas.METRICS_SCHEMA)
+        metrics_df = metrics_agg.unionByName(driver_row)
 
         # --- atomic commit ----------------------------------------------
-        # the 8 per-wave table writes are independent tiny jobs whose cost
-        # is dominated by job-scheduling latency, not data: submit them
-        # concurrently from driver threads (Spark schedules concurrent jobs
-        # fine in one app) so their latencies overlap instead of adding up.
+        # THREE concurrent jobs, whatever the wave size:
+        #   1. frontier: enqueue prune (the bloom cache-count) -> status
+        #      transition -> generation rewrite
+        #   2. seen: wave_order's eager jobs + append
+        #   3. derived: enclosures + 3 dims + playlist_tracks + metrics in
+        #      ONE union write split back per table (multi-table
+        #      transaction — append_many_partitioned); encl_dedup's cache
+        #      is populated inside that single job, so the old cache-warm
+        #      count job is gone too
         # The checkpoint still commits strictly after ALL writes land, so
         # atomicity/resumability is unchanged: a crash mid-writes leaves
         # orphan snapshot ids that the next resume never references.
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark.sql import Observation
+
         snapshots = dict(pinned)
         snapshots["entries"] = entries_snapshot
-        # two dependency tiers: the first fans out immediately; the dim
-        # appends (+ playlist_tracks, which plans over the playlists
-        # delta) wait on the shared dedup cache materializing — racing
-        # them on a cold cache would recompute the window three times
-        writes = {
-            "frontier": lambda: self._t("frontier").overwrite(frontier_next),
-            "seen": lambda: self._t("seen").append(
-                build_seen(), base_snapshot=pinned.get("seen", 0)),
-            "enclosures": lambda: self._t("enclosures").append(
-                enclosures, base_snapshot=pinned.get("enclosures", 0)),
-            "metrics": lambda: self._t("metrics").append(
-                build_metrics(), base_snapshot=pinned.get("metrics", 0)),
-        }
-        dim_writes = {
-            "playlist_tracks": lambda: self._t("playlist_tracks").append(
-                playlist_tracks_new,
-                base_snapshot=pinned.get("playlist_tracks", 0)),
-        }
-        for table, rows in dim_appends.items():
-            dim_writes[table] = (lambda t=table, r=rows:
-                                 self._t(t).append(r, base_snapshot=pinned.get(t, 0)))
-        with ThreadPoolExecutor(max_workers=len(writes) + len(dim_writes) + 1) as pool:
-            encl_ready = pool.submit(encl_dedup.count)
-            futures = {name: pool.submit(fn) for name, fn in writes.items()}
-            encl_ready.result()
-            futures.update(
-                {name: pool.submit(fn) for name, fn in dim_writes.items()})
-            for name, fut in futures.items():
-                snapshots[name] = fut.result()
-        tick("table writes")
-        self.store.commit_checkpoint(
-            wave, snapshots,
-            counters={"seen": seen_count + batch_n,
-                      "frontier_estimate": frontier_estimate + int(links_found)})
+
+        frontier_obs = Observation() if recrawl_pending else None
+
+        def write_frontier():
+            fn = build_frontier_next()
+            if frontier_obs is not None:
+                # rides the overwrite job: how many recrawl rows remain
+                # (budget-deferred) so the recrawl counter self-clears
+                fn = fn.observe(
+                    frontier_obs,
+                    F.sum(F.when(F.col("status") == "recrawl", 1)
+                          .otherwise(0)).alias("recrawl_left"))
+            return self._t("frontier").overwrite(fn)
+
+        def write_seen():
+            return self._t("seen").append(
+                build_seen(), base_snapshot=pinned.get("seen", 0))
+
+        def write_derived():
+            from ..sources.tables import append_many_partitioned
+
+            encl_dedup = entities.dedup_enclosures(enclosures) \
+                .localCheckpoint(eager=True)
+            dim_appends, playlist_tracks_new = build_dim_frames(encl_dedup)
+            frames = {"enclosures": enclosures, "metrics": metrics_df,
+                      "playlist_tracks": playlist_tracks_new, **dim_appends}
+            if n_recrawl:
+                # refreshed urls replace their old exploded enclosure rows
+                # (the reference's enclosure re-detection on force) — the
+                # url-keyed merge variant of the plain append
+                frames.pop("enclosures")
+                snapshots["enclosures"] = self._t("enclosures").merge(
+                    self.spark, enclosures, ["url"],
+                    schema=schemas.ENCLOSURE_SCHEMA,
+                    base_snapshot=pinned.get("enclosures", 0))
+            bases = {t: pinned.get(t, 0) for t in frames}
+            return append_many_partitioned(self.store, frames, bases)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_frontier = pool.submit(write_frontier)
+            f_seen = pool.submit(write_seen)
+            f_derived = pool.submit(write_derived)
+            snapshots["frontier"] = f_frontier.result()
+            snapshots["seen"] = f_seen.result()
+            snapshots.update(f_derived.result())
+        tick("table_writes")
+        counters = {"seen": seen_count + batch_n - n_recrawl,
+                    "frontier_estimate": frontier_estimate + int(links_found)}
+        if recrawl_pending:
+            counters["recrawl"] = int(
+                frontier_obs.get["recrawl_left"] or 0)
+        tick("checkpoint")
+        counters["stage_secs"] = dict(ticks)
+        self.store.commit_checkpoint(wave, snapshots, counters=counters)
 
         # caller's finally block unpersists batch + wave_caches
         return {"wave": wave, "fetched": batch_n - miss_n, "missing": miss_n,
-                "batch": batch_n, "done": False}
+                "batch": batch_n, "recrawled": n_recrawl, "done": False}
+
+    def recrawl(self, urls) -> dict:
+        """Force re-crawl — the ``force=true`` path of
+        GET /playlistify (reference: src/main.rs:162-192
+        find_or_playlistify_entry + update_entry): bypass the crawl-once
+        contract (src/model/entry.rs:295-308) for the given URLs.
+
+        Known frontier rows flip to status ``recrawl``: they dequeue like
+        pending rows (robots + budget still apply) but keep their seen
+        ordering (first_wave, seq), and their next extraction REPLACES the
+        stored entry + enclosures via copy-on-write merge.  Unknown URLs
+        are inserted as fresh pending rows (the create_by_url path — they
+        enter the seen sequence normally).  ``urls``: python list or a
+        DataFrame with a ``url`` column."""
+        ckpt = self.store.read_checkpoint()
+        if ckpt is None:
+            raise RuntimeError("bootstrap() first")
+        wave = int(ckpt["wave"])
+        counters = dict(ckpt.get("counters", {}))
+        snapshots = dict(ckpt.get("snapshots", {}))
+        frontier = self._pinned("frontier", schemas.FRONTIER_SCHEMA)
+        if isinstance(urls, DataFrame):
+            req = urls.select("url")
+        else:
+            req = self.spark.createDataFrame([(u,) for u in urls], ["url"])
+
+        # request sets are API-sized: broadcast against the frontier scan
+        marked = frontier.join(
+            F.broadcast(req.withColumn("__rc", F.lit(1))), "url", "left")
+        flip = (F.col("__rc").isNotNull()
+                & ~F.col("status").isin("pending", "recrawl"))
+        n_flip = marked.filter(flip).count()
+        flipped = (marked.withColumn(
+            "status", F.when(flip, F.lit("recrawl")).otherwise(F.col("status")))
+            .drop("__rc"))
+        new_rows = (
+            with_url_hash(req.join(frontier.select("url"), "url", "left_anti"))
+            .withColumn("host", host_col())
+            .withColumn("priority", F.lit(1.0))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovered_wave", F.lit(wave))
+            .withColumn("status", F.lit("pending"))
+            .select([f.name for f in schemas.FRONTIER_SCHEMA.fields])
+        ).cache()
+        n_new = new_rows.count()
+        try:
+            snapshots["frontier"] = self._t("frontier").overwrite(
+                flipped.unionByName(new_rows))
+        finally:
+            new_rows.unpersist()
+        counters["recrawl"] = int(counters.get("recrawl", 0)) + n_flip
+        counters["frontier_estimate"] = int(
+            counters.get("frontier_estimate", 0)) + n_new
+        self.store.commit_checkpoint(wave, snapshots, counters=counters)
+        return {"recrawl": n_flip, "inserted": n_new}
 
     def run_refresh(self) -> dict:
         """The update_tracks / playlist_crawler / update_artists batch

@@ -19,9 +19,12 @@ with no new source.
   preserved).
 
 Scale shape (10^10 URLs): host-level, so the graph is ~10^7 nodes, not
-10^10 — ranks and out-degrees are broadcast-sized; each iteration is
-one src-keyed broadcast join + one dst-keyed linear aggregation with
-map-side combine.  ``localCheckpoint`` truncates lineage per round
+10^10 — ranks and out-degrees are broadcast-sized there; iteration
+joins are all KEYED (src/dst), so AQE picks broadcast vs shuffle per
+actual size and a page-level edge list degrades to shuffle joins, not
+OOM.  The one explicit broadcast (with_host_rank_priority) is guarded
+by a limit-bounded node-count probe.  Each iteration is one src-keyed
+join + one dst-keyed linear aggregation with map-side combine.  ``localCheckpoint`` truncates lineage per round
 (same policy as webtext.connected_components).  Determinism: ranks are
 rounded to 8 dp every round, so Spark and the oracle walk identical
 trajectories.
@@ -81,17 +84,37 @@ def host_pagerank(entries: DataFrame, iters: int = 3,
     return pagerank(edges, iters=iters, damping=damping)
 
 
+#: Above this node count the rank frame stops being broadcast and the
+#: priority join becomes a plain keyed (shuffle) join.  Host-level
+#: graphs (~10^7 nodes ≈ a few hundred MB of (host, rank) rows) sit
+#: under it; a page-level edge list fed by mistake would otherwise pin
+#: a frontier-sized frame on every executor.
+BROADCAST_RANK_MAX_NODES = 20_000_000
+
+
 def with_host_rank_priority(frontier: DataFrame, host_ranks: DataFrame,
-                            scale: int = 1_000_000) -> DataFrame:
+                            scale: int = 1_000_000,
+                            max_broadcast_nodes: int =
+                            BROADCAST_RANK_MAX_NODES) -> DataFrame:
     """Replace frontier priority with the host's link-authority rank
     (scaled to an integer; unknown hosts rank 0).  Opt-in — callers
-    that need reference-ordering parity keep the default priority."""
+    that need reference-ordering parity keep the default priority.
+
+    Precondition: ``host_ranks`` is a HOST-level rank table (broadcast-
+    sized).  Guarded, not assumed: a limit-bounded probe (never a full
+    count of a huge frame) checks the node count and switches to a
+    shuffle hash join when the table exceeds ``max_broadcast_nodes`` —
+    so a page-level rank table degrades to a keyed join instead of
+    OOMing every executor."""
     ranked = host_ranks.select(F.col("node").alias("__host"),
                                (F.col("rank") * scale).cast("long")
                                .alias("__hr"))
+    small = (host_ranks.select(F.lit(1))
+             .limit(max_broadcast_nodes + 1).count()) <= max_broadcast_nodes
+    right = F.broadcast(ranked) if small else ranked
     return (frontier
             .withColumn("__host", host_col("url"))
-            .join(F.broadcast(ranked), "__host", "left")
+            .join(right, "__host", "left")
             .withColumn("priority",
                         F.coalesce(F.col("__hr"), F.lit(0)).cast("long"))
             .drop("__host", "__hr"))

@@ -34,14 +34,43 @@ def simulate(pages: dict, robots: dict, catalog_items: dict, seed_urls: list,
              trap_filter: bool = False) -> SimResult:
     """pages: url -> html (str|bytes); robots: host -> {disallow_prefixes,
     max_per_wave}; returns the canonical crawl trace."""
-    catalog = Catalog(catalog_items)
     res = SimResult()
     for u in seed_urls:
         res.frontier[u] = {"priority": 1.0, "depth": 0, "status": "pending"}
-    seq = 0
+    _run_waves(res, pages, robots, Catalog(catalog_items),
+               max_depth, max_waves, trap_filter)
+    return res
 
-    for wave in range(1, max_waves + 1):
-        pending = [u for u, r in res.frontier.items() if r["status"] == "pending"]
+
+def recrawl(res: SimResult, pages: dict, robots: dict, catalog_items: dict,
+            urls: list, max_depth: int = 3, max_waves: int = 100,
+            trap_filter: bool = False) -> SimResult:
+    """Force re-crawl semantics (reference: src/main.rs:162-192
+    find_or_playlistify force=true), the driver.recrawl parity oracle:
+    known urls flip to status 'recrawl' — re-fetched and their
+    entry/enclosures REPLACED, seen ordering untouched; unknown urls
+    enqueue as fresh pending rows (create_by_url) and enter the seen
+    sequence normally.  Continues the wave loop on the existing trace."""
+    for u in urls:
+        row = res.frontier.get(u)
+        if row is None:
+            res.frontier[u] = {"priority": 1.0, "depth": 0,
+                               "status": "pending"}
+        elif row["status"] not in ("pending", "recrawl"):
+            row["status"] = "recrawl"
+    _run_waves(res, pages, robots, Catalog(catalog_items),
+               max_depth, max_waves, trap_filter)
+    return res
+
+
+def _run_waves(res: SimResult, pages: dict, robots: dict, catalog,
+               max_depth: int, max_waves: int, trap_filter: bool) -> None:
+    seq = res.seen[-1][2] if res.seen else 0
+    start = res.waves
+
+    for wave in range(start + 1, start + max_waves + 1):
+        pending = [u for u, r in res.frontier.items()
+                   if r["status"] in ("pending", "recrawl")]
         if not pending:
             break
         res.waves = wave
@@ -75,15 +104,21 @@ def simulate(pages: dict, robots: dict, catalog_items: dict, seed_urls: list,
 
         discovered: dict = {}
         for u in batch:
-            seq += 1
-            res.seen.append((u, wave, seq))
+            was_recrawl = res.frontier[u]["status"] == "recrawl"
+            if not was_recrawl:
+                seq += 1
+                res.seen.append((u, wave, seq))
             html = pages.get(u)
             if html is None:
+                # a failed force keeps the cached entry (reference:
+                # find_or_playlistify propagates the error, no save)
                 res.frontier[u]["status"] = "missing"
                 continue
             res.frontier[u]["status"] = "fetched"
             product = extract(html, u, catalog)
             og = product.og
+            if was_recrawl:
+                res.enclosures = [t for t in res.enclosures if t[0] != u]
             res.entries[u] = {
                 "url": u,
                 "title": og.get("title"),
@@ -118,7 +153,6 @@ def simulate(pages: dict, robots: dict, catalog_items: dict, seed_urls: list,
         for u, row in discovered.items():
             if u not in res.frontier:
                 res.frontier[u] = {**row, "status": "pending"}
-    return res
 
 
 def _host(url: str) -> str:

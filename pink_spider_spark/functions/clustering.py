@@ -52,7 +52,11 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
     keep no centroid (standard Lloyd's drop behavior)."""
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias(vec_col))
-    centroids = (vecs.filter(F.col(id_col) < k)
+    # the k lowest ids, selected explicitly — filter(id < k) only equals
+    # "k lowest" when ids are dense from 0; sparse/non-zero-based ids
+    # would silently seed fewer (possibly zero) centroids.  k is tiny so
+    # the global top-k is a TakeOrderedAndProject, not a sort.
+    centroids = (vecs.orderBy(id_col).limit(k)
                  .select(F.col(id_col).alias("cid"),
                          F.col(vec_col).alias("cvec")))
     assigned = _assign(vecs, centroids, id_col, vec_col)

@@ -92,9 +92,15 @@ def wrap_lines(text_col: Column, k: int = 10) -> Column:
     + WHERE form."""
     tk = X.tokens(text_col)
     n_lines = F.ceil(F.size(tk) / F.lit(float(k))).cast("int")
-    return F.transform(
+    # empty/whitespace-only documents wrap to ZERO lines (they vanish in
+    # dedup_lines), not one empty-string line — F.split('') yields ['']
+    # so the emptiness test is on the trimmed text, mirrored by the
+    # oracle's AND trim(text) <> '' guard
+    return F.when(
+        F.trim(text_col) == "", F.array().cast("array<string>")
+    ).otherwise(F.transform(
         F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "))
+        lambda i: F.array_join(F.slice(tk, i * k + 1, k), " ")))
 
 
 def dedup_lines(df: DataFrame, text_col: str = "text",
@@ -217,22 +223,16 @@ def int8_quant_stats(vec_col: Column) -> tuple[Column, Column, Column]:
 
 # ---------------------------------------------------------- repetition
 def bigrams(text_col: Column) -> Column:
-    """Word 2-grams as an array (lowercased tokens)."""
-    tk = X.tokens(F.lower(text_col))
-    n = F.size(tk)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)))
+    """Word 2-grams as an array (lowercased tokens); empty array below 2
+    tokens — the previous sequence form emitted a degenerate unigram for
+    1-token docs via concat_ws null-skipping, diverging from the
+    oracle's WHERE s.i < len(tk) bound."""
+    return word_ngrams(text_col, 2)
 
 
 def trigrams(text_col: Column) -> Column:
-    tk = X.tokens(F.lower(text_col))
-    n = F.size(tk)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(tk, i),
-                              F.element_at(tk, i + 1),
-                              F.element_at(tk, i + 2)))
+    """Word 3-grams; empty array below 3 tokens (see bigrams)."""
+    return word_ngrams(text_col, 3)
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text",
@@ -306,8 +306,11 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     rate = F.lit(float(default_rate))
     for key, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
+    # round() before the cast: a bare cast truncates, so rates whose
+    # double product lands just under the integer (0.3 -> 2999.999...)
+    # would cut one bucket short of the oracle's rounding CAST
     return df.filter(F.pmod(h, F.lit(10000)) <
-                     (rate * 10000).cast("long"))
+                     F.round(rate * 10000, 0).cast("long"))
 
 
 # ----------------------------------------------------- decontamination

@@ -117,7 +117,12 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list,
     l = left.select("*", F.col(left_time).alias("__t"),
                     F.lit(1).alias("__src"))
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy(*key_cols).orderBy("__t", "__src")
+    # __p joins the ordering as a deterministic tie-break: two right rows
+    # with equal (key, right_time) would otherwise sort arbitrarily and
+    # last() would pick a nondeterministic payload (left rows carry a
+    # NULL __p and their mutual order is immaterial — each sees the same
+    # right-row prefix either way)
+    w = (Window.partitionBy(*key_cols).orderBy("__t", "__src", "__p")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
                .filter(F.col("__src") == 1))

@@ -1007,7 +1007,7 @@ lines AS (
   SELECT doc_id, s.i AS pos,
          array_to_string(list_slice(tk, s.i*10+1, s.i*10+10), ' ') AS line
   FROM toks, generate_series(0, 63) s(i)
-  WHERE s.i*10 < len(tk)),
+  WHERE s.i*10 < len(tk) AND array_to_string(tk, '') <> ''),
 kept AS (
   SELECT doc_id, pos, line FROM (
     SELECT doc_id, pos, line,
@@ -1162,8 +1162,8 @@ def docs_distinctive_terms(spark, sf_dir):
 @q("docs_stratified_sample", """
 SELECT doc_id, lang, source FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
-  CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END
-       * 10000 AS BIGINT)
+  CAST(round(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END
+       * 10000) AS BIGINT)
 """)
 def docs_stratified_sample(spark, sf_dir):
     """Deterministic hash-stratified sampling for training-mix
@@ -1433,6 +1433,33 @@ def events_value_quantiles(spark, sf_dir):
             .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
                  F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
                  F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99")))
+
+
+@q("events_value_quantiles_approx", """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 6) AS p50,
+       round(quantile_disc(value, 0.9), 6) AS p90,
+       round(quantile_disc(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def events_value_quantiles_approx(spark, sf_dir):
+    """The 100 TB form of events_value_quantiles: `percentile_approx`
+    (Greenwald-Khanna sketch — mergeable, bounded memory per group, the
+    operator a 10^12-row rollup must use instead of a full per-group
+    sort).  At accuracy >= group size GK is exact and returns a DATA
+    value at rank ceil(p*n) — DuckDB's quantile_disc — so the swap is
+    hash-verified here, and tests/test_operators.py bounds the error of
+    the genuinely-approximate low-accuracy regime against the exact
+    interpolated form."""
+    ev = _t(spark, sf_dir, "events")
+    acc = F.lit(1_000_000)
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile_approx("value", F.lit(0.5), acc), 6)
+                 .alias("p50"),
+                 F.round(F.percentile_approx("value", F.lit(0.9), acc), 6)
+                 .alias("p90"),
+                 F.round(F.percentile_approx("value", F.lit(0.99), acc), 6)
+                 .alias("p99")))
 
 
 @q("signup_click_window_counts", """

@@ -49,6 +49,12 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("extracted_playlists", T.LongType(), False),
     T.StructField("extracted_albums", T.LongType(), False),
     T.StructField("links_found", T.LongType(), False),
+    # wave-level stage timings (driver wall-clock per pipeline stage),
+    # carried on the partition_id = -1 driver row only — the operator's
+    # fixed-vs-variable cost split without re-profiling; NULL on
+    # per-partition lineage rows
+    T.StructField("stage_secs",
+                  T.MapType(T.StringType(), T.DoubleType()), True),
 ])
 
 # entry rows mirror reference entries (db/migrate/002,004,020,021) minus

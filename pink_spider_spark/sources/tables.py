@@ -74,7 +74,25 @@ class SnapshotTable:
             if schema is None:
                 raise ValueError(f"table {self.name} is empty and no schema given")
             return spark.createDataFrame([], schema)
-        df = spark.read.parquet(*dirs)
+        # mergeSchema across dirs: multi-table transaction appends
+        # (append_many_partitioned) write superset-column files, so one
+        # snapshot can mix per-table and superset dirs; without merging,
+        # spark picks an arbitrary sample file's schema (footer-only
+        # metadata cost, and only paid on multi-dir snapshots)
+        reader = spark.read
+        if len(dirs) > 1:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*dirs)
+        if schema is not None:
+            # project to exactly the requested fields: drops sibling-table
+            # superset columns, and fills fields added since a dir was
+            # written with NULL (additive schema evolution)
+            from pyspark.sql import functions as F
+            have = set(df.columns)
+            df = df.select(*[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields])
         return df
 
     #: Parquet codec for all table writes.  zstd compresses the text-heavy
@@ -108,6 +126,15 @@ class SnapshotTable:
         base = str(m["current"] if base_snapshot is None else base_snapshot)
         dirs = list(m["snapshots"].get(base, {"dirs": []})["dirs"]) + [path]
         return self._commit(m, dirs), path
+
+    def append_dir(self, path: str, base_snapshot: int | None = None) -> int:
+        """Register an ALREADY-WRITTEN data dir as an append (no Spark
+        job) — the AppendFiles half of a multi-table transaction whose
+        files were produced by one shared write (append_many_partitioned)."""
+        m = self._read_manifest()
+        base = str(m["current"] if base_snapshot is None else base_snapshot)
+        dirs = list(m["snapshots"].get(base, {"dirs": []})["dirs"]) + [path]
+        return self._commit(m, dirs)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents in one new snapshot."""
@@ -167,7 +194,9 @@ class SnapshotTable:
         if len(small) < min_dirs:
             return None
         n_out = max(1, -(-sum(sizes[d] for d in small) // target_bytes))
-        packed = self._write_dir(spark.read.parquet(*small).repartition(n_out))
+        packed = self._write_dir(
+            spark.read.option("mergeSchema", "true").parquet(*small)
+            .repartition(n_out))
         m2 = self._read_manifest()
         if int(m2["current"]) != base_id:  # concurrent commit: abort
             import shutil
@@ -202,6 +231,50 @@ class SnapshotTable:
         manifest["current"] = new_id
         self._commit_manifest(manifest)
         return new_id
+
+
+def append_many_partitioned(store: "TableStore", frames: dict,
+                            bases: dict | None = None) -> dict:
+    """Append several small per-wave deltas in ONE Spark job (multi-table
+    transaction analog): union the frames with a ``__table`` discriminator
+    over the superset of their columns, write once with
+    ``partitionBy("__table")``, then register each table's partition
+    subdir via ``append_dir`` — no per-table write jobs.
+
+    Why: a crawl wave commits O(8) tiny table deltas; as separate writes
+    each is a full Spark job whose cost is scheduling latency, not data —
+    a wave-size-independent fixed cost that caps N→4N pipeline scaling.
+    One shared job amortizes that latency across all tables (Iceberg
+    analog: one transaction carrying several AppendFiles).
+
+    ``frames``: {table_name: DataFrame}; ``bases``: {table_name: pinned
+    base snapshot id}.  Tables whose frame produced no rows keep their
+    base snapshot.  Readers project superset files back down via
+    ``SnapshotTable.read(schema=...)``.
+    """
+    import functools
+
+    from pyspark.sql import functions as F
+
+    bases = bases or {}
+    names = list(frames)
+    tagged = [frames[n].withColumn("__table", F.lit(n)) for n in names]
+    union = functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged)
+    out_dir = os.path.join(store.root, "_multi", f"d{uuid.uuid4().hex[:12]}")
+    (union.write.mode("overwrite")
+     .option("compression", SnapshotTable.COMPRESSION)
+     .partitionBy("__table").parquet(out_dir))
+    snapshots = {}
+    for n in names:
+        sub = os.path.join(out_dir, f"__table={n}")
+        base = bases.get(n)
+        if os.path.isdir(sub):
+            snapshots[n] = store.table(n).append_dir(sub, base_snapshot=base)
+        else:  # empty delta: stay on the base snapshot
+            snapshots[n] = (base if base is not None
+                            else store.table(n).current_snapshot())
+    return snapshots
 
 
 class TableStore:

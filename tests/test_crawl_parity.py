@@ -139,6 +139,18 @@ def test_metrics_lineage_written(spark, crawl_results):
     metrics = store.table("metrics").read(spark)
     total_fetched = metrics.agg(F.sum("fetched")).collect()[0][0]
     assert total_fetched == len(sim.entries)
+    # wave-commit observability: every wave carries a driver row
+    # (partition_id = -1) whose stage_secs map exposes the fixed/variable
+    # stage split, and the checkpoint counters carry the full tick map
+    drv = {r.wave: r.stage_secs
+           for r in metrics.filter("partition_id = -1").collect()}
+    n_waves = int(store.read_checkpoint()["wave"])
+    assert set(drv) == set(range(1, n_waves + 1))
+    for secs in drv.values():
+        assert {"dequeue", "entries_write"} <= set(secs)
+        assert all(v >= 0 for v in secs.values())
+    full = store.read_checkpoint()["counters"]["stage_secs"]
+    assert {"dequeue", "entries_write", "table_writes"} <= set(full)
 
 
 def test_resume_from_checkpoint(spark, corpus):

@@ -242,3 +242,30 @@ def test_range_join_matches_naive_predicate_join(spark):
              points.join(intervals, (F.col("pt") >= F.col("s"))
                          & (F.col("pt") < F.col("e"))).collect()}
     assert fast == naive and len(fast) > 0
+
+
+def test_percentile_approx_bounded_error_low_accuracy(spark):
+    # the genuinely-approximate regime (accuracy << n): GK guarantees
+    # rank error <= n/accuracy, so with n=2000, accuracy=100 the
+    # returned data value's rank is within 20 of the target rank
+    import pyspark.sql.functions as SF
+    n, acc = 2000, 100
+    df = spark.range(n).select((SF.col("id") * 1.0).alias("v"))
+    for p in (0.5, 0.9, 0.99):
+        got = df.agg(SF.percentile_approx("v", SF.lit(p), SF.lit(acc))
+                     .alias("q")).collect()[0].q
+        exact = df.agg(SF.percentile("v", SF.lit(p)).alias("q")
+                       ).collect()[0].q
+        assert abs(got - exact) <= n / acc + 1, (p, got, exact)
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    # two right rows at the identical (key, ts): the window tie-break on
+    # __p must make the pick deterministic (max payload struct wins)
+    left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b")], ["k", "ts", "val"])
+    outs = {
+        R.asof_join(left, right, ["k"]).collect()[0].val_asof
+        for _ in range(5)}
+    assert outs == {"b"}

@@ -44,3 +44,20 @@ def test_with_host_rank_priority(spark):
            K.with_host_rank_priority(frontier, ranks).collect()}
     assert out["http://a.com/1"] == 250_000
     assert out["http://nowhere.org/2"] == 0      # unknown host -> 0
+
+
+def test_with_host_rank_priority_large_graph_keyed_join(spark):
+    # above the broadcast bound the join degrades to a keyed join (no
+    # explicit broadcast hint) and results are unchanged
+    from pink_spider_spark.crawl.rank import with_host_rank_priority
+    frontier = spark.createDataFrame(
+        [("http://a.com/1", 7), ("http://nowhere.org/2", 7)],
+        ["url", "priority"])
+    ranks = spark.createDataFrame(
+        [("a.com", 0.25), ("b.com", 0.1), ("c.com", 0.2)],
+        ["node", "rank"])
+    out = {r.url: r.priority for r in
+           with_host_rank_priority(frontier, ranks,
+                                   max_broadcast_nodes=2).collect()}
+    assert out["http://a.com/1"] == 250_000
+    assert out["http://nowhere.org/2"] == 0

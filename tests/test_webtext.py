@@ -218,3 +218,41 @@ def test_contamination_plan_is_broadcast(spark):
             .executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_wrap_lines_and_ngrams_degenerate_docs(spark):
+    # empty / whitespace-only docs wrap to ZERO lines; 1-token docs
+    # produce no bigrams, 2-token docs no trigrams (no concat_ws
+    # null-skipped partial grams)
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one two"),
+         (4, "one two three")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        W.wrap_lines(F.col("text")).alias("lines"),
+        W.bigrams(F.col("text")).alias("bi"),
+        W.trigrams(F.col("text")).alias("tri")).collect()}
+    assert rows[0].lines == [] and rows[1].lines == []
+    assert rows[2].lines == ["one"]
+    assert rows[2].bi == [] and rows[2].tri == []
+    assert rows[3].bi == ["one two"] and rows[3].tri == []
+    assert rows[4].tri == ["one two three"]
+    # empty-line docs vanish from the dedup output entirely
+    out = W.dedup_lines(df).collect()
+    assert {r.doc_id for r in out} == {2, 3, 4}
+
+
+def test_stratified_sample_rate_rounding(spark):
+    # 0.3 * 10000 = 2999.9999999999995 as a double: the threshold must
+    # round to 3000, not truncate to 2999 (hash 2999 rows stay in on
+    # both engines)
+    df = spark.range(10000).select(F.col("id").alias("doc_id"),
+                                   F.lit("en").alias("lang"))
+    got = W.stratified_sample(df, "lang", {"en": 0.3}).count()
+    import duckdb
+    want = duckdb.sql(
+        "SELECT count(*) FROM range(10000) t(doc_id) WHERE "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        "% 10000 < CAST(round(0.3 * 10000) AS BIGINT)").fetchone()[0]
+    assert got == want
