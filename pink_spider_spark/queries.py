@@ -800,6 +800,51 @@ def emb_near_dup_pairs_lsh(spark, sf_dir):
     return S.near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"))
 
 
+def _banded_sigs_sql(bands: int = 16, r: int = 4, dim: int = 64) -> str:
+    """UNNEST-able struct list: one {'band', 'bucket'} per band, bucket =
+    the r-bit hyperplane sign signature (same md5 planes as Spark)."""
+    structs = []
+    for band in range(bands):
+        terms = []
+        for i in range(r):
+            lits = ", ".join(
+                f"{S.plane_component(band * r + i, d)!r}" for d in range(dim))
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"[{lits}]::DOUBLE[]) >= 0 "
+                f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)")
+        structs.append(
+            "{'band': " + str(band) + ", 'bucket': "
+            + " + ".join(terms) + "}")
+    return "[" + ", ".join(structs) + "]"
+
+
+@q("emb_near_dup_pairs_lsh_banded", f"""
+WITH sigs AS (
+  SELECT vec_id, s.band AS band, s.bucket AS bucket
+  FROM embeddings, UNNEST({_banded_sigs_sql()}) t(s)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+  round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                               eb.embedding::DOUBLE[]), 4) AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= 0.3
+""")
+def emb_near_dup_pairs_lsh_banded(spark, sf_dir):
+    """Banded hyperplane LSH near-dup (16 bands × 4 planes): candidates
+    share ANY band bucket — recall ≥ 0.9 at threshold 0.3 vs the exact
+    form (asserted in tests/test_operators.py), closing the single-bucket
+    variant's cross-bucket recall hole.  All joins keyed on
+    (band, bucket) / vec_id — no O(n²) operator anywhere."""
+    return S.near_dup_pairs_lsh_banded(_t(spark, sf_dir, "embeddings"))
+
+
 @q("user_sessions", """
 WITH gaps AS (
   SELECT user_id, ts,

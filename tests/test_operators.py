@@ -269,3 +269,28 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
         R.asof_join(left, right, ["k"]).collect()[0].val_asof
         for _ in range(5)}
     assert outs == {"b"}
+
+
+def test_banded_lsh_recall_vs_exact(spark):
+    # banded pairs ⊆ exact pairs (rerank is exact) and recall >= 0.9 at
+    # threshold 0.3 on the sandbox corpus — the VERDICT r2 item-4 gate
+    from pink_spider_spark.functions import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("eb"))
+    exact = {(r.id_a, r.id_b) for r in
+             a.join(b, F.col("id_a") < F.col("id_b"))
+             .filter(S.cosine(F.col("ea"), F.col("eb")) >= 0.3)
+             .select("id_a", "id_b").collect()}
+    banded = {(r.id_a, r.id_b) for r in
+              S.near_dup_pairs_lsh_banded(emb).select("id_a", "id_b")
+              .collect()}
+    assert banded <= exact
+    assert len(banded) / len(exact) >= 0.9, (len(banded), len(exact))
+    # and it strictly dominates the single-bucket variant's recall
+    single = {(r.id_a, r.id_b) for r in
+              S.near_dup_pairs_lsh(emb).select("id_a", "id_b").collect()}
+    assert len(banded) > len(single)
