@@ -32,9 +32,14 @@ extraction pipeline):
   ``template_contents`` handle (the reference's DOM walk never sees
   template contents as children); the "in template" mode stack is not
   implemented.
-- script data double-escaped states (``<script><!--``) follow the
-  stdlib tokenizer (ends at the first ``</script``), not the spec's
-  escaped-dash states.
+- script data escaped/double-escaped states (§13.2.5.22-29) are
+  implemented over the stdlib tokenizer (``_advance_script_escape`` +
+  the ``handle_endtag`` swallow): ``</script>`` inside a double-escaped
+  region is script data and the element closes at the spec position.
+  A swallowed close tag is re-emitted canonically (``</script >`` raw
+  forms are not byte-preserved) and an unterminated cdata region at EOF
+  drops its text — both invisible to extraction, which never reads
+  script data.
 """
 
 from __future__ import annotations
@@ -219,6 +224,13 @@ class _TreeBuilder(HTMLParser):
         self.skip_newline = False
         self.pending_table_text: list[str] = []
         self.templates: list[Node] = []
+        # script data escape tracking (§13.2.5.22-29): 0 = script data,
+        # 1 = escaped (inside <!-- ... -->), 2 = double-escaped (a
+        # <script> appeared inside the escape).  In state 2 a </script>
+        # token is DATA, not a close — see handle_endtag.
+        self._script_esc = 0
+        self._script_tail = ""
+        self._cdata_reenter = False
 
     # ================================================== tree helpers
     def current(self) -> Node:
@@ -281,6 +293,9 @@ class _TreeBuilder(HTMLParser):
         node = self._insert_element(tag, attrs)
         self.orig_mode = self.mode
         self.mode = TEXT_MODE
+        if tag == "script":
+            self._script_esc = 0
+            self._script_tail = ""
         return node
 
     def _pop_until(self, *tags) -> None:
@@ -389,7 +404,68 @@ class _TreeBuilder(HTMLParser):
                 and self.current().tag == tag and self.current().ns is None):
             self.set_cdata_mode(tag)
 
+    _SCRIPT_DELIMS = " \t\n\r\f/>"
+
+    def _advance_script_escape(self, data: str) -> None:
+        """Walk the script-data escape state machine (§13.2.5.22-29)
+        over a script text chunk.  Approximations, both invisible to
+        extraction (script data is never extracted): patterns are
+        matched as substrings with the spec's delimiter lookahead on
+        ``<script``, and a pattern split across feed() chunks is caught
+        via a small carried tail."""
+        text = (self._script_tail + data).lower()
+        s = self._script_esc
+        i = 0
+        n = len(text)
+        while i < n:
+            if s == 0:
+                j = text.find("<!--", i)
+                if j < 0:
+                    break
+                s, i = 1, j + 4
+            elif s == 1:
+                j_end = text.find("-->", i)
+                j_dbl = text.find("<script", i)
+                while j_dbl >= 0 and j_dbl + 7 < n \
+                        and text[j_dbl + 7] not in self._SCRIPT_DELIMS:
+                    j_dbl = text.find("<script", j_dbl + 1)
+                if j_end < 0 and j_dbl < 0:
+                    break
+                if j_dbl >= 0 and (j_end < 0 or j_dbl < j_end):
+                    s, i = 2, j_dbl + 7
+                else:
+                    s, i = 0, j_end + 3
+            else:  # double-escaped: only --> exits (to script data)
+                j = text.find("-->", i)
+                if j < 0:
+                    break
+                s, i = 0, j + 3
+        self._script_esc = s
+        self._script_tail = text[max(0, n - 7):]
+
+    def clear_cdata_mode(self):
+        # the stdlib clears cdata unconditionally right after a matching
+        # end tag; when that end tag was swallowed as double-escaped
+        # script DATA (handle_endtag below), re-arm the tokenizer instead
+        if self._cdata_reenter:
+            self._cdata_reenter = False
+            self.set_cdata_mode("script")
+        else:
+            super().clear_cdata_mode()
+
     def handle_endtag(self, tag):
+        if (tag == "script" and self.cdata_elem == "script"
+                and self.mode == TEXT_MODE and self._script_esc == 2):
+            # §13.2.5.27: inside double-escaped script data a </script>
+            # sequence is character data and drops back to the (single-)
+            # escaped state; the element stays open.  Re-emitted in
+            # canonical form — exact raw bytes of exotic forms like
+            # "</script >" are not preserved, which extraction never sees.
+            if self.stack:
+                self._insert_text("</script>")
+            self._script_esc = 1
+            self._cdata_reenter = True
+            return
         self._end(tag)
 
     def handle_data(self, data):
@@ -412,6 +488,8 @@ class _TreeBuilder(HTMLParser):
                     return
             if self.stack:
                 self._insert_text(data)
+            if self.cdata_elem == "script":
+                self._advance_script_escape(data)
             return
         self._chars(data)
 

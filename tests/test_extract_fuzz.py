@@ -25,6 +25,12 @@ chunk = st.one_of(
         "<!-- comment -->",
         "<!DOCTYPE html>",
         "<p", "href=", '"', "&amp;", "&notareal;", "\x00", "<><//>",
+        # script escape-state stressors (§13.2.5.22-29) and templates in
+        # table contexts — the two formerly-documented parser deviations
+        "<script><!--", "<!--", "-->", "<script><!--<script>",
+        "</script>", '<script><!-- x="</script>"; --></script>',
+        "<table><template><tr><td>t</td></tr></template>",
+        "<template><table><tr>", "</template>",
     ]),
 )
 

@@ -148,3 +148,73 @@ def test_text_after_unclosed_divs_extracted():
     html = "<div><div>" + "alpha beta gamma delta " * 10
     product = extract(html, "https://x.example/c")
     assert product.text.startswith("alpha beta gamma delta")
+
+
+# ---- hand-pinned WHATWG goldens: <template> + script escape states ----
+# (VERDICT r2 item 5: prove the documented deviations invisible — or fix
+# them.  Reference behavior = html5ever defaults, src/scraper.rs:76-79.)
+
+def _dom(html):
+    from pink_spider_spark.htmldom import parse_html, serialize
+    return serialize(parse_html(html))
+
+
+def test_template_contents_detached_everywhere():
+    # template contents live in a separate fragment (rcdom
+    # template_contents): the DOM walk — and extraction — never sees
+    # them, wherever the template sits
+    assert _dom("<div><template><p>H</p></template><p>V</p></div>") == (
+        "<html><head></head><body><div><template></template>"
+        "<p>V</p></div></body></html>")
+    # inside a table: the template is NOT foster-parented and its row
+    # does not leak into the tbody
+    assert _dom("<table><template><tr><td>H</td></tr></template>"
+                "<tr><td>V</td></tr></table>") == (
+        "<html><head></head><body><table><template></template>"
+        "<tbody><tr><td>V</td></tr></tbody></table></body></html>")
+    # inside tbody
+    assert _dom("<table><tbody><template><td>H</td></template>"
+                "<tr><td>V</td></tr></tbody></table>") == (
+        "<html><head></head><body><table><tbody><template></template>"
+        "<tr><td>V</td></tr></tbody></table></body></html>")
+
+
+def test_template_in_table_invisible_to_extract():
+    from pink_spider_spark.extract import extract
+    filler = "real sentence content here " * 10
+    html = (f"<table><template><tr><td>HIDDENCELL</td></tr></template>"
+            f"<tr><td>VISIBLECELL</td></tr></table><p>{filler}</p>")
+    product = extract(html, "https://x.example/tpl")
+    assert "HIDDENCELL" not in product.text
+    assert "HIDDENCELL" not in product.content
+
+
+def test_script_double_escape_states():
+    # §13.2.5.22-29: </script> inside <!-- <script> ... --> is DATA
+    assert _dom('<script><!-- <script> x="</script>"; --> </script>'
+                "<p>A</p>") == (
+        '<html><head><script><!-- <script> x="</script>"; --> </script>'
+        "</head><body><p>A</p></body></html>")
+    # single-escaped (no inner <script>): the first </script> closes
+    assert _dom("<script><!-- x </script><p>B</p>") == (
+        "<html><head><script><!-- x </script></head>"
+        "<body><p>B</p></body></html>")
+    # --> exits the double-escaped state; the next </script> closes
+    assert _dom("<script><!--<script>a</script>b--></script><p>C</p>") == (
+        "<html><head><script><!--<script>a</script>b--></script></head>"
+        "<body><p>C</p></body></html>")
+    # after the swallowed close the state is (single-)escaped, so the
+    # following </script> closes and the rest is body text
+    assert _dom("<script><!--<script>a</script>b</script>c<p>D</p>") == (
+        "<html><head><script><!--<script>a</script>b</script></head>"
+        "<body>c<p>D</p></body></html>")
+
+
+def test_script_escape_leak_invisible_to_extract():
+    from pink_spider_spark.extract import extract
+    filler = "visible paragraph words " * 10
+    html = (f'<script><!-- <script> document.write("</script>ESCLEAK"); '
+            f"--> </script><p>{filler}</p>")
+    product = extract(html, "https://x.example/esc")
+    assert "ESCLEAK" not in product.text
+    assert "visible paragraph words" in product.text
