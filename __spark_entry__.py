@@ -45,7 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ dedup /
-    similarity / text-analysis training-data operators)."""
+    similarity / text-analysis training-data operators).
+
+    SCALE note: ``pink_spider_spark.queries.VERIFIER_ONLY`` marks the
+    entries that exist only as small-scale correctness verifiers for a
+    bucketed scale twin (deliberate all-pairs plans); it maps each to
+    the production-path query to use at size."""
     from pink_spider_spark.queries import QUERY_BUILDERS
 
     return dict(QUERY_BUILDERS)

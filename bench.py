@@ -28,6 +28,7 @@ HEADLINE = [
     "emb_knn_of_vec0",
     "emb_lsh_buckets",
     "emb_near_dup_pairs_lsh",
+    "emb_near_dup_pairs_lsh_banded",
     "docs_gopher_quality",
     "docs_line_dedup",
 ]

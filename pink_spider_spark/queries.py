@@ -31,6 +31,15 @@ from .operators import relational as R
 QUERY_BUILDERS: dict = {}
 ORACLES: dict = {}
 
+#: SCALE markers: queries registered ONLY as small-scale correctness
+#: verifiers for a bucketed scale twin.  They contain deliberate
+#: all-pairs plans and must never be the form a user reaches for at
+#: size; the mapping names the production path to use instead.
+VERIFIER_ONLY: dict = {
+    "emb_near_dup_pairs": "emb_near_dup_pairs_lsh_banded",
+    "docs_ngram_jaccard_pairs": "docs_ngram_jaccard_pairs_prefix",
+}
+
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):

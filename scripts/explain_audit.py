@@ -72,6 +72,15 @@ CHECKS = {
     "events_weekday_pivot": (["HashAggregate"],
                              ["Exchange hashpartitioning(event_type",
                               "CartesianProduct"]),
+    # banded LSH near-dup: all joins are keyed (band,bucket)/(vec_id)
+    # hash joins over the thin signature table — no nested-loop pairing
+    "emb_near_dup_pairs_lsh_banded": ([], ["BroadcastNestedLoopJoin",
+                                           "CartesianProduct"]),
+    # approx quantiles: one hash-partitioned aggregation of mergeable GK
+    # sketches (the 100 TB form) — no sort, no window
+    "events_value_quantiles_approx": (["HashAggregate"],
+                                      ["Sort", "Window",
+                                       "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

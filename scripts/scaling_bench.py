@@ -124,6 +124,38 @@ def main():
             f"| local[{n}] -> local[{n4}] | {fmt(e_pipe)} | {fmt(e_ex)} "
             f"| {fmt(e_hw)} |")
 
+    # window-matched pairs: rep i's N run vs rep i's 4N run (minutes
+    # apart in the same hypervisor weather) — the MEDIAN over reps is the
+    # headline criterion, robust to single-window outliers by design
+    import statistics
+
+    matched_rows = []
+    medians = {}
+    for n, n4 in PAIRS:
+        runs_n = [r for r in runs if r["cpus"] == n]
+        runs_n4 = [r for r in runs if r["cpus"] == n4]
+        pairs = []
+        for i, (a, b) in enumerate(zip(runs_n, runs_n4)):
+            e_pipe = (b["urls_per_sec"] / a["urls_per_sec"]) / 4.0
+            e_ex = None
+            if "extract_urls_per_sec" in a and "extract_urls_per_sec" in b:
+                e_ex = (b["extract_urls_per_sec"]
+                        / a["extract_urls_per_sec"]) / 4.0
+            e_hw = None
+            if a.get("host_capacity") and b.get("host_capacity"):
+                e_hw = (b["host_capacity"] / a["host_capacity"]) / 4.0
+            pairs.append(e_pipe)
+            matched_rows.append(
+                f"| rep {i} | local[{n}]→local[{n4}] | {e_pipe:.3f} "
+                f"| {fmt(e_ex)} | {fmt(e_hw)} |")
+        if pairs:
+            med = statistics.median(pairs)
+            medians[f"median_eff_{n}_{n4}"] = round(med, 3)
+            matched_rows.append(
+                f"| **median** | local[{n}]→local[{n4}] | **{med:.3f}** "
+                f"| | |")
+    effs.update(medians)
+
     rows = "\n".join(
         f"| local[{c}] | {best[c]['urls_processed']} | {best[c]['seconds']} "
         f"| {best[c]['urls_per_sec']} | {best_ex.get(c, '—')} "
@@ -155,7 +187,13 @@ the cleanest windows.
 |---|---|---|---|---|---|
 {rows}
 
-## Scaling efficiency (throughput_4N / throughput_N) / 4 — target >= 0.8
+## Window-matched pairs (rep i vs rep i) — MEDIAN is the headline
+
+| rep | pair | full pipeline | extract stage | hardware ceiling |
+|---|---|---|---|---|
+{chr(10).join(matched_rows)}
+
+## Best-of scaling efficiency (throughput_4N / throughput_N) / 4 — target >= 0.8
 
 | pair | full pipeline | extract stage (dominant at scale) | hardware ceiling (busy-loop probe) |
 |---|---|---|---|
