@@ -424,3 +424,77 @@ def filter_pipeline(docs: DataFrame, bench: DataFrame, n: int = 3,
         contaminated.alias("contaminated"), is_dup.alias("is_dup"),
         (F.col("passes_gopher") & ~in_bench & ~contaminated & ~is_dup)
         .alias("kept"))
+
+
+# ----------------------------------------------- exact substring dedup
+def window_hashes(text_col: Column, k: int = 20) -> Column:
+    """md5 fingerprints of every k-token window (1-based start
+    positions 1..n-k+1); empty array for blank docs or docs shorter
+    than k tokens.  The md5 of the space-joined slice is the
+    cross-engine window key (identical string in DuckDB's md5())."""
+    tk = X.tokens(text_col)
+    n = F.size(tk)
+    return F.when(
+        (F.trim(text_col) == "") | (n < k), F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.array_join(F.slice(tk, i, k), " "))))
+
+
+def exact_substring_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 20) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): any
+    k-token run that appears anywhere else in the corpus is removed
+    from every occurrence EXCEPT the globally first one (ordered by
+    (doc_id, position)).  Output per non-blank document: token count,
+    number of tokens removed, and the surviving text (tokens not
+    covered by any removed duplicate window, original order).
+
+    The paper builds a single suffix array — inherently sequential.
+    The distributed form used here is the standard fingerprint-window
+    analog: emit a rolling k-token window fingerprint per position,
+    find fingerprints with count > 1, keep the first occurrence, and
+    cut the token span of every later occurrence (overlapping spans
+    union naturally at the covered-token level).
+
+    Scale shape (100 TB): row amplification is ×n_tokens (same as
+    dedup_lines); three keyed shuffles, all with map-side combine —
+    (1) groupBy window-hash with min(struct(doc,pos))+count (a window
+    repeated a million times collapses to one row per map partition
+    before the exchange — no hot-key sort), (2) the wins⋈firsts
+    equi-join on the hash (AQE-planned, both sides already
+    hash-partitioned on the key), (3) the per-doc covered-index
+    collect_set (bounded by doc length).  The final token filter is
+    in-row (higher-order F.filter with index lambda), no UDF."""
+    docs = df.filter(F.trim(F.col(text_col)) != "")
+    toks = docs.select(F.col(id_col),
+                       X.tokens(F.col(text_col)).alias("tk"),
+                       window_hashes(F.col(text_col), k).alias("whs"))
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode("whs").alias("pos0", "wh")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "wh")
+    firsts = (wins.groupBy("wh")
+              .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("pos").alias("p"))).alias("keep"),
+                   F.count("*").alias("c")))
+    dup_occ = (wins.join(firsts.filter(F.col("c") > 1), "wh")
+               .filter(~((F.col(id_col) == F.col("keep.d"))
+                         & (F.col("pos") == F.col("keep.p")))))
+    covset = (dup_occ
+              .select(F.col(id_col),
+                      F.explode(F.sequence(
+                          F.col("pos"),
+                          F.col("pos") + F.lit(k - 1))).alias("ti"))
+              .groupBy(id_col)
+              .agg(F.collect_set("ti").alias("cov")))
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    return (toks.join(covset, id_col, "left")
+            .select(F.col(id_col),
+                    F.size("tk").cast("long").alias("n_tokens"),
+                    F.size(cov).cast("long").alias("removed_tokens"),
+                    F.array_join(
+                        F.filter("tk", lambda x, i:
+                                 ~F.array_contains(cov, i + 1)),
+                        " ").alias("kept_text")))

@@ -1591,3 +1591,45 @@ def events_hourly_rollup(spark, sf_dir):
                        "event_type")
             .agg(F.count("*").cast("long").alias("n"),
                  F.round(F.sum("value"), 2).alias("value_sum")))
+
+
+@q("docs_substring_dedup", """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents WHERE trim(text) <> ''),
+wins AS (
+  SELECT doc_id, s.i AS pos,
+         md5(array_to_string(list_slice(tk, s.i, s.i + 19), ' ')) AS wh
+  FROM toks, generate_series(1, 128) s(i)
+  WHERE s.i <= len(tk) - 19),
+dup_occ AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+           COUNT(*) OVER (PARTITION BY wh) AS c
+    FROM wins) WHERE c > 1 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, s.i AS ti
+  FROM dup_occ, generate_series(1, 128) s(i)
+  WHERE s.i BETWEEN pos AND pos + 19),
+covc AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY doc_id),
+idx AS (SELECT doc_id, s.i AS ti, tk[s.i] AS tok
+        FROM toks, generate_series(1, 128) s(i) WHERE s.i <= len(tk)),
+kept AS (
+  SELECT i.doc_id, string_agg(i.tok, ' ' ORDER BY i.ti) AS kept_text
+  FROM idx i LEFT JOIN cov c ON c.doc_id = i.doc_id AND c.ti = i.ti
+  WHERE c.ti IS NULL GROUP BY i.doc_id)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cc.removed, 0) AS BIGINT) AS removed_tokens,
+       coalesce(kp.kept_text, '') AS kept_text
+FROM toks t
+LEFT JOIN covc cc USING (doc_id)
+LEFT JOIN kept kp USING (doc_id)
+""")
+def docs_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, fingerprint-
+    window distributed form): every 20-token run seen elsewhere in the
+    corpus is cut from all but its first occurrence; per-doc token
+    count, removed-token count, surviving text
+    (functions/webtext.py exact_substring_dedup).  The oracle replays
+    the same window fingerprints + first-occurrence rule in SQL."""
+    return W.exact_substring_dedup(_t(spark, sf_dir, "documents"), k=20)

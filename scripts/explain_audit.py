@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CHECKS = {
     # query -> (must contain, must NOT contain)
     "part_search_red": (["PushedFilters"], ["CartesianProduct"]),
+    # exact substring dedup: groupBy-min on window hash + keyed joins —
+    # never a sort-window over the (hot) fingerprint key, no cartesian
+    "docs_substring_dedup": ([], ["CartesianProduct", "Window"]),
     "orders_mget": (["PushedFilters: [In(o_orderkey"], ["CartesianProduct"]),
     "active_suppliers": (["GreaterThan(s_acctbal"], []),
     "nation_customer_rollup": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),

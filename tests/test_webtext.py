@@ -256,3 +256,53 @@ def test_stratified_sample_rate_rounding(spark):
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
         "% 10000 < CAST(round(0.3 * 10000) AS BIGINT)").fetchone()[0]
     assert got == want
+
+
+def test_exact_substring_dedup_semantics(spark):
+    # 6-token windows; doc 1 repeats doc 0's opening run verbatim, doc 2
+    # is unique, doc 3 is shorter than k, doc 4 is blank.
+    shared = "a b c d e f"          # the duplicated 6-token run
+    df = spark.createDataFrame(
+        [(0, shared + " tail0 x y z"),
+         (1, shared + " tail1 p q r"),
+         (2, "u v w unique only here words"),
+         (3, "too short"),
+         (4, "   ")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           W.exact_substring_dedup(df, k=6).collect()}
+    # blank doc vanishes; short doc passes through untouched
+    assert set(out) == {0, 1, 2, 3}
+    assert out[3].removed_tokens == 0 and out[3].kept_text == "too short"
+    # first occurrence (doc 0) keeps everything
+    assert out[0].removed_tokens == 0
+    assert out[0].kept_text == shared + " tail0 x y z"
+    # doc 1 loses exactly the 6 tokens of the duplicated window
+    assert out[1].removed_tokens == 6
+    assert out[1].kept_text == "tail1 p q r"
+    assert out[2].removed_tokens == 0
+
+
+def test_exact_substring_dedup_overlap_and_within_doc(spark):
+    # within-doc repeat: "a b c a b c a b c" with k=3 — windows at
+    # positions 1..7; "a b c" (pos 1) repeats at pos 4 and 7, "b c a"
+    # (pos 2) at pos 5, "c a b" (pos 3) at pos 6.  First occurrences
+    # are pos 1-3; duplicates cover positions 4..9 → 6 tokens removed,
+    # overlapping spans unioned (not double-counted).
+    df = spark.createDataFrame([(0, "a b c a b c a b c")],
+                               ["doc_id", "text"])
+    r = W.exact_substring_dedup(df, k=3).collect()[0]
+    assert r.n_tokens == 9
+    assert r.removed_tokens == 6
+    assert r.kept_text == "a b c"
+
+
+def test_exact_substring_dedup_all_covered(spark):
+    # a doc that is entirely a copy of an earlier doc: every token is
+    # covered, kept_text collapses to the empty string
+    t = "q w e r t y u i"
+    df = spark.createDataFrame([(0, t), (1, t)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           W.exact_substring_dedup(df, k=4).collect()}
+    assert out[0].removed_tokens == 0 and out[0].kept_text == t
+    assert out[1].removed_tokens == 8 and out[1].kept_text == ""
