@@ -192,3 +192,40 @@ def near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.3,
         .filter(F.col("sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("sim_raw", decimals).alias("sim"))
     )
+
+
+def query_bucket(query_vec: list, n_planes: int = 8, dim: int = DIM) -> int:
+    """The query vector's hyperplane sign bucket, computed driver-side
+    (pure python over the deterministic planes)."""
+    qb = 0
+    for p in range(n_planes):
+        plane = [plane_component(p, d) for d in range(dim)]
+        if sum(a * b for a, b in zip([float(x) for x in query_vec],
+                                     plane)) >= 0:
+            qb += 1 << p
+    return qb
+
+
+def ann_topk_multiprobe(df: DataFrame, query_vec: list, k: int = 10,
+                        n_planes: int = 8, vec_col: str = "embedding",
+                        id_col: str = "vec_id", dim: int = DIM) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): rerank vectors in the
+    query's bucket OR any bucket at Hamming distance 1 from it (each
+    single plane-sign flip) — n_planes+1 probes.  Collision recall
+    rises from p^n to covering every near neighbor that disagrees with
+    the query on at most one hyperplane, at ~(n_planes+1)/2^n_planes
+    of the corpus reranked (9/256 at the default 8 planes) — the
+    standard trade when a single probe's recall is too low and adding
+    hash tables (more memory) is not wanted.
+
+    Plan shape: the probe set is a driver-side constant → one scan
+    computes buckets in-row and filters with a literal IN (no join for
+    the probe set, no shuffle before the global top-k).  At 10^9+ rows
+    the bucket becomes a stored partition column and the IN prunes
+    partitions at the source."""
+    qb = query_bucket(query_vec, n_planes, dim)
+    probes = sorted({qb} | {qb ^ (1 << p) for p in range(n_planes)})
+    bucketed = lsh_bucket(df, n_planes, vec_col, id_col, dim)
+    cands = df.join(
+        bucketed.filter(F.col("bucket").isin(probes)).select(id_col), id_col)
+    return knn_brute_force(cands, query_vec, k, vec_col, id_col)

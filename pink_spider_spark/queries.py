@@ -1633,3 +1633,24 @@ def docs_substring_dedup(spark, sf_dir):
     (functions/webtext.py exact_substring_dedup).  The oracle replays
     the same window fingerprints + first-occurrence rule in SQL."""
     return W.exact_substring_dedup(_t(spark, sf_dir, "documents"), k=20)
+
+
+@q("emb_ann_topk_multiprobe_of_vec0", f"""
+WITH buckets AS (SELECT vec_id, ({_planes_sql_case()}) AS bucket FROM embeddings),
+qb AS (SELECT ({_qvec_bucket_sql()}) AS qbucket)
+SELECT e.vec_id,
+  round(list_cosine_similarity(e.embedding::DOUBLE[],
+    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, qb
+WHERE e.vec_id <> 0 AND b.bucket IN
+  (qb.qbucket, {", ".join(f"xor(qb.qbucket, {1 << p}::BIGINT)" for p in range(8))})
+ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+""")
+def emb_ann_topk_multiprobe_of_vec0(spark, sf_dir):
+    """Multi-probe LSH ANN (Lv et al. 2007): the query bucket plus all
+    Hamming-distance-1 buckets (one sign flip per plane) feed the exact
+    rerank — closes most of the single-probe recall hole at 9/256 of
+    the corpus reranked (functions/similarity.py ann_topk_multiprobe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return S.ann_topk_multiprobe(emb.filter("vec_id <> 0"), qv, k=10)

@@ -21,6 +21,9 @@ CHECKS = {
     # exact substring dedup: groupBy-min on window hash + keyed joins —
     # never a sort-window over the (hot) fingerprint key, no cartesian
     "docs_substring_dedup": ([], ["CartesianProduct", "Window"]),
+    # multi-probe ANN: literal IN over in-row buckets + global top-k
+    "emb_ann_topk_multiprobe_of_vec0": (["TakeOrderedAndProject"],
+                                        ["CartesianProduct", "Window"]),
     "orders_mget": (["PushedFilters: [In(o_orderkey"], ["CartesianProduct"]),
     "active_suppliers": (["GreaterThan(s_acctbal"], []),
     "nation_customer_rollup": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),

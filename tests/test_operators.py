@@ -294,3 +294,41 @@ def test_banded_lsh_recall_vs_exact(spark):
     single = {(r.id_a, r.id_b) for r in
               S.near_dup_pairs_lsh(emb).select("id_a", "id_b").collect()}
     assert len(banded) > len(single)
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """Planted-near-dup corpus: 8 perturbed copies of the query vector
+    (cosine ~0.96) among 90 unrelated vectors.  With the deterministic
+    planes, 5 copies share the query's exact bucket, 2 sit at Hamming
+    distance 1, 1 at distance 2 — so single-probe ANN recalls 5/8 and
+    radius-1 multi-probe recalls 7/8.  (The driver's embeddings table is
+    a noise-regime corpus — max pairwise cosine ~0.48 — where absolute
+    LSH recall is structurally low for any probe count; the planted
+    corpus is the semantics check.)"""
+    import hashlib
+    from pink_spider_spark.functions import similarity as S
+
+    def hvec(tag, dim=64):
+        return [(int(hashlib.md5(f"{tag}-{d}".encode()).hexdigest()[:8],
+                     16) % 2000) / 1000.0 - 1.0 for d in range(dim)]
+
+    q = hvec("base-0")
+    rows = []
+    for j in range(1, 9):
+        p = hvec(f"dup-{j}")
+        rows.append((j, [a + 0.25 * b for a, b in zip(q, p)]))
+    rows += [(10 + i, hvec(f"base-{1 + i}")) for i in range(90)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<float>")
+
+    exact = {r.vec_id for r in S.knn_brute_force(df, q, k=8).collect()}
+    assert exact == set(range(1, 9))  # the planted dups ARE the top-8
+    single = {r.vec_id for r in S.ann_topk(df, q, k=8).collect()}
+    multi = {r.vec_id for r in S.ann_topk_multiprobe(df, q, k=8).collect()}
+    # (single ⊄ multi as SETS: single's k=8 pads with low-sim bucket
+    # fillers that multi's better candidates push out — recall is the
+    # contract, not set containment)
+    assert len(single & exact) == 5   # the 5 Hamming-0 planted dups
+    assert len(multi & exact) == 7    # + the 2 at Hamming 1; H=2 missed
+    assert len(multi & exact) >= len(single & exact)
