@@ -498,3 +498,68 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
                         F.filter("tk", lambda x, i:
                                  ~F.array_contains(cov, i + 1)),
                         " ").alias("kept_text")))
+
+
+# ------------------------------------------------------- shard packing
+def pack_shards(df: DataFrame, shard_tokens: int = 1_000_000,
+                text_col: str = "text", id_col: str = "doc_id",
+                distributed_threshold: int | None = 2048) -> DataFrame:
+    """Training-shard assignment: lay documents end-to-end in ``id_col``
+    order and assign each to the shard its STARTING token offset falls
+    in (``shard_id = token_offset // shard_tokens``) — the packing step
+    that turns a filtered corpus into fixed-budget training files.
+    Documents are never split; a doc straddling a boundary belongs to
+    the shard it starts in (document-contiguous packing).
+
+    The global running sum is the interesting part at scale: a plain
+    ``Window.orderBy(id)`` cumsum funnels the corpus through ONE
+    post-shuffle partition.  Above ``distributed_threshold`` rows the
+    same prefix sum is computed with no serial stage (the wave_order
+    discipline, crawl/scheduler.py): range-repartition on the id, an
+    in-partition cumsum window, then per-partition token totals —
+    one tiny row per partition — prefix-summed on the driver and added
+    back as a literal map.  ``localCheckpoint`` pins the partition
+    assignment so a recomputation cannot re-sample different range
+    boundaries under the collected totals (same recompute hazard as
+    wave_order).  ``distributed_threshold=None`` forces the single
+    window; ``0`` forces the distributed path."""
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+        .otherwise(X.token_count(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    from pyspark.sql import Window
+
+    def finish(frame, off):
+        return frame.select(
+            F.col(id_col), "n_tokens",
+            off.cast("long").alias("token_offset"),
+            F.floor(off / F.lit(shard_tokens)).cast("long").alias("shard_id"))
+
+    if distributed_threshold is not None:
+        n = base.count()
+    if distributed_threshold is None or n <= int(distributed_threshold):
+        w = (Window.orderBy(F.asc(id_col))
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return finish(base, F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+
+    par = max(base.sparkSession.sparkContext.defaultParallelism, 8)
+    ranged = base.repartitionByRange(par, F.asc(id_col))
+    w_part = (Window.partitionBy("__pid").orderBy(F.asc(id_col))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    local = (ranged
+             .withColumn("__pid", F.spark_partition_id())
+             .withColumn("__local_off",
+                         F.coalesce(F.sum("n_tokens").over(w_part), F.lit(0)))
+             .localCheckpoint(eager=True))
+    sums = {r["__pid"]: r["s"] for r in
+            local.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()}
+    if not sums:
+        return finish(base, F.lit(0))
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    omap = F.create_map(*[x for pid in sorted(sums)
+                          for x in (F.lit(pid), F.lit(offsets[pid]))])
+    return finish(local.withColumn(
+        "__off", F.col("__local_off") + omap[F.col("__pid")]),
+        F.col("__off")).select(id_col, "n_tokens", "token_offset", "shard_id")

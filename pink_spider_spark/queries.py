@@ -1654,3 +1654,29 @@ def emb_ann_topk_multiprobe_of_vec0(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
     return S.ann_topk_multiprobe(emb.filter("vec_id <> 0"), qv, k=10)
+
+
+@q("docs_token_shards", """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           ::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset,
+       (coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000)
+         AS shard_id
+FROM t
+""")
+def docs_token_shards(spark, sf_dir):
+    """Training-shard packing: docs laid end-to-end in doc_id order,
+    shard = starting-token-offset // 4000.  Runs the DISTRIBUTED
+    prefix-sum path (range partition + local cumsum + driver-side
+    per-partition offsets — no single-partition global window) even at
+    oracle scale, so the scale path itself is what the hash gate checks
+    (functions/webtext.py pack_shards)."""
+    return W.pack_shards(_t(spark, sf_dir, "documents"),
+                         shard_tokens=4000, distributed_threshold=0)

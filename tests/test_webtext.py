@@ -306,3 +306,41 @@ def test_exact_substring_dedup_all_covered(spark):
            W.exact_substring_dedup(df, k=4).collect()}
     assert out[0].removed_tokens == 0 and out[0].kept_text == t
     assert out[1].removed_tokens == 8 and out[1].kept_text == ""
+
+
+def test_pack_shards_hand_offsets(spark):
+    # docs of 3, 4, 2, 5 tokens; shard budget 5:
+    # offsets 0,3,7,9 -> shards 0,0,1,1 (doc 2 straddles 5 but starts in 0)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "j k l m n")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.pack_shards(df, shard_tokens=5).collect()}
+    assert [(out[i].token_offset, out[i].shard_id) for i in (1, 2, 3, 4)] \
+        == [(0, 0), (3, 0), (7, 1), (9, 1)]
+
+
+def test_pack_shards_doc_straddling_boundary_stays_whole(spark):
+    # doc 2 starts at offset 4 (< 5) and runs to 9: assigned to shard 0,
+    # never split -- shard 1 starts with doc 3 at offset 9
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h i"), (3, "j")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.pack_shards(df, shard_tokens=5).collect()}
+    assert out[2].shard_id == 0 and out[3].shard_id == 1
+
+
+def test_pack_shards_distributed_path_equals_window_path(spark):
+    rows = [(i, " ".join(["w"] * ((i * 7) % 11 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    single = sorted(W.pack_shards(df, shard_tokens=50,
+                                  distributed_threshold=None).collect())
+    dist = sorted(W.pack_shards(df, shard_tokens=50,
+                                distributed_threshold=0).collect())
+    assert single == dist
+
+
+def test_pack_shards_blank_docs_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, ""), (4, "c")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.pack_shards(df, shard_tokens=10).collect()}
+    assert out[2].n_tokens == 0 and out[3].n_tokens == 0
+    assert out[4].token_offset == 2  # blanks consume no budget
