@@ -74,3 +74,51 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
                                          lambda p: p["cv"]).alias("cvec")))
         assigned = _assign(vecs, centroids, id_col, vec_col)
     return assigned
+
+
+def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
+             eps: float = 0.35, id_col: str = "vec_id",
+             vec_col: str = "embedding", decimals: int = 6) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic near-duplicate removal
+    gated by k-means clusters — a vector is DROPPED iff some lower-id
+    vector in the SAME cluster has cosine similarity ≥ ``eps``
+    (first-seen wins, the engine's standard dedup tie-break).  Returns
+    every input row with (id, cluster, kept) so the decision is
+    auditable.
+
+    This is the scale form of embedding dedup for corpora where LSH
+    recall is not enough: the O(n²) pair space is cut to within-cluster
+    pairs only (k clusters → ~n²/k comparisons, and in practice far
+    fewer since clusters bound the candidate sets), each pair an in-row
+    zip_with dot product.  The only shuffles are the kmeans rounds
+    (linear, see above) and one equi-join on ``cluster`` — no
+    cartesian, no all-pairs.  Cosine is rounded to ``decimals`` before
+    the threshold test so Spark and the SQL oracle agree bit-for-bit.
+    """
+    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col,
+                             vec_col=vec_col, decimals=decimals)
+    vecs = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("__v"))
+    norm = F.sqrt(F.aggregate(
+        F.col("__v"), F.lit(0.0), lambda a, x: a + x * x))
+    side = (assigned.join(vecs, id_col)
+            .select(F.col(id_col), "cluster", F.col("__v"),
+                    norm.alias("__n")))
+    a = side.select(F.col(id_col).alias("__i"), "cluster",
+                    F.col("__v").alias("__vi"), F.col("__n").alias("__ni"))
+    b = side.select(F.col(id_col).alias("__j"), "cluster",
+                    F.col("__v").alias("__vj"), F.col("__n").alias("__nj"))
+    cos = F.round(
+        F.aggregate(F.zip_with(F.col("__vi"), F.col("__vj"),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        / (F.col("__ni") * F.col("__nj")), decimals)
+    dup = (a.join(b, "cluster")
+           .where(F.col("__j") < F.col("__i"))
+           .where(cos >= F.lit(float(eps)))
+           .select(F.col("__i").alias(id_col))
+           .distinct()
+           .withColumn("__dup", F.lit(True)))
+    return (side.join(dup, id_col, "left")
+            .select(F.col(id_col), "cluster",
+                    F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept")))

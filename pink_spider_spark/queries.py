@@ -1355,6 +1355,50 @@ def emb_kmeans(spark, sf_dir):
     return C.kmeans_assign(emb, k=8, iters=2)
 
 
+@q("emb_semdedup", """
+WITH e AS (SELECT vec_id, s.i AS pos, CAST(embedding[s.i] AS DOUBLE) AS val
+           FROM embeddings, generate_series(1, 64) s(i)),
+c0 AS (SELECT vec_id AS cid, pos, val FROM e WHERE vec_id < 8),
+d1 AS (SELECT e.vec_id, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.cid, e.pos, round(avg(e.val), 6) AS val
+       FROM a1 JOIN e USING (vec_id) GROUP BY a1.cid, e.pos),
+d2 AS (SELECT e.vec_id, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1),
+nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS n FROM e GROUP BY vec_id),
+dup AS (SELECT DISTINCT ai.vec_id
+        FROM a2 ai JOIN a2 aj ON aj.cid = ai.cid AND aj.vec_id < ai.vec_id
+        JOIN e ei ON ei.vec_id = ai.vec_id
+        JOIN e ej ON ej.vec_id = aj.vec_id AND ej.pos = ei.pos
+        JOIN nrm ni ON ni.vec_id = ai.vec_id
+        JOIN nrm nj ON nj.vec_id = aj.vec_id
+        GROUP BY ai.vec_id, aj.vec_id, ni.n, nj.n
+        HAVING round(sum(ei.val * ej.val) / (ni.n * nj.n), 6) >= 0.35)
+SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster,
+       dup.vec_id IS NULL AS kept
+FROM a2 LEFT JOIN dup USING (vec_id)
+""")
+def emb_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): drop a vector iff a lower-id
+    member of its k-means cluster has cosine >= 0.35 — cluster-gated
+    semantic dedup, the pair space cut from O(n^2) to within-cluster
+    only (functions/clustering.py semdedup).  Reuses the pinned
+    emb_kmeans trajectory (k=8, 2 iters); cosine rounded 6 dp so both
+    engines take the same threshold decision."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return C.semdedup(emb, k=8, iters=2, eps=0.35)
+
+
 @q("graph_pagerank", """
 WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                             's' || CAST(l.l_suppkey AS VARCHAR) AS dst

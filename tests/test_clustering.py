@@ -30,3 +30,25 @@ def test_kmeans_exact_one_dim_trajectory(spark):
     out = {r.vec_id: r.cluster for r in
            C.kmeans_assign(df, k=2, iters=2).collect()}
     assert out == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1}
+
+
+def test_semdedup_within_cluster_first_seen_wins(spark):
+    # k=2, iters=1: clusters pinned to the init centroids (vecs 0, 1).
+    # 0,2,5 land in cluster 0 and are pairwise cosine-1.0 colinear ->
+    # only the lowest id (0) survives; 3 duplicates 1 in cluster 1;
+    # 4 is in cluster 1 but under the threshold -> kept.
+    df = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0]),
+                      (3, [0.0, 3.0]), (4, [-1.0, 0.2]), (5, [3.0, 0.0])])
+    out = {r.vec_id: (r.cluster, r.kept) for r in
+           C.semdedup(df, k=2, iters=1, eps=0.9).collect()}
+    assert out == {0: (0, True), 2: (0, False), 5: (0, False),
+                   1: (1, True), 3: (1, False), 4: (1, True)}
+
+
+def test_semdedup_cross_cluster_near_dup_not_dropped(spark):
+    # Cluster gating's documented recall tradeoff: 0 and 1 are cosine
+    # ~0.9988 near-dups but seed different clusters, so both are kept.
+    df = _emb(spark, [(0, [1.0, 0.0]), (1, [10.0, 0.5])])
+    out = {r.vec_id: r.kept for r in
+           C.semdedup(df, k=2, iters=1, eps=0.9).collect()}
+    assert out == {0: True, 1: True}
