@@ -43,13 +43,15 @@ def _assign(emb: DataFrame, centroids: DataFrame, id_col: str,
             .select(F.col(id_col), F.col("m.cid").alias("cluster")))
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding",
-                  decimals: int = 6) -> DataFrame:
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               decimals: int = 6) -> tuple:
     """Deterministic Lloyd's k-means: init centroids = the k lowest-id
     vectors, then ``iters`` rounds of (assign → recompute means).
-    Returns (id, cluster) after the final assignment.  Empty clusters
-    keep no centroid (standard Lloyd's drop behavior)."""
+    Returns ``(assigned, centroids)``: the (id, cluster) frame after the
+    final assignment AND the (cid, cvec) centroid set that produced it —
+    the inverted-file index IVF-style ANN probes against.  Empty
+    clusters keep no centroid (standard Lloyd's drop behavior)."""
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias(vec_col))
     # the k lowest ids, selected explicitly — filter(id < k) only equals
@@ -73,7 +75,57 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
                              F.transform(F.col("pairs"),
                                          lambda p: p["cv"]).alias("cvec")))
         assigned = _assign(vecs, centroids, id_col, vec_col)
-    return assigned
+    return assigned, centroids
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  decimals: int = 6) -> DataFrame:
+    """(id, cluster) after the final k-means assignment — see kmeans_fit."""
+    return kmeans_fit(emb, k, iters, id_col, vec_col, decimals)[0]
+
+
+def ann_ivf(emb: DataFrame, query_vec: list, topk: int = 10, k: int = 8,
+            iters: int = 2, nprobe: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding", decimals: int = 6,
+            exclude_id=None) -> DataFrame:
+    """IVF-style ANN (the FAISS IndexIVFFlat shape, Johnson et al. 2017):
+    partition the corpus into k clusters with the pinned deterministic
+    k-means, then answer a query by exact-reranking ONLY the members of
+    the ``nprobe`` clusters whose centroids are nearest the query —
+    recall < 1 by construction, the complementary scale path to the
+    hyperplane-LSH buckets (IVF adapts to the data distribution where
+    LSH planes are data-oblivious).
+
+    Scale shape: the probe choice is a k-row TakeOrderedAndProject over
+    the centroid frame (broadcast back as the candidate filter), so the
+    query costs one corpus scan restricted to ~nprobe/k of the rows plus
+    a global top-k — no shuffle beyond the kmeans fit, which at 100 TB
+    is fitted once and reused across queries (the index build).
+    Centroid distance uses the same 6-dp-rounded squared-L2 +
+    lowest-cid tie-break as assignment, so the probe set is
+    engine-independent.
+    """
+    from .similarity import cosine
+
+    assigned, cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+                                 vec_col=vec_col, decimals=decimals)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qdist = F.round(
+        F.aggregate(F.zip_with(F.col("cvec"), q,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
+    probes = (cents.select(F.col("cid"), qdist.alias("__d"))
+              .orderBy("__d", "cid").limit(nprobe)
+              .select(F.col("cid").alias("cluster")))
+    cand = assigned.join(F.broadcast(probes), "cluster").select(id_col)
+    if exclude_id is not None:
+        cand = cand.where(F.col(id_col) != F.lit(exclude_id))
+    return (emb.join(cand, id_col)
+            .select(id_col,
+                    F.round(cosine(F.col(vec_col), q), 4).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc(id_col))
+            .limit(topk))
 
 
 def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,

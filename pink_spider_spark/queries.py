@@ -1399,6 +1399,50 @@ def emb_semdedup(spark, sf_dir):
     return C.semdedup(emb, k=8, iters=2, eps=0.35)
 
 
+@q("emb_ann_ivf_of_vec0", """
+WITH e AS (SELECT vec_id, s.i AS pos, CAST(embedding[s.i] AS DOUBLE) AS val
+           FROM embeddings, generate_series(1, 64) s(i)),
+c0 AS (SELECT vec_id AS cid, pos, val FROM e WHERE vec_id < 8),
+d1 AS (SELECT e.vec_id, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.cid, e.pos, round(avg(e.val), 6) AS val
+       FROM a1 JOIN e USING (vec_id) GROUP BY a1.cid, e.pos),
+d2 AS (SELECT e.vec_id, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1),
+qd AS (SELECT c.cid, round(sum((c.val - q.val) * (c.val - q.val)), 6) AS d
+       FROM c1 c JOIN e q ON q.pos = c.pos AND q.vec_id = 0
+       GROUP BY c.cid),
+probe AS (SELECT cid FROM qd ORDER BY d, cid LIMIT 2)
+SELECT a2.vec_id,
+       round(list_cosine_similarity(emb.embedding::DOUBLE[],
+         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+FROM a2 JOIN probe USING (cid)
+JOIN embeddings emb ON emb.vec_id = a2.vec_id
+WHERE a2.vec_id <> 0
+ORDER BY sim DESC, a2.vec_id ASC LIMIT 10
+""")
+def emb_ann_ivf_of_vec0(spark, sf_dir):
+    """IVF ANN (FAISS IndexIVFFlat shape): k-means-partitioned corpus,
+    exact rerank restricted to the nprobe=2 clusters whose centroids are
+    nearest vec 0 — the data-adaptive counterpart to the hyperplane-LSH
+    buckets, reusing the pinned deterministic kmeans trajectory
+    (functions/clustering.py ann_ivf)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return C.ann_ivf(emb, qv, topk=10, k=8, iters=2, nprobe=2,
+                     exclude_id=0)
+
+
 @q("graph_pagerank", """
 WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                             's' || CAST(l.l_suppkey AS VARCHAR) AS dst

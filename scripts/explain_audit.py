@@ -82,6 +82,16 @@ CHECKS = {
     # hash joins over the thin signature table — no nested-loop pairing
     "emb_near_dup_pairs_lsh_banded": ([], ["BroadcastNestedLoopJoin",
                                            "CartesianProduct"]),
+    # SemDedup: the dup pair space is an equi-join on the cluster key —
+    # never an all-pairs cartesian; no window anywhere.  (The plan's one
+    # BroadcastNestedLoopJoin is the deliberate k-row centroid broadcast
+    # cross join inside kmeans_assign, bounded at k=8 rows.)
+    "emb_semdedup": ([], ["CartesianProduct", "Window"]),
+    # IVF ANN: probe choice and final answer are both global top-k
+    # (TakeOrderedAndProject), candidates restricted via broadcast probe
+    # join — no window, no all-pairs
+    "emb_ann_ivf_of_vec0": (["TakeOrderedAndProject"],
+                            ["CartesianProduct", "Window"]),
     # approx quantiles: one hash-partitioned aggregation of mergeable GK
     # sketches (the 100 TB form) — no sort, no window
     "events_value_quantiles_approx": (["HashAggregate"],

@@ -52,3 +52,29 @@ def test_semdedup_cross_cluster_near_dup_not_dropped(spark):
     out = {r.vec_id: r.kept for r in
            C.semdedup(df, k=2, iters=1, eps=0.9).collect()}
     assert out == {0: True, 1: True}
+
+
+def test_ann_ivf_probe_gating_recall(spark):
+    # k=2, iters=1: clusters = the init centroids (vecs 0, 1).  Query =
+    # vec 0's own embedding.  Vec 2 shares the query's cluster; vec 4 is
+    # cosine-near the query (0.6644) but L2-assigns to cluster 1 — the
+    # canonical IVF miss: invisible at nprobe=1, recovered at nprobe=2.
+    df = _emb(spark, [(0, [10.0, 0.0]), (1, [0.0, 10.0]), (2, [9.0, 0.0]),
+                      (3, [0.0, 9.0]), (4, [8.0, 9.0])])
+    one = [(r.vec_id, r.sim) for r in
+           C.ann_ivf(df, [10.0, 0.0], topk=10, k=2, iters=1,
+                     nprobe=1, exclude_id=0).collect()]
+    assert one == [(2, 1.0)]
+    two = [(r.vec_id, r.sim) for r in
+           C.ann_ivf(df, [10.0, 0.0], topk=10, k=2, iters=1,
+                     nprobe=2, exclude_id=0).collect()]
+    assert two == [(2, 1.0), (4, 0.6644), (1, 0.0), (3, 0.0)]
+
+
+def test_kmeans_fit_returns_final_assignment_centroids(spark):
+    # iters=1: the returned centroid set is the init vectors verbatim
+    # (the set the one-and-only assignment ran against).
+    df = _emb(spark, [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [1.0, 1.0])])
+    _, cents = C.kmeans_fit(df, k=2, iters=1)
+    got = {r.cid: r.cvec for r in cents.collect()}
+    assert got == {0: [0.0, 0.0], 1: [10.0, 10.0]}
