@@ -27,19 +27,21 @@ stage (HTML Standard §13.2.6) over the stdlib tokenizer:
 
 Known simplifications (documented deviations, all invisible to the
 extraction pipeline):
-- ``<template>`` children are parsed in place and then DETACHED into
-  ``node.text`` storage at end of parse, mirroring rcdom's separate
-  ``template_contents`` handle (the reference's DOM walk never sees
-  template contents as children); the "in template" mode stack is not
-  implemented.
+- ``<template>`` contents are parsed under the real "in template"
+  insertion mode (stack of template insertion modes, §13.2.6.4.18 —
+  table-structure tags reparent INTO the template instead of being
+  foster-parented/dropped) and then DETACHED into ``node.text`` storage
+  at end of parse, mirroring rcdom's separate ``template_contents``
+  handle (the reference's DOM walk never sees template contents as
+  children).
 - script data escaped/double-escaped states (§13.2.5.22-29) are
   implemented over the stdlib tokenizer (``_advance_script_escape`` +
   the ``handle_endtag`` swallow): ``</script>`` inside a double-escaped
   region is script data and the element closes at the spec position.
   A swallowed close tag is re-emitted canonically (``</script >`` raw
-  forms are not byte-preserved) and an unterminated cdata region at EOF
-  drops its text — both invisible to extraction, which never reads
-  script data.
+  forms are not byte-preserved) — invisible to extraction, which never
+  reads script data.  EOF in an incomplete construct is repaired to the
+  spec tokenizer's output (see ``close``).
 """
 
 from __future__ import annotations
@@ -175,7 +177,8 @@ SVG_ATTR_ADJUST = {
 INITIAL, BEFORE_HTML, BEFORE_HEAD, IN_HEAD, AFTER_HEAD, IN_BODY, \
     IN_TABLE, IN_TABLE_TEXT, IN_CAPTION, IN_COLUMN_GROUP, IN_TABLE_BODY, \
     IN_ROW, IN_CELL, IN_SELECT, IN_SELECT_IN_TABLE, AFTER_BODY, \
-    IN_FRAMESET, AFTER_FRAMESET, AFTER_AFTER_BODY, TEXT_MODE = range(20)
+    IN_FRAMESET, AFTER_FRAMESET, AFTER_AFTER_BODY, TEXT_MODE, \
+    IN_TEMPLATE = range(21)
 
 MARKER = object()  # active-formatting-elements marker
 
@@ -224,6 +227,9 @@ class _TreeBuilder(HTMLParser):
         self.skip_newline = False
         self.pending_table_text: list[str] = []
         self.templates: list[Node] = []
+        # §13.2.4.1 stack of template insertion modes (one entry per open
+        # template; [-1] is "the current template insertion mode")
+        self.template_modes: list[int] = []
         # script data escape tracking (§13.2.5.22-29): 0 = script data,
         # 1 = escaped (inside <!-- ... -->), 2 = double-escaped (a
         # <script> appeared inside the escape).  In state 2 a </script>
@@ -637,10 +643,18 @@ class _TreeBuilder(HTMLParser):
             node = self.stack[i]
             last = i == 0
             tag = node.tag if node.ns is None else None
+            if tag == "template":
+                # §13.2.3.1 step "template": the current template
+                # insertion mode
+                self.mode = self.template_modes[-1] \
+                    if self.template_modes else IN_BODY
+                return
             if tag == "select":
                 mode = IN_SELECT
                 for j in range(i - 1, 0, -1):
                     anc = self.stack[j]
+                    if anc.ns is None and anc.tag == "template":
+                        break  # template shields select from the table
                     if anc.ns is None and anc.tag == "table":
                         mode = IN_SELECT_IN_TABLE
                         break
@@ -760,6 +774,9 @@ class _TreeBuilder(HTMLParser):
                 return
             self._start_in_body(tag, attrs)
             return
+        if mode == IN_TEMPLATE:
+            self._start_in_template(tag, attrs)
+            return
         if mode == IN_BODY:
             self._start_in_body(tag, attrs)
             return
@@ -822,6 +839,10 @@ class _TreeBuilder(HTMLParser):
             self.templates.append(node)
             self.afe.append(MARKER)
             self.frameset_ok = False
+            # §13.2.6.4.4: switch to "in template" and push it onto the
+            # stack of template insertion modes
+            self.mode = IN_TEMPLATE
+            self.template_modes.append(IN_TEMPLATE)
             return True
         if tag == "head":
             return True  # ignore
@@ -1078,6 +1099,30 @@ class _TreeBuilder(HTMLParser):
                 and self.current().tag in ("tr", "template", "html")):
             self.stack.pop()
 
+    def _start_in_template(self, tag: str, attrs: list) -> None:
+        """§13.2.6.4.18 "in template": head-content tags use in-head
+        rules; table-structure tags swap the current template insertion
+        mode to the matching table mode and reprocess; anything else
+        swaps to "in body" and reprocesses."""
+        if tag in ("base", "basefont", "bgsound", "link", "meta",
+                   "noframes", "script", "style", "template", "title"):
+            self._start_in_head(tag, attrs)
+            return
+        if tag in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+            nxt = IN_TABLE
+        elif tag == "col":
+            nxt = IN_COLUMN_GROUP
+        elif tag == "tr":
+            nxt = IN_TABLE_BODY
+        elif tag in ("td", "th"):
+            nxt = IN_ROW
+        else:
+            nxt = IN_BODY
+        if self.template_modes:
+            self.template_modes[-1] = nxt
+        self.mode = nxt
+        self._start(tag, attrs, self._self_closing)
+
     def _start_in_table(self, tag: str, attrs: list) -> None:
         if tag == "caption":
             self._clear_to_table_context()
@@ -1275,6 +1320,10 @@ class _TreeBuilder(HTMLParser):
             self._insert_element("body", [])
             self.mode = IN_BODY
             mode = IN_BODY
+        if mode == IN_TEMPLATE:
+            if tag == "template":
+                self._end_template()
+            return  # any other end tag: ignore (§13.2.6.4.18)
         if mode == IN_BODY:
             self._end_in_body(tag)
             return
@@ -1457,6 +1506,8 @@ class _TreeBuilder(HTMLParser):
         self._pop_until("template")
         self._clear_formatting_to_marker()
         self.templates.pop()
+        if self.template_modes:
+            self.template_modes.pop()
         self._reset_mode()
 
     def _end_in_body(self, tag: str) -> None:
@@ -1703,6 +1754,43 @@ class _TreeBuilder(HTMLParser):
         return True  # ignored
 
     # ================================================== finish
+    def close(self) -> None:
+        """WHATWG EOF repair over the stdlib tokenizer's leftover buffer.
+        At EOF the stdlib flushes an incomplete construct as raw TEXT
+        (and silently drops unterminated rawtext/RCDATA content); the
+        spec tokenizer instead emits an unterminated ``<!--``/``<!``/
+        ``<?`` as a COMMENT token (§13.2.5.45/41), drops an unterminated
+        tag (eof-in-tag), keeps lone ``<``/``</`` as text, and keeps
+        rawtext content.  Truncated pages are routine in a crawl, so
+        match html5ever here — without this, ``<!--<script>`` at EOF
+        leaks literal markup into extracted text."""
+        tail = self.rawdata
+        if tail:
+            if self.cdata_elem is not None:
+                # unterminated rawtext/RCDATA: spec keeps the text (the
+                # element itself is popped in finish())
+                self.rawdata = ""
+                self.handle_data(tail)
+            elif tail.startswith("<"):
+                self.rawdata = ""
+                if tail.startswith("<!--"):
+                    # eof-in-comment: data is everything after <!--, any
+                    # half-consumed close dashes excluded
+                    self.handle_comment(re.sub(r"--?$", "", tail[4:]))
+                elif tail[2:9].lower() == "doctype":
+                    self.handle_decl(tail[2:])
+                elif tail.startswith("<!"):
+                    self.handle_comment(tail[2:])
+                elif tail.startswith("<?"):
+                    self.handle_comment("?" + tail[2:])
+                elif tail in ("<", "</"):
+                    self.handle_data(tail)
+                elif tail.startswith("</") and not re.match(
+                        r"[A-Za-z]", tail[2:3]):
+                    self.handle_comment(tail[2:])
+                # else: an unterminated tag — eof-in-tag drops it
+        super().close()
+
     def finish(self) -> Node:
         self._flush_table_text()
         if self.mode == TEXT_MODE:  # EOF inside rawtext (incl. plaintext)

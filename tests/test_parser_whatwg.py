@@ -218,3 +218,74 @@ def test_script_escape_leak_invisible_to_extract():
     product = extract(html, "https://x.example/esc")
     assert "ESCLEAK" not in product.text
     assert "visible paragraph words" in product.text
+
+
+def test_in_template_mode_reparents_table_structure():
+    # §13.2.6.4.18: tr/td inside a template swap the current template
+    # insertion mode and parse INTO the template contents — before the
+    # in-template mode landed, <template><td>C</td></template> leaked C
+    # into a body nested inside head (visible to extraction)
+    assert _dom("<template><td>C</td></template>") == (
+        "<html><head><template></template></head><body></body></html>")
+    # tail text after a head-level template lands in body, not in a
+    # phantom nested body
+    assert _dom("<template><table><tr><td>T</td></tr></table>"
+                "</template>tail") == (
+        "<html><head><template></template></head><body>tail</body></html>")
+    # the mode survives nesting; the outer close pops back correctly
+    assert _dom("<body><template><template><p>d</p></template>"
+                "</template>end") == (
+        "<html><head></head><body><template></template>end</body></html>")
+
+
+def test_in_template_contents_internal_structure():
+    # pre-detachment the template subtree carries the spec tree: a tr in
+    # a table-context template gets NO implied tbody (the in-template
+    # mode goes straight to "in table body")
+    import pink_spider_spark.htmldom.parser as P
+
+    b = P._TreeBuilder()
+    b.feed("<table><template><tr><td>X</td></tr></template></table>")
+    b.close()
+    html = b.document.children[0]
+    body = html.children[1]
+    tpl = body.children[0].children[0]
+    assert tpl.tag == "template"
+    assert [c.tag for c in tpl.children] == ["tr"]
+    assert [c.tag for c in tpl.children[0].children] == ["td"]
+
+
+def test_eof_incomplete_constructs_match_spec_tokenizer():
+    # unterminated comment at EOF is a COMMENT node, never text (the
+    # stdlib would flush it as raw data) — truncated pages hit this
+    assert _dom("<p>a<!--xx") == (
+        "<html><head></head><body><p>a<!--xx--></p></body></html>")
+    # half-consumed close dashes are excluded from the comment data
+    assert _dom("<p>a<!--xx--") == (
+        "<html><head></head><body><p>a<!--xx--></p></body></html>")
+    # unterminated tag: eof-in-tag drops it; lone < / </ stay as text
+    assert _dom("<div>t<di") == (
+        "<html><head></head><body><div>t</div></body></html>")
+    assert _dom("<div>t<") == (
+        "<html><head></head><body><div>t&lt;</div></body></html>")
+    assert _dom("<div>t</") == (
+        "<html><head></head><body><div>t&lt;/</div></body></html>")
+    # <? and <! become bogus comments (<? keeps the ?)
+    assert _dom("<p>x<?php oops") == (
+        "<html><head></head><body><p>x<!--?php oops--></p></body></html>")
+    assert _dom("<p>x<!bogus") == (
+        "<html><head></head><body><p>x<!--bogus--></p></body></html>")
+    # unterminated RCDATA/rawtext keeps its text (stdlib drops it)
+    assert _dom("<title>trunc") == (
+        "<html><head><title>trunc</title></head><body></body></html>")
+    assert _dom("<script>var x=1") == (
+        "<html><head><script>var x=1</script></head><body></body></html>")
+
+
+def test_eof_unterminated_comment_invisible_to_extract():
+    from pink_spider_spark.extract import extract
+    filler = "plenty of visible words here " * 10
+    product = extract(f"<p>{filler}</p><!--<script>",
+                      "https://x.example/trunc")
+    assert "<script" not in product.text
+    assert "plenty of visible words" in product.text
