@@ -1,0 +1,77 @@
+"""URL-level corpus filtering: the document-quality axis of URL triage
+(RefinedWeb §3.1 / UT1-blocklist practice), complementing the trap
+MECHANICS heuristics in crawl/traps.py.
+
+A web-scale pipeline discards a large slice of its frontier before ever
+fetching: hosts on a curated blocklist, URLs whose words signal
+non-content pages (logout/cart/session), and digit-soup paths (calendar
+archives, tracking ids).  All signals here are pure JVM column
+expressions over the URL string — regexp extraction, not ``parse_url``,
+so the DuckDB oracle mirrors them byte-for-byte — and the blocklist is
+a broadcast anti-ish left join (real blocklists are ~10⁶ hosts ≈ tens
+of MB: comfortably broadcast; a larger one degrades to a keyed join by
+dropping the hint).
+
+Composition point: ``CrawlDriver`` enqueue can AND ``allowed`` with the
+trap filter (``traps.filter_traps``) — both ride the enqueue projection
+with zero extra shuffle.  Kept opt-in to preserve reference-ordering
+parity, same policy as ``CrawlConfig.trap_filter``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Soft banned words (RefinedWeb scores URLs by weighted banned-word
+#: hits; this demo list stands in for the production lexicon).
+BANNED_WORDS = ("private", "logout", "signup", "cart", "session",
+                "tracker")
+
+MAX_DIGIT_FRAC = 0.5   # digit-dominated paths are archives/ids, not docs
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def host_of_url(url: Column) -> Column:
+    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+
+
+def url_signals(df: DataFrame, url_col: str = "url",
+                blocklist: DataFrame | None = None,
+                max_digit_frac: float = MAX_DIGIT_FRAC) -> DataFrame:
+    """Per-URL quality signals + the combined ``allowed`` verdict.
+
+    Emits ``host``, ``digit_frac`` (digits / path length, 4 dp),
+    ``banned_hits`` (count of BANNED_WORDS substrings in the URL),
+    ``blocked_host`` (membership in ``blocklist``'s first column), and
+    ``allowed`` = not blocked ∧ no banned words ∧ digit_frac within
+    bounds.  Signals stay as columns so the decision is auditable."""
+    url = F.lower(F.col(url_col))
+    host = F.regexp_extract(url, _HOST_RE, 1)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    digit_frac = F.round(
+        F.length(F.regexp_replace(path, "[^0-9]", ""))
+        / F.greatest(F.length(path), F.lit(1)), 4)
+    banned = F.size(F.filter(
+        F.array(*[F.lit(w) for w in BANNED_WORDS]),
+        lambda w: F.contains(url, w))).cast("int")
+    out = (df.withColumn("host", host)
+           .withColumn("digit_frac", digit_frac)
+           .withColumn("banned_hits", banned))
+    if blocklist is not None:
+        bl = (blocklist
+              .select(F.lower(F.col(blocklist.columns[0])).alias("host"))
+              .distinct()
+              .withColumn("__bl", F.lit(True)))
+        out = (out.join(F.broadcast(bl), "host", "left")
+               .withColumn("blocked_host",
+                           F.coalesce(F.col("__bl"), F.lit(False)))
+               .drop("__bl"))
+    else:
+        out = out.withColumn("blocked_host", F.lit(False))
+    return out.withColumn(
+        "allowed",
+        ~F.col("blocked_host") & (F.col("banned_hits") == 0)
+        & (F.col("digit_frac") <= F.lit(float(max_digit_frac))))

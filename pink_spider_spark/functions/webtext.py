@@ -563,3 +563,156 @@ def pack_shards(df: DataFrame, shard_tokens: int = 1_000_000,
     return finish(local.withColumn(
         "__off", F.col("__local_off") + omap[F.col("__pid")]),
         F.col("__off")).select(id_col, "n_tokens", "token_offset", "shard_id")
+
+
+# --------------------------------------------- CCNet perplexity buckets
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020): within each
+    language, split the corpus into head / middle / tail terciles by
+    unigram bits-per-token (CCNet's per-language perplexity percentile
+    cut — head = most fluent third, tail = filter-or-downweight third).
+
+    Determinism: bits_per_token is already 4-dp-rounded, so the tercile
+    input is integerized exactly (×10⁴ → long); both engines then run
+    the SAME linear-interpolation percentile over identical integers
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), and the bucket
+    test compares the integer against the cut, which is only attainable
+    exactly when the cut itself is integral — so the boundary decision
+    is bit-identical cross-engine.
+
+    Scale shape: the language cut table is |langs| rows (broadcast);
+    the only shuffles are unigram_logprob's two linear aggs plus one
+    lang-keyed percentile agg (mergeable sketch at 100 TB: swap
+    ``percentile`` for ``percentile_approx`` — same plan shape)."""
+    lp = unigram_logprob(df, text_col, id_col)
+    scored = (lp.join(df.select(id_col, lang_col), id_col)
+              .withColumn("__b4", F.round(F.col("bits_per_token") * 10000)
+                          .cast("long")))
+    cuts = (scored.groupBy(lang_col)
+            .agg(F.percentile("__b4", F.array(F.lit(1.0 / 3.0),
+                                              F.lit(2.0 / 3.0)))
+                 .alias("__q"))
+            .select(lang_col, F.col("__q")[0].alias("__c1"),
+                    F.col("__q")[1].alias("__c2")))
+    return (scored.join(F.broadcast(cuts), lang_col)
+            .select(id_col, lang_col, "bits_per_token",
+                    F.when(F.col("__b4") <= F.col("__c1"), F.lit("head"))
+                    .when(F.col("__b4") <= F.col("__c2"), F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
+
+
+# ------------------------------------------------ DSIR importance weights
+DSIR_BUCKETS = 10007  # prime → near-uniform occupancy under the 60-bit hash
+
+
+def dsir_weights(df: DataFrame, target_pred,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-like its hashed-bigram distribution is.  Features are
+    word bigrams hashed into ``n_buckets``; the per-bucket log-ratio
+    λ(b) = log₂ p̂_target(b) − log₂ p̂_raw(b) (add-one smoothing), and a
+    document's log-weight is Σ over its bigram OCCURRENCES of λ(bucket).
+    ``target_pred`` is a boolean Column selecting the in-domain rows of
+    ``df`` (DSIR's target sample — e.g. a trusted-language slice).
+
+    Determinism: λ is integerized at 6-dp resolution via FLOOR(λ·10⁶)
+    (floor of a double is bit-exact cross-engine, where round() diverges
+    on exact decimal halves — the quality_score lesson), so the
+    per-document reduction is an exact integer sum (order-free); the
+    final value is that integer divided by 10⁶ with NO decimal
+    re-rounding (sum/1e6 is the same correctly-rounded IEEE double in
+    every engine; a round(·,4) on top would re-introduce exact-half
+    divergence, e.g. sums ending in …50).
+
+    Scale shape: ONE bucket-keyed aggregation builds both distributions
+    (target via a conditional sum — no second corpus scan), the λ table
+    is ``n_buckets`` rows (broadcast), and the per-doc score is one
+    doc-keyed integer agg.  Linear, no skew surface: bucket ids are
+    hash-uniform by construction."""
+    grams = df.select(
+        F.col(id_col), target_pred.alias("__t"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+    bucketed = grams.withColumn(
+        "bucket", X.h60(F.col("gram")) % F.lit(n_buckets))
+    counts = (bucketed.groupBy("bucket")
+              .agg(F.count("*").alias("cr"),
+                   F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct")))
+    totals = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lam = (counts.crossJoin(F.broadcast(totals))
+           .select("bucket", F.floor(
+               (F.log2(F.col("ct") + 1)
+                - F.log2(F.col("tt") + F.lit(n_buckets))
+                - F.log2(F.col("cr") + 1)
+                + F.log2(F.col("tr") + F.lit(n_buckets))) * 1e6)
+               .cast("long").alias("lam6")))
+    return (bucketed.join(F.broadcast(lam), "bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum("lam6").alias("__s"))
+            .select(id_col, "n_grams",
+                    (F.col("__s").cast("double") / F.lit(1e6))
+                    .alias("dsir_logweight"),
+                    (F.col("__s") > 0).alias("target_like")))
+
+
+# --------------------------------------- tf-idf cosine similarity join
+def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.5,
+                       max_df_frac: float = 0.02,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """All-pairs document similarity via an inverted index (Elsayed et
+    al. 2008, "Pairwise Document Similarity in Large Collections with
+    MapReduce"): tf-idf-weighted cosine computed as partial dot products
+    keyed on the shared term — never a document cross join.  Terms are
+    word BIGRAMS (unigrams are too dense to discriminate); terms whose
+    document frequency exceeds ``max_df_frac`` of the corpus are pruned
+    first — the classic df-cut that bounds every posting list and with
+    it the pair fan-out (a stop-term's posting list is the quadratic
+    blow-up at scale, and contributes ~nothing to cosine anyway).
+
+    Determinism: idf is integerized at 6-dp resolution via FLOOR(idf·10⁶)
+    (floor of a double is bit-exact cross-engine where round() diverges
+    on exact decimal halves); term weights (tf·idf6), norms, and dot
+    products are then EXACT integer arithmetic — the final cosine
+    divides into doubles (sqrt/division of identical integers is the
+    same correctly-rounded IEEE double in every engine) and is emitted
+    UNROUNDED: a decimal re-round on top would re-introduce
+    shortest-repr exact-half divergence between engines.
+
+    Scale shape: tf agg (doc,term)-keyed; df agg term-keyed with the
+    corpus size riding a broadcast single-row frame; pair generation is
+    a term-keyed self-equi-join whose fan-out is capped by the df cut;
+    final agg keyed on the (a,b) pair.  All linear shuffles + one
+    bounded join — no cartesian, no window."""
+    tf = (df.select(F.col(id_col),
+                    F.explode(word_ngrams(F.col(text_col), 2))
+                    .alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    n_docs = df.agg(F.count("*").cast("double").alias("n"))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .crossJoin(F.broadcast(n_docs))
+             .filter(F.col("df") <= F.col("n") * F.lit(max_df_frac))
+             .select("term", F.floor(F.log2(F.col("n") / F.col("df")) * 1e6)
+                     .cast("long").alias("idf6")))
+    w = (tf.join(dfreq, "term")
+         .select(id_col, "term", (F.col("tf") * F.col("idf6")).alias("w")))
+    norms = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("na2").cast("double"))
+                        * F.sqrt(F.col("nb2").cast("double"))))
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= F.lit(float(threshold))))

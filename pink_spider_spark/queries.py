@@ -1768,3 +1768,177 @@ def docs_token_shards(spark, sf_dir):
     (functions/webtext.py pack_shards)."""
     return W.pack_shards(_t(spark, sf_dir, "documents"),
                          shard_tokens=4000, distributed_threshold=0)
+
+
+@q("docs_ccnet_buckets", """
+WITH tok AS (SELECT doc_id, t.token
+             FROM documents,
+                  UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  t(token)),
+v AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS total FROM v),
+lp AS (SELECT doc_id, round(-avg(log2(c / total)), 4) AS bits_per_token
+       FROM tok JOIN v USING (token), tot GROUP BY doc_id),
+sc AS (SELECT d.doc_id, d.lang, lp.bits_per_token,
+              CAST(round(lp.bits_per_token * 10000) AS BIGINT) AS b4
+       FROM lp JOIN documents d USING (doc_id)),
+cuts AS (SELECT lang,
+                quantile_cont(b4, [CAST(1 AS DOUBLE)/3,
+                                   CAST(2 AS DOUBLE)/3]) AS q
+         FROM sc GROUP BY lang)
+SELECT doc_id, lang, bits_per_token,
+       CASE WHEN b4 <= q[1] THEN 'head'
+            WHEN b4 <= q[2] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN cuts USING (lang)
+""")
+def docs_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail LM-quality terciles per language (Wenzek
+    et al. 2020): integerized bits-per-token cut at per-lang exact
+    percentiles — broadcast |langs|-row cut table, linear aggs only
+    (functions/webtext.py ccnet_buckets; percentile_approx is the
+    documented 100 TB swap)."""
+    return W.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+@q("docs_dsir_weights", """
+WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+g AS (SELECT doc_id, tgt,
+             array_to_string(list_slice(tk, s.i, s.i + 1), ' ') AS gram
+      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 1 <= len(tk)),
+b AS (SELECT doc_id, tgt,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % 10007 AS bucket
+      FROM g),
+cnt AS (SELECT bucket, count(*) AS cr,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        FROM b GROUP BY bucket),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+lam AS (SELECT bucket,
+               CAST(floor((log2(ct + 1) - log2(tt + 10007)
+                           - log2(cr + 1) + log2(tr + 10007)) * 1e6)
+                    AS BIGINT) AS lam6
+        FROM cnt, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(lam6) AS DOUBLE) / 1e6 AS dsir_logweight,
+       (sum(lam6) > 0) AS target_like
+FROM b JOIN lam USING (bucket)
+GROUP BY doc_id
+""")
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance weights (Xie et al. 2023), target =
+    the lang='en' slice: one bucket-keyed agg builds raw+target
+    distributions, the 10007-row log-ratio table broadcasts back, and
+    the per-doc score is an exact integer sum
+    (functions/webtext.py dsir_weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    return W.dsir_weights(docs, F.col("lang") == "en")
+
+
+@q("docs_tfidf_cosine_pairs", """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+                  AS tk FROM documents),
+g AS (SELECT doc_id, array_to_string(list_slice(tk, s.i, s.i + 1), ' ')
+             AS term
+      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 1 <= len(tk)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY doc_id, term),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfq AS (SELECT term,
+               CAST(floor(log2(n / count(*)) * 1e6) AS BIGINT) AS idf6
+        FROM tf, nd GROUP BY term, n
+        HAVING count(*) <= n * 0.02),
+w AS (SELECT doc_id, term, tf * idf6 AS w FROM tf JOIN dfq USING (term)),
+nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                              * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                             * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
+""")
+def docs_tfidf_cosine_pairs(spark, sf_dir):
+    """Inverted-index all-pairs similarity (Elsayed et al. 2008): tf-idf
+    bigram cosine >= 0.5 via term-keyed partial dot products with a 2%
+    document-frequency cut bounding every posting list — integer
+    weights end-to-end, no document cross join
+    (functions/webtext.py tfidf_cosine_pairs)."""
+    return W.tfidf_cosine_pairs(_t(spark, sf_dir, "documents"),
+                                threshold=0.5, max_df_frac=0.02)
+
+
+@q("frontier_url_filter", """
+WITH ids AS (SELECT i AS id FROM generate_series(0, 3999) s(i)),
+u AS (SELECT id,
+             CASE WHEN id % 10 < 3 THEN 0 ELSE 1 + id % 19 END AS h
+      FROM ids),
+urls AS (SELECT id,
+  'https://host' || h || '.example.' ||
+  CASE h % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'net' ELSE 'org' END ||
+  CASE WHEN id % 11 = 0 THEN '/private/' || id
+       WHEN id % 7 = 0 THEN '/' || repeat('d' || (id % 10) || '/',
+                                          CAST(id % 12 AS INTEGER)) || 'p'
+       ELSE '/p/' || id END ||
+  CASE WHEN id % 13 = 0 THEN '?session=' || repeat('x',
+                                CAST(id % 80 AS INTEGER) + 1)
+       ELSE '' END AS url
+  FROM u),
+sig AS (SELECT id, url,
+  regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+  round(len(regexp_replace(
+          regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+          '[^0-9]', '', 'g'))
+        / greatest(len(regexp_extract(lower(url),
+            '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)), 1), 4)
+    AS digit_frac,
+  CAST(len(list_filter(['private', 'logout', 'signup', 'cart', 'session',
+                        'tracker'],
+                       w -> contains(lower(url), w))) AS INTEGER)
+    AS banned_hits
+  FROM urls),
+bl AS (SELECT unnest(['host0.example.com', 'host5.example.org']) AS host)
+SELECT id, url, sig.host, digit_frac, banned_hits,
+       (bl.host IS NOT NULL) AS blocked_host,
+       (bl.host IS NULL AND banned_hits = 0 AND digit_frac <= 0.5)
+         AS allowed
+FROM sig LEFT JOIN bl ON sig.host = bl.host
+""")
+def frontier_url_filter(spark, sf_dir):
+    """URL-level corpus triage (RefinedWeb-style): host blocklist
+    (broadcast), banned-word hits, digit-dominated-path fraction ->
+    combined ``allowed`` verdict, over a deterministic 4000-URL
+    frontier synthesized with the fixture formula (skewed host 0,
+    /private/ paths, session query strings, deep dN/ paths)
+    (crawl/urlfilter.py url_signals)."""
+    from .crawl.urlfilter import url_signals
+
+    ids = spark.range(0, 4000).select(F.col("id").cast("long"))
+    h = F.when(F.col("id") % 10 < 3, F.lit(0)).otherwise(1 + F.col("id") % 19)
+    tld = (F.when(h % 3 == 0, F.lit("com"))
+           .when(h % 3 == 1, F.lit("net")).otherwise(F.lit("org")))
+    path = (F.when(F.col("id") % 11 == 0,
+                   F.concat(F.lit("/private/"), F.col("id")))
+            .when(F.col("id") % 7 == 0,
+                  F.concat(F.lit("/"),
+                           F.repeat(F.concat(F.lit("d"), F.col("id") % 10,
+                                             F.lit("/")),
+                                    (F.col("id") % 12).cast("int")),
+                           F.lit("p")))
+            .otherwise(F.concat(F.lit("/p/"), F.col("id"))))
+    qs = (F.when(F.col("id") % 13 == 0,
+                 F.concat(F.lit("?session="),
+                          F.repeat(F.lit("x"),
+                                   ((F.col("id") % 80) + 1).cast("int"))))
+          .otherwise(F.lit("")))
+    urls = ids.select(
+        "id",
+        F.concat(F.lit("https://host"), h, F.lit(".example."), tld,
+                 path, qs).alias("url"))
+    bl = spark.createDataFrame(
+        [("host0.example.com",), ("host5.example.org",)], ["host"])
+    return url_signals(urls, blocklist=bl).select(
+        "id", "url", "host", "digit_frac", "banned_hits", "blocked_host",
+        "allowed")

@@ -97,6 +97,22 @@ CHECKS = {
     "events_value_quantiles_approx": (["HashAggregate"],
                                       ["Sort", "Window",
                                        "CartesianProduct"]),
+    # CCNet terciles: linear aggs + a broadcast |langs|-row cut table —
+    # no global sort/window, no cartesian.  (The single-row totals
+    # broadcast rides a bounded BroadcastNestedLoopJoin by design.)
+    "docs_ccnet_buckets": ([], ["Window", "CartesianProduct"]),
+    # DSIR: one bucket-keyed agg + broadcast λ table + doc-keyed agg
+    "docs_dsir_weights": ([], ["Window", "CartesianProduct"]),
+    # inverted-index similarity: term-keyed self-equi-join bounded by
+    # the df cut — never an all-pairs document CartesianProduct, no
+    # window.  (The one BroadcastNestedLoopJoin is the single-row
+    # corpus-size broadcast riding the df cut, bounded at 1 row.)
+    "docs_tfidf_cosine_pairs": ([], ["Window", "CartesianProduct"]),
+    # URL triage: blocklist is a broadcast hash join; pure in-row
+    # signals otherwise
+    "frontier_url_filter": (["BroadcastHashJoin"],
+                            ["Window", "CartesianProduct",
+                             "SortMergeJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -344,3 +344,93 @@ def test_pack_shards_blank_docs_zero_tokens(spark):
     out = {r.doc_id: r for r in W.pack_shards(df, shard_tokens=10).collect()}
     assert out[2].n_tokens == 0 and out[3].n_tokens == 0
     assert out[4].token_offset == 2  # blanks consume no budget
+
+
+# ------------------------------------------------- ccnet buckets
+def test_ccnet_buckets_per_lang_terciles(spark):
+    # lang A: 6 docs whose bits/token strictly increase with doc_id
+    # (unique tokens get rarer) -> terciles are 2/2/2 by construction;
+    # lang B: single doc -> its own cut -> head
+    rows = [
+        (0, "aa aa aa aa", "A"),      # most common tokens -> lowest bpt
+        (1, "aa aa aa bb", "A"),
+        (2, "aa aa bb cc", "A"),
+        (3, "aa bb cc dd", "A"),
+        (4, "bb cc dd ee", "A"),
+        (5, "cc dd ee ff", "A"),
+        (6, "zz zz zz zz", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r.bucket for r in W.ccnet_buckets(df).collect()}
+    assert out[6] == "head"  # single-doc language: cut == own value
+    # per-language ordering: buckets are monotone in bits/token
+    order = [out[i] for i in range(6)]
+    assert order == sorted(order, key=["head", "middle", "tail"].index)
+    assert order[0] == "head" and order[-1] == "tail"
+
+
+def test_ccnet_buckets_lang_isolation(spark):
+    # cut tables are PER LANGUAGE, never global: docs 0/1/2 all score
+    # the same bits/token, yet bucket differently by language.  Doc 3's
+    # "cc dd" repetitions make cc/dd corpus-COMMON tokens (low bits ->
+    # B's head), pushing the identical-scored doc 2 into B's tail,
+    # while in lang A that same score is the head cut itself.
+    rows = [(0, "aa bb", "A"), (1, "aa bb", "A"),
+            (2, "aa bb", "B"), (3, "cc dd " * 5 + "ee", "B")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in W.ccnet_buckets(df).collect()}
+    assert out[0].bits_per_token == out[2].bits_per_token
+    assert out[0].bucket == "head" and out[1].bucket == "head"
+    assert out[2].bucket == "tail"
+    assert out[3].bucket == "head"
+
+
+# ------------------------------------------------- dsir weights
+def test_dsir_weights_target_like_sign(spark):
+    # target = docs 0/1 sharing bigram "t t"; doc 2 is pure off-target.
+    # n_buckets=10 keeps the add-one smoothing mass proportionate to the
+    # micro-fixture (at the default 10007 the smoothing swamps counts
+    # this small); with it, a doc of target-dominant bigrams scores
+    # positive and a raw-only doc negative.
+    rows = [(0, "t t t t t", True), (1, "t t t t", True),
+            (2, "r r r r r", False), (3, "t t t", False)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tgt"])
+    out = {r.doc_id: r for r in
+           W.dsir_weights(df, F.col("tgt"), n_buckets=10).collect()}
+    assert out[3].target_like and out[3].dsir_logweight > 0
+    assert not out[2].target_like and out[2].dsir_logweight < 0
+    # ordering holds regardless: target-gram docs above raw-gram docs
+    assert out[0].dsir_logweight > out[2].dsir_logweight
+    # n_grams counts OCCURRENCES (DSIR sums over occurrences, not set)
+    assert out[0].n_grams == 4 and out[3].n_grams == 2
+
+
+def test_dsir_weights_short_doc_empty(spark):
+    # a 1-token doc has no bigrams -> no row (nothing to weigh)
+    df = spark.createDataFrame(
+        [(0, "solo", True), (1, "a b", True)], ["doc_id", "text", "tgt"])
+    out = W.dsir_weights(df, F.col("tgt")).collect()
+    assert {r.doc_id for r in out} == {1}
+
+
+# ------------------------------------------------- tfidf cosine pairs
+def test_tfidf_cosine_identical_docs_cos1(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "x y z w")],
+        ["doc_id", "text"])
+    out = W.tfidf_cosine_pairs(df, threshold=0.5, max_df_frac=0.9).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in out] == [(0, 1, 1.0)]
+
+
+def test_tfidf_cosine_df_cut_prunes_stop_terms(spark):
+    # bigram "s s" appears in 2 of 3 docs (df=2); with max_df_frac=0.5
+    # it is pruned, so docs 0/1's ONLY shared term vanishes -> no pairs
+    df = spark.createDataFrame(
+        [(0, "s s a"), (1, "s s b"), (2, "x y c")], ["doc_id", "text"])
+    assert W.tfidf_cosine_pairs(df, threshold=0.05,
+                                max_df_frac=0.5).count() == 0
+    # without the cut the shared term links docs 0 and 1 (a term in
+    # EVERY doc would still contribute nothing: idf = log2(n/n) = 0)
+    out = W.tfidf_cosine_pairs(df, threshold=0.05,
+                               max_df_frac=1.0).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
