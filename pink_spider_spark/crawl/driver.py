@@ -78,6 +78,12 @@ class CrawlConfig:
     # default parity contract stays rule-free; the simulator carries the
     # same rules for parity when enabled.
     trap_filter: bool = False
+    # URL-level corpus triage at enqueue (crawl/urlfilter.py: banned
+    # words, digit-dominated paths, host blocklist).  Off by default —
+    # same parity policy as trap_filter; the simulator carries the twin
+    # rules (is_url_allowed) when enabled.
+    url_filter: bool = False
+    blocked_hosts: tuple = ()
     # Batch size above which wave_order switches from the single global
     # window to the distributed range-partition + offset strategy (see
     # scheduler.wave_order).  0 forces distributed for any batch — used
@@ -400,6 +406,13 @@ class CrawlDriver:
         if self.config.trap_filter:
             from .traps import filter_traps
             links = filter_traps(links)
+        if self.config.url_filter:
+            from .urlfilter import filter_urls
+            bl = None
+            if self.config.blocked_hosts:
+                bl = self.spark.createDataFrame(
+                    [(h,) for h in self.config.blocked_hosts], ["host"])
+            links = filter_urls(links, blocklist=bl)
 
         # --- frontier transition, built lazily (runs inside the pool) ----
         # the enqueue prune's eager cache-count (the one compute-heavy job

@@ -31,20 +31,22 @@ class SimResult:
 
 def simulate(pages: dict, robots: dict, catalog_items: dict, seed_urls: list,
              max_depth: int = 3, max_waves: int = 100,
-             trap_filter: bool = False) -> SimResult:
+             trap_filter: bool = False, url_filter: bool = False,
+             blocked_hosts: tuple = ()) -> SimResult:
     """pages: url -> html (str|bytes); robots: host -> {disallow_prefixes,
     max_per_wave}; returns the canonical crawl trace."""
     res = SimResult()
     for u in seed_urls:
         res.frontier[u] = {"priority": 1.0, "depth": 0, "status": "pending"}
     _run_waves(res, pages, robots, Catalog(catalog_items),
-               max_depth, max_waves, trap_filter)
+               max_depth, max_waves, trap_filter, url_filter, blocked_hosts)
     return res
 
 
 def recrawl(res: SimResult, pages: dict, robots: dict, catalog_items: dict,
             urls: list, max_depth: int = 3, max_waves: int = 100,
-            trap_filter: bool = False) -> SimResult:
+            trap_filter: bool = False, url_filter: bool = False,
+            blocked_hosts: tuple = ()) -> SimResult:
     """Force re-crawl semantics (reference: src/main.rs:162-192
     find_or_playlistify force=true), the driver.recrawl parity oracle:
     known urls flip to status 'recrawl' — re-fetched and their
@@ -59,12 +61,13 @@ def recrawl(res: SimResult, pages: dict, robots: dict, catalog_items: dict,
         elif row["status"] not in ("pending", "recrawl"):
             row["status"] = "recrawl"
     _run_waves(res, pages, robots, Catalog(catalog_items),
-               max_depth, max_waves, trap_filter)
+               max_depth, max_waves, trap_filter, url_filter, blocked_hosts)
     return res
 
 
 def _run_waves(res: SimResult, pages: dict, robots: dict, catalog,
-               max_depth: int, max_waves: int, trap_filter: bool) -> None:
+               max_depth: int, max_waves: int, trap_filter: bool,
+               url_filter: bool = False, blocked_hosts: tuple = ()) -> None:
     seq = res.seen[-1][2] if res.seen else 0
     start = res.waves
 
@@ -141,6 +144,10 @@ def _run_waves(res: SimResult, pages: dict, robots: dict, catalog,
                     if trap_filter:
                         from .traps import is_trap_url
                         if is_trap_url(c):
+                            continue
+                    if url_filter:
+                        from .urlfilter import is_url_allowed
+                        if not is_url_allowed(c, blocked_hosts):
                             continue
                     prio = parent["priority"] * PRIORITY_DECAY
                     d = discovered.get(c)

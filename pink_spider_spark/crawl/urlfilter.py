@@ -20,6 +20,9 @@ parity, same policy as ``CrawlConfig.trap_filter``.
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,3 +78,37 @@ def url_signals(df: DataFrame, url_col: str = "url",
         "allowed",
         ~F.col("blocked_host") & (F.col("banned_hits") == 0)
         & (F.col("digit_frac") <= F.lit(float(max_digit_frac))))
+
+
+_HOST_PY = re.compile(_HOST_RE)
+_PATH_PY = re.compile(_PATH_RE)
+
+
+def is_url_allowed(url: str, blocked_hosts=(),
+                   max_digit_frac: float = MAX_DIGIT_FRAC) -> bool:
+    """Sequential-simulator twin of ``url_signals(...).allowed`` (same
+    regexes, same HALF_UP 4-dp digit-fraction rounding) so crawl parity
+    tests can enable the filter in both engines."""
+    u = url.lower()
+    m = _HOST_PY.match(u)
+    host = m.group(1) if m else ""
+    if host in {h.lower() for h in blocked_hosts}:
+        return False
+    if any(w in u for w in BANNED_WORDS):
+        return False
+    pm = _PATH_PY.match(u)
+    path = pm.group(1) if pm and pm.group(1) else ""
+    digits = sum(c.isdigit() for c in path)
+    frac = math.floor(digits / max(len(path), 1) * 1e4 + 0.5) / 1e4
+    return frac <= max_digit_frac
+
+
+def filter_urls(links: DataFrame, url_col: str = "url",
+                blocklist: DataFrame | None = None,
+                max_digit_frac: float = MAX_DIGIT_FRAC) -> DataFrame:
+    """Drop disallowed URLs from a discovered-links frame, returning the
+    input columns unchanged (the enqueue-projection form of
+    ``url_signals``)."""
+    cols = links.columns
+    return (url_signals(links, url_col, blocklist, max_digit_frac)
+            .filter(F.col("allowed")).select(*cols))

@@ -54,3 +54,92 @@ def test_url_signals_rootless_url_no_path(spark):
     df = _urls(spark, ["https://h.example.com"])
     r = url_signals(df).collect()[0]
     assert r.digit_frac == 0.0 and r.host == "h.example.com" and r.allowed
+
+
+GOOD_URLS = [
+    "https://h.example.com/p/1",
+    "https://h.example.com/",
+    "https://h.example.com/a/b/c?x=1",
+    "https://h.example.com/p/123",           # digit_frac exactly 0.5
+]
+BAD_URLS = [
+    "https://h.example.com/private/1",
+    "https://h.example.com/x?session=abc",
+    "https://h.example.com/20240101/2024/2024",
+    "https://blocked.example.com/p/1",
+]
+BLOCKED = ("blocked.example.com",)
+
+
+def test_twin_matches_spark_column(spark):
+    from pink_spider_spark.crawl.urlfilter import is_url_allowed
+
+    df = _urls(spark, GOOD_URLS + BAD_URLS)
+    bl = spark.createDataFrame([(h,) for h in BLOCKED], ["host"])
+    got = {r.url: r.allowed
+           for r in url_signals(df, blocklist=bl).collect()}
+    for u in GOOD_URLS + BAD_URLS:
+        assert got[u] == is_url_allowed(u, BLOCKED), u
+    assert [is_url_allowed(u, BLOCKED) for u in GOOD_URLS] == [True] * 4
+    assert [is_url_allowed(u, BLOCKED) for u in BAD_URLS] == [False] * 4
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("flag", [True, False])
+def test_crawl_url_filter_parity(spark, flag):
+    """Enqueue-time URL triage: Spark driver and sequential simulator
+    drop the same links (banned word + blocked host), bit-identical
+    seen tables with the flag on and off."""
+    import shutil
+    import tempfile
+
+    from pink_spider_spark.crawl.driver import CrawlConfig, CrawlDriver
+    from pink_spider_spark.crawl.simulator import simulate
+    from pink_spider_spark.sources.synth import build_catalog_items
+    from pink_spider_spark.sources.tables import TableStore
+
+    items = build_catalog_items()
+    seed = "https://hosta.example.com/p0"
+    banned_url = "https://hosta.example.com/private/x"
+    blocked_url = "https://hostb.example.com/p1"
+    ok_url = "https://hosta.example.com/ok"
+    para = "Plain filler text, long enough to score as content. " * 3
+    pages = {
+        seed: (f'<html><body><p>{para}</p><a href="{banned_url}">a</a>'
+               f'<a href="{blocked_url}">b</a>'
+               f'<a href="{ok_url}">ok</a></body></html>'),
+        banned_url: f"<html><body><p>{para}</p></body></html>",
+        blocked_url: f"<html><body><p>{para}</p></body></html>",
+        ok_url: f"<html><body><p>{para}</p></body></html>",
+    }
+    robots = {"hosta.example.com": {"disallow_prefixes": [],
+                                    "max_per_wave": 16},
+              "hostb.example.com": {"disallow_prefixes": [],
+                                    "max_per_wave": 16}}
+    pages_df = spark.createDataFrame(list(pages.items()), ["url", "html"])
+    robots_df = spark.createDataFrame(
+        [(h, r["disallow_prefixes"], r["max_per_wave"])
+         for h, r in robots.items()],
+        "host string, disallow_prefixes array<string>, max_per_wave int")
+    blocked = ("hostb.example.com",)
+    root = tempfile.mkdtemp(prefix="urlf_crawl_")
+    try:
+        store = TableStore(root)
+        driver = CrawlDriver(spark, store, pages_df, robots_df, items,
+                             CrawlConfig(max_depth=2, max_waves=5,
+                                         url_filter=flag,
+                                         blocked_hosts=blocked))
+        driver.run([seed])
+        spark_seen = {(r["url"], r["first_wave"], r["seq"])
+                      for r in store.table("seen").read(spark).collect()}
+        sim = simulate(pages, robots, items, [seed], max_depth=2,
+                       max_waves=5, url_filter=flag, blocked_hosts=blocked)
+        assert spark_seen == set(sim.seen)
+        urls = {u for (u, _, _) in spark_seen}
+        assert ok_url in urls
+        assert (banned_url in urls) == (not flag)
+        assert (blocked_url in urls) == (not flag)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
