@@ -174,3 +174,82 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     return (side.join(dup, id_col, "left")
             .select(F.col(id_col), "cluster",
                     F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept")))
+
+
+def pq_codes(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             decimals: int = 6) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search" — the FAISS PQ/IVFPQ compression
+    stage): split each vector into ``m`` contiguous subspaces, run the
+    pinned deterministic Lloyd's k-means INDEPENDENTLY per subspace
+    (k codewords each), and emit every vector's code word ids plus the
+    exact reconstruction error.  Storage drops from d·4 bytes to
+    m·log₂k bits per vector — the memory scale path that makes
+    billion-vector ANN fit in RAM.
+
+    Relational shape — one GROUPED Lloyd's, not m sequential fits: the
+    subspace id rides every key, so assignment is a broadcast cross
+    join of (vector, sub) rows against the m·k centroid frame filtered
+    on the shared ``sub`` key, and the update step is one
+    (sub, cid, pos)-keyed mean.  Per iteration: exactly the two linear
+    shuffles of kmeans_fit, independent of ``m``.
+
+    Determinism contract (same as kmeans_fit): 6-dp-rounded distances
+    and centroid coordinates, argmin ties to the lowest cid, init
+    codebook = the k lowest-id vectors' subvectors; recon_err is the
+    sum of per-subspace EXACT integers (d·10⁶) divided back once —
+    never a re-rounded float sum."""
+    subs = emb.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).cast("array<double>").alias("__v"))
+    d_sub = F.size(F.col("__v")) / m  # assumed divisible (dims % m == 0)
+    subs = subs.select(
+        id_col, "sub",
+        F.slice(F.col("__v"), (F.col("sub") * d_sub + 1).cast("int"),
+                d_sub.cast("int")).alias("sv"))
+    # init: the k lowest ids (explicit top-k, not a dense-id filter)
+    low = (emb.select(id_col).orderBy(id_col).limit(k)
+           .select(F.col(id_col).alias("cid")))
+    cents = (subs.join(F.broadcast(low), subs[id_col] == low["cid"])
+             .select("cid", "sub", F.col("sv").alias("cv")))
+
+    def assign(cents):
+        dist = F.round(
+            F.aggregate(F.zip_with(F.col("sv"), F.col("cv"),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x), decimals)
+        scored = (subs.join(F.broadcast(cents), "sub")
+                  .select(F.col(id_col), "sub", F.col("cid"),
+                          dist.alias("d")))
+        return (scored.groupBy(id_col, "sub")
+                .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+                .select(F.col(id_col), "sub", F.col("m.cid").alias("cid"),
+                        F.col("m.d").alias("d")))
+
+    assigned = assign(cents)
+    for _ in range(iters - 1):
+        members = (assigned.join(subs, [id_col, "sub"])
+                   .select("sub", "cid", F.posexplode("sv")
+                           .alias("pos", "v")))
+        cents = (members.groupBy("sub", "cid", "pos")
+                 .agg(F.round(F.avg("v"), decimals).alias("cv"))
+                 .groupBy("sub", "cid")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "cv"))).alias("pairs"))
+                 .select("sub", "cid",
+                         F.transform(F.col("pairs"),
+                                     lambda p: p["cv"]).alias("cv")))
+        assigned = assign(cents)
+    return (assigned
+            .withColumn("__d6", F.round(F.col("d") * 1e6).cast("long"))
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("sub", "cid"))).alias("__p"),
+                F.sum("__d6").alias("__e6"))
+            .select(id_col,
+                    F.transform(F.col("__p"),
+                                lambda p: p["cid"]).alias("codes"),
+                    (F.col("__e6").cast("double") / F.lit(1e6))
+                    .alias("recon_err")))

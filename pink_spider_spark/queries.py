@@ -1942,3 +1942,45 @@ def frontier_url_filter(spark, sf_dir):
     return url_signals(urls, blocklist=bl).select(
         "id", "url", "host", "digit_frac", "banned_hits", "blocked_host",
         "allowed")
+
+
+@q("emb_pq_codes", """
+WITH e AS (SELECT vec_id, m.s AS sub, d.i AS pos,
+                  CAST(embedding[m.s*16 + d.i] AS DOUBLE) AS val
+           FROM embeddings, generate_series(0, 3) m(s),
+                generate_series(1, 16) d(i)),
+c0 AS (SELECT vec_id AS cid, sub, pos, val FROM e WHERE vec_id < 16),
+d1 AS (SELECT e.vec_id, e.sub, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c0 c ON c.sub = e.sub AND c.pos = e.pos
+       GROUP BY e.vec_id, e.sub, c.cid),
+a1 AS (SELECT vec_id, sub, cid FROM (
+         SELECT vec_id, sub, cid,
+                row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.sub, a1.cid, e.pos, round(avg(e.val), 6) AS val
+       FROM a1 JOIN e ON e.vec_id = a1.vec_id AND e.sub = a1.sub
+       GROUP BY a1.sub, a1.cid, e.pos),
+d2 AS (SELECT e.vec_id, e.sub, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+       GROUP BY e.vec_id, e.sub, c.cid),
+a2 AS (SELECT vec_id, sub, cid, d FROM (
+         SELECT vec_id, sub, cid, d,
+                row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1)
+SELECT vec_id, list(cid ORDER BY sub) AS codes,
+       CAST(sum(CAST(round(d * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+         AS recon_err
+FROM a2 GROUP BY vec_id
+""")
+def emb_pq_codes(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011): 4 subspaces x 16
+    codewords over the 64-dim embeddings, grouped deterministic Lloyd's
+    (2 rounds) — per-vector code ids + exact reconstruction error, the
+    memory scale path for billion-vector ANN
+    (functions/clustering.py pq_codes)."""
+    return C.pq_codes(_t(spark, sf_dir, "embeddings"),
+                      m=4, k=16, iters=2)

@@ -113,6 +113,10 @@ CHECKS = {
     "frontier_url_filter": (["BroadcastHashJoin"],
                             ["Window", "CartesianProduct",
                              "SortMergeJoin"]),
+    # PQ: grouped Lloyd's — (vector,sub) rows vs broadcast m·k codebook
+    # on the sub key, (sub,cid,pos)-keyed update; no window, no
+    # cartesian (codebook ride-along is a bounded broadcast)
+    "emb_pq_codes": ([], ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

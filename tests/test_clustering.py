@@ -78,3 +78,31 @@ def test_kmeans_fit_returns_final_assignment_centroids(spark):
     _, cents = C.kmeans_fit(df, k=2, iters=1)
     got = {r.cid: r.cvec for r in cents.collect()}
     assert got == {0: [0.0, 0.0], 1: [10.0, 10.0]}
+
+
+def test_pq_codes_hand_fixture(spark):
+    # dim-4 vectors, m=2 subspaces, k=2, iters=1: codebook = subvectors
+    # of vecs 0/1.  Vec 2 is near vec 0's sub0 and vec 0's sub1 word.
+    df = _emb(spark, [(0, [0.0, 0.0, 10.0, 10.0]),
+                      (1, [10.0, 10.0, 0.0, 0.0]),
+                      (2, [1.0, 0.0, 9.0, 10.0])])
+    out = {r.vec_id: r for r in
+           C.pq_codes(df, m=2, k=2, iters=1).collect()}
+    assert out[0].codes == [0, 0] and out[0].recon_err == 0.0
+    assert out[1].codes == [1, 1] and out[1].recon_err == 0.0
+    # vec 2: sub0 [1,0] -> word 0 (d=1), sub1 [9,10] -> word 0 (d=1)
+    assert out[2].codes == [0, 0] and out[2].recon_err == 2.0
+
+
+def test_pq_codes_m1_equals_kmeans(spark):
+    # a single subspace degenerates PQ to plain k-means: the one code
+    # equals the kmeans_assign cluster for every vector (same pinned
+    # trajectory, same tie-breaks)
+    vecs = [(i, [float((i * 7) % 11), float((i * 3) % 5)])
+            for i in range(12)]
+    df = _emb(spark, vecs)
+    pq = {r.vec_id: r.codes[0]
+          for r in C.pq_codes(df, m=1, k=3, iters=2).collect()}
+    km = {r.vec_id: r.cluster
+          for r in C.kmeans_assign(df, k=3, iters=2).collect()}
+    assert pq == km
