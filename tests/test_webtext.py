@@ -434,3 +434,30 @@ def test_tfidf_cosine_df_cut_prunes_stop_terms(spark):
     out = W.tfidf_cosine_pairs(df, threshold=0.05,
                                max_df_frac=1.0).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+
+
+# ------------------------------------- star-form connected components
+def test_cc_star_equals_min_label_and_is_logarithmic(spark):
+    # 48-node path: min-label propagation needs DIAMETER (47) rounds;
+    # the star form must give the identical labeling in a handful
+    nodes = spark.createDataFrame([(i,) for i in range(48)], ["node"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(47)],
+                                  ["src", "dst"])
+    plain = {r.node: r.label for r in
+             W.connected_components(nodes, edges, max_iter=60).collect()}
+    star_df, rounds = W.connected_components_star(nodes, edges)
+    star = {r.node: r.label for r in star_df.collect()}
+    assert star == plain == {i: 0 for i in range(48)}
+    assert rounds <= 8  # O(log^2 n), not O(diameter)
+
+
+def test_cc_star_isolated_nodes_and_cliques(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)]  # clique 0-3
+        + [(7, 9), (9, 8)],                                   # chain 7-9
+        ["src", "dst"])
+    star_df, _ = W.connected_components_star(nodes, edges)
+    got = {r.node: r.label for r in star_df.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6,
+                   7: 7, 8: 7, 9: 7, 10: 10, 11: 11}
