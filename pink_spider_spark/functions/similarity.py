@@ -119,7 +119,8 @@ def near_dup_pairs_lsh_banded(df: DataFrame, threshold: float = 0.3,
                               bands: int = 16, planes_per_band: int = 4,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id", dim: int = DIM,
-                              decimals: int = 4) -> DataFrame:
+                              decimals: int = 4,
+                              vectorized: bool = True) -> DataFrame:
     """Multi-band embedding near-dup: candidate pairs share ANY band's
     bucket (equi-join on (band, bucket), distinct across bands), then the
     exact cosine reranks.  Fixes the single-bucket form's recall hole
@@ -134,9 +135,15 @@ def near_dup_pairs_lsh_banded(df: DataFrame, threshold: float = 0.3,
     LSH filters weakly (the 0.3-similarity collision curve is flat); at
     dedup-realistic thresholds (≥ 0.8) the same (16, 4) setting prunes
     the pair space by orders of magnitude.
+
+    ``vectorized=True`` (default) computes the signatures with the
+    bit-identical numpy mapInPandas pass
+    (banded_lsh_signatures_vectorized) — the relational form compiles a
+    ~4096-node expression tree that costs more to codegen than to run.
     """
-    sig = banded_lsh_signatures(df, bands, planes_per_band,
-                                vec_col, id_col, dim)
+    sig_fn = (banded_lsh_signatures_vectorized if vectorized
+              else banded_lsh_signatures)
+    sig = sig_fn(df, bands, planes_per_band, vec_col, id_col, dim)
     a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
@@ -229,3 +236,62 @@ def ann_topk_multiprobe(df: DataFrame, query_vec: list, k: int = 10,
     cands = df.join(
         bucketed.filter(F.col("bucket").isin(probes)).select(id_col), id_col)
     return knn_brute_force(cands, query_vec, k, vec_col, id_col)
+
+
+def banded_lsh_signatures_vectorized(df: DataFrame, bands: int = 16,
+                                     planes_per_band: int = 4,
+                                     vec_col: str = "embedding",
+                                     id_col: str = "vec_id",
+                                     dim: int = DIM) -> DataFrame:
+    """Bit-identical ``banded_lsh_signatures`` as ONE numpy/Arrow
+    mapInPandas pass — the 100 TB path (same policy as
+    text.simhash_vectorized: the relational form stays as the
+    cross-engine spec, this form executes).
+
+    The relational form compiles bands·planes·dim ≈ 4096 expression
+    nodes of zip_with/aggregate folds — whole-stage codegen chokes on
+    the tree (≈10 s of compile for a 2 000-row input) and the work is a
+    plain matrix product anyway.  Here every Arrow batch computes all
+    plane dots at once; IEEE equality with the JVM fold is preserved by
+    summing SEQUENTIALLY over the dim axis (acc += V[:,d]·P[:,d], one
+    vectorized step per dimension — each scalar add is the same
+    left-to-right double chain as ``dot``'s aggregate fold, so every
+    sign, and therefore every bucket, matches bit-for-bit; pinned by
+    tests/test_operators.py equality and the banded oracle)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    n_planes = bands * planes_per_band
+    P = np.array([[plane_component(p, d) for d in range(dim)]
+                  for p in range(n_planes)], dtype=np.float64)
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.LongType())])
+    r = planes_per_band
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            acc = np.zeros((len(V), n_planes), dtype=np.float64)
+            for d in range(dim):
+                # one fold step per dimension: identical rounding chain
+                # to the JVM's sequential aggregate
+                acc += V[:, d:d + 1] * P[None, :, d]
+            signs = acc >= 0.0
+            weights = (1 << np.arange(r, dtype=np.int64))
+            ids = np.repeat(pdf[id_col].to_numpy(), bands)
+            band_ids = np.tile(np.arange(bands, dtype=np.int32), len(V))
+            buckets = (signs.reshape(len(V), bands, r)
+                       * weights[None, None, :]).sum(axis=2) \
+                .astype(np.int64).reshape(-1)
+            yield pd.DataFrame({id_col: ids, "band": band_ids,
+                                "bucket": buckets})
+
+    return df.select(id_col, vec_col).mapInPandas(run, out_schema)

@@ -332,3 +332,17 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark):
     assert len(single & exact) == 5   # the 5 Hamming-0 planted dups
     assert len(multi & exact) == 7    # + the 2 at Hamming 1; H=2 missed
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_banded_lsh_signatures_vectorized_bit_equal(spark):
+    # the numpy mapInPandas path must reproduce the relational spec's
+    # buckets bit-for-bit (same sequential-fold rounding chain per
+    # dimension), including sign decisions on near-zero dots
+    from pink_spider_spark.functions import similarity as S
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rel = {(r.vec_id, r.band): r.bucket
+           for r in S.banded_lsh_signatures(df, 16, 4).collect()}
+    vec = {(r.vec_id, r.band): r.bucket
+           for r in S.banded_lsh_signatures_vectorized(df, 16, 4).collect()}
+    assert rel == vec and len(rel) > 0
