@@ -176,9 +176,9 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
                     F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept")))
 
 
-def pq_codes(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             decimals: int = 6) -> DataFrame:
+def pq_fit(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           decimals: int = 6) -> tuple:
     """Product quantization (Jégou et al. 2011, "Product Quantization
     for Nearest Neighbor Search" — the FAISS PQ/IVFPQ compression
     stage): split each vector into ``m`` contiguous subspaces, run the
@@ -199,7 +199,12 @@ def pq_codes(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
     and centroid coordinates, argmin ties to the lowest cid, init
     codebook = the k lowest-id vectors' subvectors; recon_err is the
     sum of per-subspace EXACT integers (d·10⁶) divided back once —
-    never a re-rounded float sum."""
+    never a re-rounded float sum.
+
+    Returns ``(assigned, cents)``: the per-(vector, subspace) codeword
+    assignments with their squared distances, and the (sub, cid, cv)
+    codebook that produced them — what ADC queries (pq_adc_topk) build
+    their distance tables against."""
     subs = emb.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -242,6 +247,14 @@ def pq_codes(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
                          F.transform(F.col("pairs"),
                                      lambda p: p["cv"]).alias("cv")))
         assigned = assign(cents)
+    return assigned, cents
+
+
+def pq_codes(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             decimals: int = 6) -> DataFrame:
+    """(id, codes, recon_err) per vector — see pq_fit."""
+    assigned, _ = pq_fit(emb, m, k, iters, id_col, vec_col, decimals)
     return (assigned
             .withColumn("__d6", F.round(F.col("d") * 1e6).cast("long"))
             .groupBy(id_col)
@@ -253,3 +266,40 @@ def pq_codes(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
                                 lambda p: p["cid"]).alias("codes"),
                     (F.col("__e6").cast("double") / F.lit(1e6))
                     .alias("recon_err")))
+
+
+def pq_adc_topk(emb: DataFrame, query_vec: list, topk: int = 10,
+                m: int = 4, k: int = 16, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                decimals: int = 6, exclude_id=None) -> DataFrame:
+    """Asymmetric distance computation over PQ codes (Jégou et al. 2011
+    §IV — the FAISS ADC query path): approximate
+    ‖q − v‖² ≈ Σ_s ‖q_s − codeword(code_v[s])‖², so a query costs ONE
+    m·k-entry distance-table build (broadcast) plus a code-keyed join
+    and a per-vector integer sum — the original vectors are never
+    touched at query time, which is the whole point of PQ: the search
+    runs entirely over the m·log₂k-bit codes.
+
+    Determinism: the table entries use the same 6-dp-rounded fold as
+    assignment, per-vector sums are exact integers (d·10⁶), and the
+    final distance divides back once; ties on the approximate distance
+    break on the lowest id."""
+    assigned, cents = pq_fit(emb, m, k, iters, id_col, vec_col, decimals)
+    d_sub = len(query_vec) // m
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qsub = F.slice(qlit, (F.col("sub") * d_sub + 1).cast("int"), d_sub)
+    dq = F.round(
+        F.aggregate(F.zip_with(F.col("cv"), qsub,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), decimals)
+    dtable = cents.select("sub", "cid",
+                          F.round(dq * 1e6).cast("long").alias("dq6"))
+    scored = assigned.join(F.broadcast(dtable), ["sub", "cid"])
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != F.lit(exclude_id))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("dq6").alias("__s"))
+            .select(id_col, (F.col("__s").cast("double") / F.lit(1e6))
+                    .alias("adist"))
+            .orderBy(F.asc("adist"), F.asc(id_col))
+            .limit(topk))

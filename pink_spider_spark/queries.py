@@ -2019,3 +2019,57 @@ def docs_dedup_clusters_star(spark, sf_dir):
             .select(F.col("node").alias("doc_id"),
                     F.col("label").cast("long").alias("cluster_id"),
                     "cluster_size"))
+
+
+@q("emb_pq_adc_topk", """
+WITH e AS (SELECT vec_id, m.s AS sub, d.i AS pos,
+                  CAST(embedding[m.s*16 + d.i] AS DOUBLE) AS val
+           FROM embeddings, generate_series(0, 3) m(s),
+                generate_series(1, 16) d(i)),
+c0 AS (SELECT vec_id AS cid, sub, pos, val FROM e WHERE vec_id < 16),
+d1 AS (SELECT e.vec_id, e.sub, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c0 c ON c.sub = e.sub AND c.pos = e.pos
+       GROUP BY e.vec_id, e.sub, c.cid),
+a1 AS (SELECT vec_id, sub, cid FROM (
+         SELECT vec_id, sub, cid,
+                row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.sub, a1.cid, e.pos, round(avg(e.val), 6) AS val
+       FROM a1 JOIN e ON e.vec_id = a1.vec_id AND e.sub = a1.sub
+       GROUP BY a1.sub, a1.cid, e.pos),
+d2 AS (SELECT e.vec_id, e.sub, c.cid,
+              round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+       FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+       GROUP BY e.vec_id, e.sub, c.cid),
+a2 AS (SELECT vec_id, sub, cid, d FROM (
+         SELECT vec_id, sub, cid, d,
+                row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1),
+qe AS (SELECT m.s AS sub, d.i AS pos,
+              CAST(embedding[m.s*16 + d.i] AS DOUBLE) AS val
+       FROM embeddings, generate_series(0, 3) m(s),
+            generate_series(1, 16) d(i)
+       WHERE vec_id = 0),
+qd AS (SELECT c.sub, c.cid,
+              round(sum((q.val - c.val) * (q.val - c.val)), 6) AS dq
+       FROM c1 c JOIN qe q ON q.sub = c.sub AND q.pos = c.pos
+       GROUP BY c.sub, c.cid)
+SELECT a2.vec_id,
+       CAST(sum(CAST(round(dq * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS adist
+FROM a2 JOIN qd ON qd.sub = a2.sub AND qd.cid = a2.cid
+WHERE a2.vec_id <> 0
+GROUP BY a2.vec_id
+ORDER BY adist ASC, vec_id ASC LIMIT 10
+""")
+def emb_pq_adc_topk(spark, sf_dir):
+    """Asymmetric distance computation over PQ codes (Jegou et al. 2011
+    SIV, the FAISS ADC query path): one broadcast m*k distance table +
+    a code-keyed join + per-vector integer sum — the query never touches
+    the original vectors (functions/clustering.py pq_adc_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    return C.pq_adc_topk(emb, qv, topk=10, m=4, k=16, iters=2,
+                         exclude_id=0)

@@ -117,6 +117,10 @@ CHECKS = {
     # on the sub key, (sub,cid,pos)-keyed update; no window, no
     # cartesian (codebook ride-along is a bounded broadcast)
     "emb_pq_codes": ([], ["Window", "CartesianProduct"]),
+    # ADC: broadcast m·k distance table joined on (sub,cid), per-vector
+    # integer sum, global top-k — never touches the original vectors
+    "emb_pq_adc_topk": (["TakeOrderedAndProject"],
+                        ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

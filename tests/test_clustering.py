@@ -106,3 +106,30 @@ def test_pq_codes_m1_equals_kmeans(spark):
     km = {r.vec_id: r.cluster
           for r in C.kmeans_assign(df, k=3, iters=2).collect()}
     assert pq == km
+
+
+def test_pq_adc_exact_on_codebook_members(spark):
+    # when every vector IS a codeword (k >= n, iters=1), ADC distance
+    # equals the true squared L2 distance — the approximation error is
+    # exactly the quantization error, zero here
+    df = _emb(spark, [(0, [0.0, 0.0, 0.0, 0.0]),
+                      (1, [3.0, 4.0, 0.0, 0.0]),
+                      (2, [0.0, 0.0, 6.0, 8.0])])
+    out = [(r.vec_id, r.adist) for r in
+           C.pq_adc_topk(df, [0.0, 0.0, 0.0, 0.0], topk=5, m=2, k=3,
+                         iters=1, exclude_id=0).collect()]
+    assert out == [(1, 25.0), (2, 100.0)]
+
+
+def test_pq_adc_is_sum_of_subspace_tables(spark):
+    # a vector quantized to (codeword of v1's first half, codeword of
+    # v2's second half) scores the SUM of the two table entries — the
+    # defining ADC decomposition
+    df = _emb(spark, [(0, [0.0, 0.0, 0.0, 0.0]),
+                      (1, [3.0, 4.0, 0.0, 0.0]),
+                      (2, [0.0, 0.0, 6.0, 8.0]),
+                      (3, [3.0, 4.0, 6.0, 8.0])])  # halves of 1 and 2
+    out = {r.vec_id: r.adist for r in
+           C.pq_adc_topk(df, [0.0, 0.0, 0.0, 0.0], topk=5, m=2, k=3,
+                         iters=1, exclude_id=0).collect()}
+    assert out[3] == out[1] + out[2] == 125.0
