@@ -52,3 +52,55 @@ def kmv_distinct(df: DataFrame, key_cols: list, value_col: str,
     return (agg.join(exact, list(key_cols))
             .select(*key_cols, F.col("nd").cast("long")
                     .alias("exact_distinct"), est.alias("kmv_estimate")))
+
+
+# -------------------------------------------------- count-min sketch
+def _cms_col(key_col: str, row_col) -> F.Column:
+    """Row-i hash column: h60('cms-<i>-<key>'), the % width applied by
+    the caller (kept separate so the string recipe is trivially
+    mirrored in SQL)."""
+    return X.h60(F.concat(F.lit("cms-"), row_col.cast("string"),
+                          F.lit("-"), F.col(key_col).cast("string")))
+
+
+def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
+                 width: int = 1024) -> DataFrame:
+    """Count-Min sketch counter table (Cormode & Muthukrishnan 2005):
+    ``depth`` independent hash rows of ``width`` counters; every
+    occurrence of a key increments cell (i, hᵢ(key) mod width).
+    Returns (row, col, c) — at most depth·width rows regardless of
+    input size, built by ONE linear (row, col)-keyed aggregation with
+    map-side combine.  The sketch is distributive (counters add), so
+    partial sketches from any partitioning merge by summation — the
+    property that makes CMS the at-scale substitute for an exact
+    per-key count when only heavy hitters matter.
+
+    Determinism: the row hashes are the shared cross-engine h60 over
+    the string 'cms-<row>-<key>', so Spark and the SQL oracle build
+    the IDENTICAL counter table."""
+    rows = df.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    return (rows.select("row",
+                        (_cms_col(key_col, F.col("row")) % width)
+                        .alias("col"))
+            .groupBy("row", "col")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query the sketch: est(key) = min over rows of the key's
+    counter — always ≥ the true count (one-sided error ≤ e·N/width with
+    probability 1−e^−depth).  The probe joins depth rows per key
+    against the broadcast-sized counter table."""
+    probes = (keys.select(F.col(key_col))
+              .distinct()
+              .select(key_col,
+                      F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+                      .alias("row")))
+    probes = probes.withColumn(
+        "col", _cms_col(key_col, F.col("row")) % width)
+    return (probes.join(F.broadcast(counters), ["row", "col"])
+            .groupBy(key_col)
+            .agg(F.min("c").alias("cms_est")))

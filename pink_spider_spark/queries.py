@@ -2073,3 +2073,45 @@ def emb_pq_adc_topk(spark, sf_dir):
     qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
     return C.pq_adc_topk(emb, qv, topk=10, m=4, k=16, iters=2,
                          exclude_id=0)
+
+
+@q("events_heavy_hitters_cms", """
+WITH g AS (SELECT user_id, i AS row FROM events,
+                generate_series(0, 3) s(i)),
+cnt AS (SELECT row,
+               ('0x' || substr(md5('cms-' || CAST(row AS VARCHAR) || '-'
+                  || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1024
+                 AS col,
+               CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2),
+k AS (SELECT DISTINCT user_id, i AS row FROM events,
+           generate_series(0, 3) s(i)),
+pr AS (SELECT user_id, row,
+              ('0x' || substr(md5('cms-' || CAST(row AS VARCHAR) || '-'
+                 || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1024
+                AS col
+       FROM k),
+est AS (SELECT user_id, min(c) AS cms_est
+        FROM pr JOIN cnt USING (row, col) GROUP BY user_id),
+ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+       FROM events GROUP BY user_id)
+SELECT user_id, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est
+FROM est JOIN ex USING (user_id)
+WHERE cms_est >= 80
+""")
+def events_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min heavy hitters (Cormode & Muthukrishnan 2005): a 4x1024
+    counter sketch over event user_ids — bounded memory regardless of
+    key cardinality, mergeable by summation — probed for every user;
+    users whose (always >= exact) estimate clears the 80-event threshold emit
+    with both counts, showing the sketch's one-sided error
+    (functions/sketches.py cms_counters/cms_estimate)."""
+    events = _t(spark, sf_dir, "events")
+    counters = SK.cms_counters(events, "user_id", depth=4, width=1024)
+    est = SK.cms_estimate(counters, events, "user_id", depth=4, width=1024)
+    exact = (events.groupBy("user_id")
+             .agg(F.count("*").cast("long").alias("exact_cnt")))
+    return (est.join(exact, "user_id")
+            .filter(F.col("cms_est") >= 80)
+            .select("user_id", "exact_cnt",
+                    F.col("cms_est").cast("long").alias("cms_est")))

@@ -121,6 +121,10 @@ CHECKS = {
     # integer sum, global top-k — never touches the original vectors
     "emb_pq_adc_topk": (["TakeOrderedAndProject"],
                         ["Window", "CartesianProduct"]),
+    # CMS: one (row,col)-keyed linear agg builds the bounded counter
+    # table (broadcast back for the probe); no window, no cartesian
+    "events_heavy_hitters_cms": (["BroadcastHashJoin"],
+                                 ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -42,3 +42,47 @@ def test_kmv_multi_group_and_salt_invariance(spark):
                                    salts=64).collect()}
     assert r1 == r2  # salting is an execution detail, not a semantic one
     assert r2["b"] == 20.0  # below k -> exact
+
+
+# ------------------------------------------------- count-min sketch
+def test_cms_estimate_upper_bounds_exact_and_is_exact_when_sparse(spark):
+    from pink_spider_spark.functions import sketches as SK
+
+    rows = [(u,) for u in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+    df = spark.createDataFrame(rows, ["k"])
+    counters = SK.cms_counters(df, "k", depth=4, width=1024)
+    est = {r.k: r.cms_est for r in
+           SK.cms_estimate(counters, df, "k", depth=4, width=1024)
+           .collect()}
+    # 3 keys in 4x1024 cells: no collisions -> estimates are EXACT
+    assert est == {"a": 50, "b": 7, "c": 1}
+
+
+def test_cms_overcounts_on_forced_collision_never_undercounts(spark):
+    from pink_spider_spark.functions import sketches as SK
+
+    # width=1: every key collides in every row -> every estimate is the
+    # total stream length (the degenerate upper bound), never below
+    rows = [(u,) for u in ["x"] * 5 + ["y"] * 3]
+    df = spark.createDataFrame(rows, ["k"])
+    counters = SK.cms_counters(df, "k", depth=4, width=1)
+    est = {r.k: r.cms_est for r in
+           SK.cms_estimate(counters, df, "k", depth=4, width=1).collect()}
+    assert est == {"x": 8, "y": 8}
+
+
+def test_cms_counters_merge_by_summation(spark):
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.functions import sketches as SK
+
+    rows = [(u,) for u in ["a"] * 10 + ["b"] * 4]
+    df = spark.createDataFrame(rows, ["k"])
+    half1, half2 = df.limit(7), df.exceptAll(df.limit(7))
+    merged = (SK.cms_counters(half1, "k")
+              .unionByName(SK.cms_counters(half2, "k"))
+              .groupBy("row", "col").agg(F.sum("c").alias("c")))
+    whole = SK.cms_counters(df, "k")
+    a = {(r.row, r.col): r.c for r in merged.collect()}
+    b = {(r.row, r.col): r.c for r in whole.collect()}
+    assert a == b  # distributive: partial sketches sum to the full one
