@@ -40,7 +40,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import text as X
@@ -785,3 +785,54 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
               .select("node", F.least(F.col("label"), F.col("node"))
                       .alias("label")))
     return labels, rounds
+
+
+# ------------------------------------------------- corpus Zipf stats
+def zipf_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary statistics with a Zipf-law fit: one row of
+    (vocab_size, total_tokens, top_token, top_freq, zipf_slope) where
+    zipf_slope is the OLS slope of ln(freq) on ln(rank) — Zipfian text
+    sits near −1; token-soup and boilerplate-heavy corpora drift, which
+    makes the slope a cheap corpus-health monitor for a crawl.
+
+    Determinism (cross-engine): ln values are integerized via
+    FLOOR(ln·10⁶) (the DSIR lesson — floor of a double is bit-exact
+    where decimal re-rounding is not), the four OLS sums accumulate in
+    DECIMAL(38,0)/HUGEINT exact integer arithmetic, and the single
+    final division happens on exactly-representable numerator and
+    denominator — so both engines emit the identical double.
+
+    Scale note: the rank window runs over the VOCABULARY (distinct
+    tokens), which is sublinear in corpus size and orders of magnitude
+    smaller than the token stream — the one place a global window is
+    proportionate.  The token count itself is the usual linear
+    token-keyed aggregation."""
+    tok = df.select(F.explode(X.tokens(F.lower(F.col(text_col))))
+                    .alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = (vocab.withColumn("rank", F.row_number().over(w))
+              .withColumn("x6", F.floor(F.log(F.col("rank")
+                                              .cast("double")) * 1e6)
+                          .cast("decimal(38,0)"))
+              .withColumn("y6", F.floor(F.log(F.col("c").cast("double"))
+                                        * 1e6).cast("decimal(38,0)")))
+    agg = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x6").alias("sx"), F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("c")).cast("long").alias("total_tokens"),
+        # top term with a DETERMINISTIC tie-break (highest count, then
+        # lexicographically smallest token — the rank-1 row)
+        F.min(F.struct((-F.col("c")).alias("nc"),
+                       F.col("token").alias("token"))).alias("top"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return agg.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.col("total_tokens"),
+        F.col("top.token").alias("top_token"),
+        (-F.col("top.nc")).cast("long").alias("top_freq"),
+        (num.cast("double") / den.cast("double")).alias("zipf_slope"))

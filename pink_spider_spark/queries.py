@@ -2115,3 +2115,34 @@ def events_heavy_hitters_cms(spark, sf_dir):
             .filter(F.col("cms_est") >= 80)
             .select("user_id", "exact_cnt",
                     F.col("cms_est").cast("long").alias("cms_est")))
+
+
+@q("docs_zipf_stats", """
+WITH tok AS (SELECT t.token
+             FROM documents,
+                  UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  t(token)),
+v AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+r AS (SELECT token, c,
+             row_number() OVER (ORDER BY c DESC, token ASC) AS rank
+      FROM v),
+i AS (SELECT token, c,
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS HUGEINT) AS x6,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS HUGEINT) AS y6
+      FROM r),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x6) AS sx, sum(y6) AS sy,
+             sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx,
+             CAST(sum(c) AS BIGINT) AS total_tokens
+      FROM i),
+top AS (SELECT token, c FROM r WHERE rank = 1)
+SELECT CAST(n AS BIGINT) AS vocab_size, total_tokens,
+       top.token AS top_token, CAST(top.c AS BIGINT) AS top_freq,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+FROM a, top
+""")
+def docs_zipf_stats(spark, sf_dir):
+    """Corpus Zipf fit: OLS slope of ln(freq) on ln(rank) over the
+    vocabulary — exact DECIMAL/HUGEINT integer sums, one final division
+    (functions/webtext.py zipf_stats)."""
+    return W.zipf_stats(_t(spark, sf_dir, "documents"))

@@ -125,6 +125,9 @@ CHECKS = {
     # table (broadcast back for the probe); no window, no cartesian
     "events_heavy_hitters_cms": (["BroadcastHashJoin"],
                                  ["Window", "CartesianProduct"]),
+    # Zipf fit: the one DELIBERATE global window (over the vocabulary,
+    # sublinear in corpus size) + exact decimal OLS sums — no cartesian
+    "docs_zipf_stats": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -461,3 +461,28 @@ def test_cc_star_isolated_nodes_and_cliques(spark):
     got = {r.node: r.label for r in star_df.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6,
                    7: 7, 8: 7, 9: 7, 10: 10, 11: 11}
+
+
+# ------------------------------------------------------ zipf stats
+def test_zipf_stats_hand_corpus(spark):
+    import math
+
+    # freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3); expected slope
+    # recomputed with the operator's own integerization (floor(ln*1e6))
+    df = spark.createDataFrame([(1, "a a a a b b c")], ["doc_id", "text"])
+    r = W.zipf_stats(df).collect()[0]
+    assert r.vocab_size == 3 and r.total_tokens == 7
+    assert r.top_token == "a" and r.top_freq == 4
+    xs = [math.floor(math.log(k) * 1e6) for k in (1, 2, 3)]
+    ys = [math.floor(math.log(f) * 1e6) for f in (4, 2, 1)]
+    n = 3
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert r.zipf_slope == num / den
+    assert r.zipf_slope < -1  # steeper than Zipf: tiny skewed corpus
+
+
+def test_zipf_stats_top_token_tie_breaks_lexicographically(spark):
+    df = spark.createDataFrame([(1, "z z y y x")], ["doc_id", "text"])
+    r = W.zipf_stats(df).collect()[0]
+    assert r.top_token == "y" and r.top_freq == 2  # smallest among ties
