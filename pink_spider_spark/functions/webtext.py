@@ -68,10 +68,28 @@ def gopher_signals(df: DataFrame, text_col: str = "text",
         F.aggregate(tk, F.lit(0).cast("long"),
                     lambda acc, t: acc + F.length(t)).cast("double") / n, 4)
     ttr = F.round(F.size(F.array_distinct(tk)) / n, 4)
-    ttf = F.round(
-        F.array_max(F.transform(
-            F.array_distinct(tk),
-            lambda d: F.size(F.filter(tk, lambda t: t == d)))) / n, 4)
+    # top-token frequency = longest run in the sorted token array, found
+    # in ONE linear pass with a (prev, run, best) fold.  The previous form
+    # (array_max over per-distinct-token F.filter rescans) was
+    # O(n_tokens * n_distinct) per row — ~1e9 comparisons on a
+    # pathological 100k-token high-TTR document, all on one task.  Same
+    # value, same oracle hash (max multiplicity / n either way), still
+    # in-row and shuffle-free.
+    run0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+    max_run = F.aggregate(
+        F.sort_array(tk), run0,
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a.prev, a.run + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            F.greatest(
+                a.best,
+                F.when(t == a.prev, a.run + 1)
+                 .otherwise(F.lit(1).cast("long"))).alias("best")),
+        lambda a: a.best)
+    ttf = F.round(F.when(n > 0, max_run / n), 4)
     out = (df.select(F.col(id_col), n.cast("long").alias("n_words"),
                      mwl.alias("mean_word_len"), ttr.alias("ttr"),
                      ttf.alias("top_token_frac")))

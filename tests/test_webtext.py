@@ -22,6 +22,32 @@ def test_gopher_signals_case_insensitive(spark):
     assert r.ttr == 0.3333 and r.top_token_frac == 1.0
 
 
+def test_gopher_top_token_frac_long_high_ttr_doc(spark):
+    # Pathological case for the old O(n_tokens * n_distinct) form:
+    # 5000 tokens, ~4900 distinct (high TTR), one token repeated 101x.
+    # The run-length fold must find the repeated token's multiplicity.
+    words = [f"w{i}" for i in range(4899)] + ["dup"] * 101
+    # interleave deterministically so sorted order differs from doc order
+    doc = " ".join(words[i % 2 :: 2][i // 2] if False else words[i]
+                   for i in range(len(words)))
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    r = W.gopher_signals(df).collect()[0]
+    assert r.n_words == 5000
+    assert r.top_token_frac == round(101 / 5000, 4)
+    assert r.ttr == round(4900 / 5000, 4)
+
+
+def test_gopher_signals_whitespace_only_doc(spark):
+    # the tokenizer yields [''] for whitespace-only text (split semantics),
+    # so n_words == 1 and the single empty token is the "top" token — this
+    # pins that the run-length fold's prev-init ('') does not double-count
+    # a leading empty token
+    df = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    r = W.gopher_signals(df).collect()[0]
+    assert r.n_words == 1 and r.top_token_frac == 1.0
+    assert r.passes_gopher is False
+
+
 def test_wrap_lines_clips_last_line(spark):
     df = spark.createDataFrame([("a b c d e",)], ["text"])
     (lines,) = df.select(W.wrap_lines(F.col("text"), k=2).alias("l")).first()
