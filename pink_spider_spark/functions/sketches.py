@@ -101,6 +101,12 @@ def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str,
                       .alias("row")))
     probes = probes.withColumn(
         "col", _cms_col(key_col, F.col("row")) % width)
-    return (probes.join(F.broadcast(counters), ["row", "col"])
+    # LEFT join + coalesce(0): the counter table is sparse (cells never
+    # touched by the stream have no row), so a probed key absent from the
+    # stream must read its empty cells as 0 and report cms_est = 0 — an
+    # inner join would either drop the key or min() over only its
+    # colliding cells, overestimating.
+    return (probes.join(F.broadcast(counters), ["row", "col"], "left")
             .groupBy(key_col)
-            .agg(F.min("c").alias("cms_est")))
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                 .alias("cms_est")))

@@ -785,6 +785,7 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
          .distinct()
          .localCheckpoint(eager=True))
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         nxt = star(star(e, large=True), large=False) \
@@ -793,7 +794,18 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
                    + e.exceptAll(nxt).limit(1).count())
         e = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning silently here would hand back non-minimal labels on
+        # exactly the adversarial graphs this operator is pitched for —
+        # fail loudly instead (O(log² n) means max_iter=40 covers any
+        # graph that fits in a cluster; hitting this is a bug or a far
+        # too small max_iter)
+        raise RuntimeError(
+            f"connected_components_star did not reach the star fixed "
+            f"point in max_iter={max_iter} rounds; labels would be "
+            f"non-minimal")
     labels = (nodes.join(e.select(F.col("src").alias("node"),
                                   F.col("dst").alias("label")),
                          "node", "left")

@@ -1777,7 +1777,7 @@ class _TreeBuilder(HTMLParser):
                     # eof-in-comment: data is everything after <!--, any
                     # half-consumed close dashes excluded
                     self.handle_comment(re.sub(r"--?$", "", tail[4:]))
-                elif tail[2:9].lower() == "doctype":
+                elif tail[:9].lower() == "<!doctype":
                     self.handle_decl(tail[2:])
                 elif tail.startswith("<!"):
                     self.handle_comment(tail[2:])

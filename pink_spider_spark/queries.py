@@ -1234,7 +1234,7 @@ WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
            FROM documents),
 g AS (SELECT DISTINCT doc_id,
              array_to_string(list_slice(tk, s.i, s.i + 2), ' ') AS gram
-      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 2 <= len(tk)),
+      FROM t, UNNEST(range(1, len(tk) - 1)) s(i)),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
 sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
@@ -1291,7 +1291,7 @@ sig AS (SELECT doc_id,
   AS passes_gopher FROM m),
 g AS (SELECT DISTINCT doc_id,
              array_to_string(list_slice(tk, s.i, s.i + 2), ' ') AS gram
-      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 2 <= len(tk)),
+      FROM t, UNNEST(range(1, len(tk) - 1)) s(i)),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
 cont AS (SELECT g.doc_id,
          (round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
@@ -1807,7 +1807,7 @@ WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
            FROM documents),
 g AS (SELECT doc_id, tgt,
              array_to_string(list_slice(tk, s.i, s.i + 1), ' ') AS gram
-      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 1 <= len(tk)),
+      FROM t, UNNEST(range(1, len(tk))) s(i)),
 b AS (SELECT doc_id, tgt,
              ('0x' || substr(md5(gram), 1, 15))::BIGINT % 10007 AS bucket
       FROM g),
@@ -1841,7 +1841,7 @@ WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
                   AS tk FROM documents),
 g AS (SELECT doc_id, array_to_string(list_slice(tk, s.i, s.i + 1), ' ')
              AS term
-      FROM t, generate_series(1, 2000) s(i) WHERE s.i + 1 <= len(tk)),
+      FROM t, UNNEST(range(1, len(tk))) s(i)),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY doc_id, term),
 nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
 dfq AS (SELECT term,

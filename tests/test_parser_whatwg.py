@@ -275,6 +275,15 @@ def test_eof_incomplete_constructs_match_spec_tokenizer():
         "<html><head></head><body><p>x<!--?php oops--></p></body></html>")
     assert _dom("<p>x<!bogus") == (
         "<html><head></head><body><p>x<!--bogus--></p></body></html>")
+    # a truncated START/END tag whose name merely spells "doctype" is an
+    # eof-in-tag drop, NOT a DOCTYPE repair (the branch requires the <!
+    # prefix); a real truncated <!doctype is still repaired as a decl
+    assert _dom("<p>x<adoctype") == (
+        "<html><head></head><body><p>x</p></body></html>")
+    assert _dom("<p>x</doctype") == (
+        "<html><head></head><body><p>x</p></body></html>")
+    assert _dom("<!doctype htm") == (
+        "<!DOCTYPE htm><html><head></head><body></body></html>")
     # unterminated RCDATA/rawtext keeps its text (stdlib drops it)
     assert _dom("<title>trunc") == (
         "<html><head><title>trunc</title></head><body></body></html>")

@@ -71,6 +71,21 @@ def test_cms_overcounts_on_forced_collision_never_undercounts(spark):
     assert est == {"x": 8, "y": 8}
 
 
+def test_cms_estimate_out_of_stream_key_reports_zero(spark):
+    from pink_spider_spark.functions import sketches as SK
+
+    stream = spark.createDataFrame([(u,) for u in ["a"] * 5], ["k"])
+    probes = spark.createDataFrame([("a",), ("never-seen",)], ["k"])
+    counters = SK.cms_counters(stream, "k", depth=4, width=1024)
+    est = {r.k: r.cms_est for r in
+           SK.cms_estimate(counters, probes, "k", depth=4, width=1024)
+           .collect()}
+    # a probed key absent from the stream has all-empty cells: the sparse
+    # counter table carries no rows for them, and the left-join/coalesce
+    # must read them as 0 — not drop the key or min over collisions only
+    assert est == {"a": 5, "never-seen": 0}
+
+
 def test_cms_counters_merge_by_summation(spark):
     from pyspark.sql import functions as F
 

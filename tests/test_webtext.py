@@ -477,6 +477,18 @@ def test_cc_star_equals_min_label_and_is_logarithmic(spark):
     assert rounds <= 8  # O(log^2 n), not O(diameter)
 
 
+def test_cc_star_raises_on_exhausted_max_iter(spark):
+    import pytest
+
+    # a 16-node path cannot reach the star fixed point in 1 round; the
+    # operator must raise rather than silently return non-minimal labels
+    nodes = spark.createDataFrame([(i,) for i in range(16)], ["node"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(15)],
+                                  ["src", "dst"])
+    with pytest.raises(RuntimeError, match="star fixed"):
+        W.connected_components_star(nodes, edges, max_iter=1)
+
+
 def test_cc_star_isolated_nodes_and_cliques(spark):
     nodes = spark.createDataFrame([(i,) for i in range(12)], ["node"])
     edges = spark.createDataFrame(
