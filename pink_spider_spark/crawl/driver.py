@@ -103,6 +103,12 @@ class CrawlDriver:
         self.catalog_items = catalog_items
         self.config = config or CrawlConfig()
         self._catalog_df = None
+        # broadcast-regime seen-bloom, maintained incrementally across
+        # waves (see _bloom_for_wave): the bitmap object, the highest
+        # discovered_wave it covers, and the key capacity it was sized for
+        self._bloom = None
+        self._bloom_covers = -1
+        self._bloom_capacity = 0
 
     @property
     def catalog_df(self) -> DataFrame:
@@ -130,6 +136,11 @@ class CrawlDriver:
         the DataFrame form keeps 10^6+-row seed sets fully distributed
         (never materialized on the driver)."""
         t0 = time.time()
+        # a re-bootstrap replaces the frontier wholesale: drop any held
+        # incremental bloom so wave 1 rebuilds over the new seed set
+        self._bloom = None
+        self._bloom_covers = -1
+        self._bloom_capacity = 0
         if isinstance(seed_urls, DataFrame):
             df = seed_urls.select("url")
             n_estimate = None
@@ -170,6 +181,46 @@ class CrawlDriver:
             counters={"seen": 0, "frontier_estimate": int(n_estimate)})
         if _TIMING:
             print(f"  [bootstrap] {time.time() - t0:.2f}s", flush=True)
+
+    def _bloom_for_wave(self, frontier, wave: int, known_estimate: int):
+        """Broadcast-regime seen-bloom with INCREMENTAL per-wave refresh.
+
+        A full ``build_bloom`` rescans the whole (growing) frontier every
+        wave — a per-wave cost proportional to crawl history, not wave
+        size, and one of the two fixed costs that dragged the N->4N
+        pipeline scaling below the extract stage's.  Instead the driver
+        keeps the bitmap across waves and each wave ORs in only the rows
+        enqueued since (``discovered_wave > covers`` — exactly the
+        previous wave's frontier append), fetched as ONE thin Arrow
+        column pull.  Bloom bitmaps are monotone, so the union is exact:
+        the bitmap stays a strict superset of the pinned frontier's url
+        set, which is the only property the prune needs (false positives
+        are re-checked by the exact anti-join; false negatives cannot
+        occur for covered rows).
+
+        Full (re)build happens when: no bitmap is held (fresh driver /
+        resume / post-recrawl invalidation), or the frontier estimate
+        outgrew the sized capacity (fpp would degrade).  Builds size for
+        4x the current estimate so the incremental path amortizes
+        rebuilds geometrically."""
+        bf = self._bloom
+        if bf is None or known_estimate > self._bloom_capacity:
+            capacity = max(4 * known_estimate, 100_000)
+            bf = build_bloom(frontier, "url_hash", capacity,
+                             self.config.bloom_fpp)
+            self._bloom_capacity = capacity
+        else:
+            delta = (frontier
+                     .filter(F.col("discovered_wave") > self._bloom_covers)
+                     .select("url_hash").toPandas()["url_hash"])
+            if len(delta):
+                import numpy as np
+
+                bf.add_many(delta.to_numpy(dtype=np.int64))
+        self._bloom = bf
+        # the pinned frontier holds discovered_wave <= wave - 1
+        self._bloom_covers = wave - 1
+        return bf
 
     def _pinned(self, name: str, schema):
         ckpt = self.store.read_checkpoint() or {"snapshots": {}}
@@ -235,8 +286,7 @@ class CrawlDriver:
         else:
             bloom_pool = ThreadPoolExecutor(max_workers=1)
             bloom_future = bloom_pool.submit(
-                build_bloom, frontier, "url_hash", known_estimate,
-                self.config.bloom_fpp)
+                self._bloom_for_wave, frontier, wave, known_estimate)
 
         # cache the batch BEFORE the global ordering: wave_pos is only
         # consumed by the seen-ordering append, and wave_order's
@@ -271,18 +321,18 @@ class CrawlDriver:
     def _wave_body(self, wave, pinned, frontier, excluded, batch,
                    seen_count, frontier_estimate, bloom_future, bloom_shards,
                    wave_caches, tick, ticks, recrawl_pending=0):
-        # ONE materializing job in the common (small-batch) regime: a
-        # limit-probed url collect doubles as the count; above the
-        # threshold the probe is discarded, a count() materializes the
-        # cache, and no url ever reaches the driver
-        probe = batch.select("url").limit(
-            self.config.url_collect_max + 1).collect()
-        if len(probe) <= self.config.url_collect_max:
-            batch_urls_list = [r.url for r in probe]
-            batch_n = len(batch_urls_list)
+        # ONE materializing job, fully parallel: count() populates the
+        # batch cache using every core; the small-batch regime then reads
+        # the url list back from the hot cache as one Arrow transfer.
+        # (The previous limit-probed collect ramped through partitions
+        # serially — CollectLimit's incremental execution runs 1
+        # partition, then 4x more, ... each round on a fraction of the
+        # cores — a per-wave serial cost that ate N->4N scaling.)
+        batch_n = batch.count()
+        if batch_n <= self.config.url_collect_max:
+            batch_urls_list = batch.select("url").toPandas()["url"].tolist()
         else:
             batch_urls_list = None
-            batch_n = batch.count()
         tick("dequeue")
         if batch_n == 0:
             return {"wave": wave, "fetched": 0, "done": True}
@@ -649,6 +699,13 @@ class CrawlDriver:
                 flipped.unionByName(new_rows))
         finally:
             new_rows.unpersist()
+        # fresh recrawl inserts carry discovered_wave = the CURRENT wave,
+        # which the incremental bloom already believes it covers — drop
+        # the bitmap so the next wave rebuilds (recrawl is an API-sized
+        # rare path; correctness over the incremental saving)
+        self._bloom = None
+        self._bloom_covers = -1
+        self._bloom_capacity = 0
         counters["recrawl"] = int(counters.get("recrawl", 0)) + n_flip
         counters["frontier_estimate"] = int(
             counters.get("frontier_estimate", 0)) + n_new

@@ -1,0 +1,100 @@
+"""Incremental cross-wave maintenance of the broadcast seen-bloom
+(driver._bloom_for_wave): the bitmap is built once and each wave ORs in
+only the frontier delta, so the per-wave cost tracks wave size instead
+of crawl history.  Correctness property: the held bitmap is always a
+superset of the pinned frontier's url_hash set (false positives are
+fine — the exact anti-join re-checks them; false negatives would
+duplicate-enqueue)."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from pink_spider_spark.crawl.driver import CrawlConfig, CrawlDriver
+from pink_spider_spark.sources.synth import (build_catalog_items,
+                                             gen_pages_spark, robots_rows,
+                                             seed_urls)
+from pink_spider_spark.sources.tables import TableStore
+
+
+@pytest.fixture()
+def driver(spark):
+    items = build_catalog_items()
+    pages = gen_pages_spark(spark, 120, items).cache()
+    pages.count()
+    robots = spark.createDataFrame(robots_rows())
+    root = tempfile.mkdtemp(prefix="bloom_incr_")
+    d = CrawlDriver(spark, TableStore(root), pages, robots, items,
+                    CrawlConfig(max_depth=2, max_waves=20))
+    yield d
+    pages.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _bloom_covers_frontier(spark, d: CrawlDriver) -> bool:
+    """The held bitmap must contain every frontier row with
+    discovered_wave <= _bloom_covers (the delta for the newest wave is
+    absorbed at the start of the NEXT wave, before any prune reads it)."""
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.sources import schemas
+
+    hashes = (d._pinned("frontier", schemas.FRONTIER_SCHEMA)
+              .filter(F.col("discovered_wave") <= d._bloom_covers)
+              .select("url_hash").toPandas()["url_hash"]
+              .to_numpy(dtype=np.int64))
+    return bool(d._bloom.contains_many(hashes).all())
+
+
+def test_bloom_reused_and_superset_across_waves(spark, driver):
+    driver.bootstrap(seed_urls(6))
+    assert driver._bloom is None  # bootstrap holds no bitmap
+    driver.run_wave()
+    first = driver._bloom
+    assert first is not None and driver._bloom_covers == 0
+    assert _bloom_covers_frontier(spark, driver)
+    cap = driver._bloom_capacity
+    driver.run_wave()
+    # same bitmap object, incrementally extended — not a rebuild
+    assert driver._bloom is first and driver._bloom_capacity == cap
+    assert driver._bloom_covers == 1
+    assert _bloom_covers_frontier(spark, driver)
+
+
+def test_bloom_rebuilds_when_estimate_outgrows_capacity(spark, driver):
+    driver.bootstrap(seed_urls(6))
+    driver.run_wave()
+    first = driver._bloom
+    # force the growth trigger: pretend the bitmap was sized for almost
+    # nothing, so the next wave's estimate exceeds capacity
+    driver._bloom_capacity = 1
+    driver.run_wave()
+    assert driver._bloom is not first  # full rebuild at 4x estimate
+    assert driver._bloom_capacity >= 100_000
+    assert _bloom_covers_frontier(spark, driver)
+
+
+def test_recrawl_invalidates_held_bloom(spark, driver):
+    driver.bootstrap(seed_urls(6))
+    driver.run_wave()
+    assert driver._bloom is not None
+    # recrawl inserts a brand-new url whose discovered_wave the held
+    # bitmap already claims to cover — the driver must drop the bitmap
+    driver.recrawl(["http://host0.example/brand-new-page"])
+    assert driver._bloom is None and driver._bloom_covers == -1
+    driver.run_wave()  # rebuild path, still a superset afterwards
+    assert _bloom_covers_frontier(spark, driver)
+
+
+def test_fresh_driver_resume_rebuilds(spark, driver):
+    driver.bootstrap(seed_urls(6))
+    driver.run_wave()
+    # a resuming process holds no bitmap: simulate with a second driver
+    # over the same store — its first wave must full-build and stay exact
+    d2 = CrawlDriver(spark, driver.store, driver.pages, driver.robots,
+                     driver.catalog_items, driver.config)
+    d2.run_wave()
+    assert d2._bloom is not None
+    assert _bloom_covers_frontier(spark, d2)
