@@ -31,6 +31,12 @@ HEADLINE = [
     "emb_near_dup_pairs_lsh_banded",
     "docs_gopher_quality",
     "docs_line_dedup",
+    # heavy round-3 operators (the sf0.1 long poles per CORRECTNESS_LOCAL
+    # timings) — tracked here so round-over-round regressions are visible
+    "docs_substring_dedup",
+    "emb_semdedup",
+    "graph_pagerank",
+    "docs_dsir_weights",
 ]
 
 
@@ -103,6 +109,26 @@ def main():
     total += crawl_dt
     shutil.rmtree(root, ignore_errors=True)
 
+    # the same crawl with the 10^10-design-point paths FORCED (sharded
+    # bloom cogroup probe, distributed wave order, no driver url list):
+    # the 8k probe above runs the small-batch regime; this second figure
+    # tracks the at-scale code paths so a regression there is visible in
+    # BENCH history, not just in units and the scaling ladder
+    root = tempfile.mkdtemp(prefix="bench_crawl_scale_")
+    driver = CrawlDriver(spark, TableStore(root), pages, robots, items,
+                         CrawlConfig(max_depth=1, max_waves=10,
+                                     bloom_shard_min=0,
+                                     wave_order_threshold=0,
+                                     url_collect_max=0))
+    t0 = time.time()
+    stats_scale = driver.run(seed_urls(3000))
+    crawl_scale_dt = time.time() - t0
+    urls_scale = sum(s.get("batch", 0) for s in stats_scale)
+    assert urls_scale == urls, (urls_scale, urls)  # identical crawl either path
+    timings["crawl_2waves_8k_at_scale"] = round(crawl_scale_dt, 3)
+    total += crawl_scale_dt
+    shutil.rmtree(root, ignore_errors=True)
+
     print(json.dumps({
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
@@ -110,6 +136,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "crawl_urls_per_sec": round(urls / crawl_dt, 1),
+        "crawl_urls_per_sec_at_scale": round(urls_scale / crawl_scale_dt, 1),
     }))
     spark.stop()
 

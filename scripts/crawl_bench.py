@@ -77,6 +77,11 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--gen-only", action="store_true",
                     help="generate the corpus then exit (pre-gen at high parallelism)")
+    ap.add_argument("--at-scale", action="store_true",
+                    help="force the 10^10-design-point code paths regardless of "
+                         "batch size: sharded bloom (bloom_shard_min=0), "
+                         "distributed wave order (wave_order_threshold=0), and "
+                         "the no-driver-url-list fetch join (url_collect_max=0)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -95,11 +100,21 @@ def main():
 
     data_dir = args.data_dir or tempfile.mkdtemp(prefix="bench_pages_")
     marker = os.path.join(data_dir, "_GENERATED")
-    if not os.path.exists(marker):
+    # the marker records the GENERATION PARAMS: a cached corpus is only
+    # reused when (pages, weight, hosts) match, else it is regenerated.
+    # (A bare "ok" marker once let a weight-16 corpus masquerade as a
+    # weight-64 one across rounds — silently different link topology.)
+    params = json.dumps({"pages": args.pages, "weight": args.weight,
+                         "hosts": args.hosts}, sort_keys=True)
+    cached = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            cached = f.read().strip()
+    if cached != params:
         gen_pages_spark(spark, args.pages, items, n_hosts=args.hosts,
                         partitions=args.cpus * 8, weight=args.weight) \
             .write.mode("overwrite").parquet(os.path.join(data_dir, "pages"))
-        open(marker, "w").write("ok")
+        open(marker, "w").write(params)
     if args.gen_only:
         print(json.dumps({"generated": args.pages, "dir": data_dir}))
         spark.stop()
@@ -112,8 +127,13 @@ def main():
 
     root = tempfile.mkdtemp(prefix="crawl_bench_state_")
     store = TableStore(root)
+    scale_kwargs = {}
+    if args.at_scale:
+        scale_kwargs = dict(bloom_shard_min=0, wave_order_threshold=0,
+                            url_collect_max=0)
     driver = CrawlDriver(spark, store, pages, robots, items,
-                         CrawlConfig(max_depth=args.depth, max_waves=50))
+                         CrawlConfig(max_depth=args.depth, max_waves=50,
+                                     **scale_kwargs))
 
     # steady-state throughput: warm the FULL wave machinery before timing
     # — python workers, whole-stage codegen for the window/dequeue plans,
@@ -122,9 +142,10 @@ def main():
     # parallelism level (the same exclusion a real cluster bench makes);
     # the tiny wave runs on a throwaway state dir.
     warm_root = tempfile.mkdtemp(prefix="crawl_bench_warm_")
+    warm_kwargs = dict(scale_kwargs)
+    warm_kwargs["wave_order_threshold"] = 0
     warm = CrawlDriver(spark, TableStore(warm_root), pages, robots, items,
-                       CrawlConfig(max_depth=0, max_waves=1,
-                                   wave_order_threshold=0))
+                       CrawlConfig(max_depth=0, max_waves=1, **warm_kwargs))
     warm.run(seed_urls(min(500, args.seeds), args.hosts))
     shutil.rmtree(warm_root, ignore_errors=True)
 
@@ -146,6 +167,7 @@ def main():
     extract_dt = time.time() - t0
 
     out = {
+        "mode": "at_scale" if args.at_scale else "default",
         "cpus": args.cpus,
         "pages": args.pages,
         "weight": args.weight,
