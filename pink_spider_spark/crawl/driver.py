@@ -41,8 +41,9 @@ from ..functions.udfs import canonicalize_url, extract_pages, host_col, with_url
 from ..sources import schemas
 from ..sources.tables import TableStore
 from . import entities, scheduler
-from .bloom import (build_bloom, build_bloom_shards, prune_with_bloom,
-                    prune_with_bloom_shards)
+from .bloom import (build_bloom, build_bloom_shards, cover_all_shards,
+                    prune_with_bloom, prune_with_bloom_shards,
+                    update_bloom_shards)
 
 PRIORITY_DECAY = 0.8
 
@@ -109,6 +110,11 @@ class CrawlDriver:
         self._bloom = None
         self._bloom_covers = -1
         self._bloom_capacity = 0
+        # sharded-regime twin: a localCheckpoint-pinned shard table kept
+        # across waves and OR-updated with each wave's frontier delta
+        self._bloom_shards = None
+        self._shards_covers = -1
+        self._shards_capacity = 0
 
     @property
     def catalog_df(self) -> DataFrame:
@@ -141,6 +147,9 @@ class CrawlDriver:
         self._bloom = None
         self._bloom_covers = -1
         self._bloom_capacity = 0
+        self._bloom_shards = None
+        self._shards_covers = -1
+        self._shards_capacity = 0
         if isinstance(seed_urls, DataFrame):
             df = seed_urls.select("url")
             n_estimate = None
@@ -222,6 +231,39 @@ class CrawlDriver:
         self._bloom_covers = wave - 1
         return bf
 
+    def _bloom_shards_for_wave(self, frontier, wave: int,
+                               known_estimate: int):
+        """Sharded-regime twin of ``_bloom_for_wave``: the shard table is
+        pinned with a (lazy) localCheckpoint and kept across waves; each
+        wave cogroup-ORs in only the frontier delta
+        (``update_bloom_shards``), so the per-wave cost is
+        O(delta + n_shards bitmaps) instead of a full frontier regroup.
+        The checkpoint stays LAZY — it materializes inside the first
+        consumer (the enqueue prune job), off the wave's serial path,
+        exactly where the old full rebuild ran.  Same invalidation
+        triggers as the broadcast form (fresh driver, recrawl, capacity
+        outgrown -> full rebuild, sized 4x and covering every shard id so
+        incremental updates never miss a shard row)."""
+        held = self._bloom_shards
+        if held is None or known_estimate > self._shards_capacity:
+            capacity = max(4 * known_estimate, 100_000)
+            shards = cover_all_shards(
+                build_bloom_shards(frontier, "url_hash", capacity,
+                                   n_shards=self.config.bloom_n_shards,
+                                   fpp=self.config.bloom_fpp),
+                self.config.bloom_n_shards)
+            self._shards_capacity = capacity
+        else:
+            delta = (frontier
+                     .filter(F.col("discovered_wave") > self._shards_covers)
+                     .select("url_hash"))
+            shards = update_bloom_shards(held, delta, "url_hash",
+                                         self.config.bloom_n_shards)
+        shards = shards.localCheckpoint(eager=False)
+        self._bloom_shards = shards
+        self._shards_covers = wave - 1
+        return shards
+
     def _pinned(self, name: str, schema):
         ckpt = self.store.read_checkpoint() or {"snapshots": {}}
         snap = ckpt["snapshots"].get(name, 0)
@@ -279,10 +321,8 @@ class CrawlDriver:
         bloom_future = None
         bloom_shards = None
         if frontier_estimate >= self.config.bloom_shard_min:
-            bloom_shards = build_bloom_shards(
-                frontier, "url_hash", known_estimate,
-                n_shards=self.config.bloom_n_shards,
-                fpp=self.config.bloom_fpp)
+            bloom_shards = self._bloom_shards_for_wave(
+                frontier, wave, known_estimate)
         else:
             bloom_pool = ThreadPoolExecutor(max_workers=1)
             bloom_future = bloom_pool.submit(
@@ -329,13 +369,14 @@ class CrawlDriver:
         # partition, then 4x more, ... each round on a fraction of the
         # cores — a per-wave serial cost that ate N->4N scaling.)
         batch_n = batch.count()
+        if batch_n == 0:
+            tick("dequeue")
+            return {"wave": wave, "fetched": 0, "done": True}
         if batch_n <= self.config.url_collect_max:
             batch_urls_list = batch.select("url").toPandas()["url"].tolist()
         else:
             batch_urls_list = None
         tick("dequeue")
-        if batch_n == 0:
-            return {"wave": wave, "fetched": 0, "done": True}
         # force-recrawl rows in this batch (counted against the cached
         # batch — a tiny job, and only ever run while a recrawl is live)
         n_recrawl = 0
@@ -706,6 +747,9 @@ class CrawlDriver:
         self._bloom = None
         self._bloom_covers = -1
         self._bloom_capacity = 0
+        self._bloom_shards = None
+        self._shards_covers = -1
+        self._shards_capacity = 0
         counters["recrawl"] = int(counters.get("recrawl", 0)) + n_flip
         counters["frontier_estimate"] = int(
             counters.get("frontier_estimate", 0)) + n_new

@@ -88,7 +88,7 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
 def ann_ivf(emb: DataFrame, query_vec: list, topk: int = 10, k: int = 8,
             iters: int = 2, nprobe: int = 2, id_col: str = "vec_id",
             vec_col: str = "embedding", decimals: int = 6,
-            exclude_id=None) -> DataFrame:
+            exclude_id=None, index: tuple | None = None) -> DataFrame:
     """IVF-style ANN (the FAISS IndexIVFFlat shape, Johnson et al. 2017):
     partition the corpus into k clusters with the pinned deterministic
     k-means, then answer a query by exact-reranking ONLY the members of
@@ -108,8 +108,14 @@ def ann_ivf(emb: DataFrame, query_vec: list, topk: int = 10, k: int = 8,
     """
     from .similarity import cosine
 
-    assigned, cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
-                                 vec_col=vec_col, decimals=decimals)
+    # ``index``: a prefitted (assigned, cents) pair from kmeans_fit — the
+    # "fitted once, reused across queries" index build the class of
+    # operator exists for; omitted, the fit runs inline (single-query use)
+    if index is not None:
+        assigned, cents = index
+    else:
+        assigned, cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+                                     vec_col=vec_col, decimals=decimals)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qdist = F.round(
         F.aggregate(F.zip_with(F.col("cvec"), q,

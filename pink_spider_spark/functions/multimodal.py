@@ -64,14 +64,27 @@ def encode_fake(kind: str, width: int, height: int, frames: int) -> bytes:
 
 
 def decode_header(data: bytes):
-    """Parse the fake container; real codecs plug in here (PIL etc.)."""
+    """Parse the container header: the deterministic fake format always,
+    and — when PIL is importable — real image bytes too (capability
+    detection at import, ``_HAVE_PIL``).  Undecodable bytes return None
+    (the metadata row carries only n_bytes), never raise: at 100 TB a
+    corrupt blob must not kill the task."""
     if data is None or len(data) < 20:
         return None
     magic, rest = bytes(data[:8]), bytes(data[8:20])
     kind = {v: k for k, v in _MAGICS.items()}.get(magic)
     if kind is None:
-        if _HAVE_PIL:  # pragma: no cover - real path, lib absent here
-            raise NotImplementedError("real image decode: wire PIL here")
+        if _HAVE_PIL:  # pragma: no cover - exercised where PIL exists
+            import io
+
+            import PIL.Image
+
+            try:
+                with PIL.Image.open(io.BytesIO(bytes(data))) as img:
+                    return ("image", int(img.width), int(img.height),
+                            int(getattr(img, "n_frames", 1)))
+            except Exception:
+                return None
         return None
     width, height, frames = struct.unpack(">III", rest)
     return kind, width, height, frames
@@ -120,9 +133,20 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                     rows.append({"media_id": mid, "kind": kind, "mime": mime,
                                  "data": data})
                     continue
-                if _HAVE_PIL:  # pragma: no cover
-                    raise NotImplementedError("real resize: PIL.Image.thumbnail")
                 _k, w, h, fr = hdr
+                is_fake = bytes(data[:8]) in _MAGICS.values()
+                if _HAVE_PIL and not is_fake:  # pragma: no cover - real path
+                    import io
+
+                    import PIL.Image
+
+                    with PIL.Image.open(io.BytesIO(bytes(data))) as img:
+                        img.thumbnail((max_side, max_side))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                    rows.append({"media_id": mid, "kind": kind,
+                                 "mime": "image/png", "data": buf.getvalue()})
+                    continue
                 scale = min(1.0, max_side / max(w, h, 1))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 rows.append({"media_id": mid, "kind": kind, "mime": mime,

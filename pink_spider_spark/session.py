@@ -61,6 +61,15 @@ def get_spark(app_name: str = "pink-spider-spark",
         .config("spark.sql.files.openCostInBytes",
                 os.environ.get("SPARK_GRAFT_OPEN_COST", "1m"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # zstd over the snappy default: the crawl's dominant stage writes
+        # multi-GB entry deltas (html-derived content/text); disk
+        # bandwidth is the one resource that does NOT grow with executor
+        # count, so trading scalable CPU (zstd encode parallelizes
+        # per-task) for ~2x fewer written bytes directly buys N->4N
+        # scaling headroom in write-heavy stages — and every downstream
+        # delta read-back scans fewer bytes too
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -43,7 +43,21 @@ def run_level(cpus: int, args) -> dict:
         "--weight", str(args.weight), "--seeds", str(args.seeds),
         "--depth", str(args.depth), "--data-dir", args.data_dir,
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    if args.at_scale:
+        cmd.append("--at-scale")
+    env = None
+    if args.log_dir:
+        # per-stage ticks for every run: the decomposition that tells a
+        # weak pair's story (which stage failed to scale vs host weather)
+        env = dict(os.environ, SPARK_GRAFT_TIMING="1")
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         env=env)
+    if args.log_dir:
+        os.makedirs(args.log_dir, exist_ok=True)
+        import time as _t
+        with open(os.path.join(
+                args.log_dir, f"run_c{cpus}_{int(_t.time())}.log"), "w") as f:
+            f.write(out.stdout)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -58,6 +72,13 @@ def main():
     ap.add_argument("--levels", default=None,
                     help="comma-separated parallelism levels (default 2,4,8,16,32)")
     ap.add_argument("--data-dir", default="/tmp/scaling_corpus")
+    ap.add_argument("--at-scale", action="store_true",
+                    help="run every level with crawl_bench --at-scale (the "
+                         "10^10-design-point code paths: sharded bloom, "
+                         "distributed wave order, no driver url list)")
+    ap.add_argument("--log-dir", default=None,
+                    help="save each run's full stdout (incl. per-stage "
+                         "ticks, SPARK_GRAFT_TIMING=1) to this directory")
     args = ap.parse_args()
     global LEVELS, PAIRS
     if args.levels:
@@ -91,6 +112,9 @@ def main():
         for line in f:
             r = json.loads(line)
             if (r.get("pages"), r.get("weight")) != (args.pages, args.weight):
+                continue
+            mode = "at_scale" if args.at_scale else "default"
+            if r.get("mode", "default") != mode:
                 continue
             if rev is not None and r.get("rev") != rev:
                 continue
@@ -170,7 +194,8 @@ def main():
 Same wave job, same deterministic corpus ({args.pages} pages, weight
 {args.weight} ≈ real-page extraction cost, {args.seeds} seeds, depth
 {args.depth}); {args.reps} interleaved repetitions per level, best run
-kept across attempts at engine rev {rev}.
+kept across attempts at engine rev {rev}; crawl config mode:
+{"at_scale (sharded bloom cogroup probe, distributed wave order, no driver url list — the 10^10-design-point paths)" if args.at_scale else "default (broadcast bloom, in-UDF url membership)"}.
 
 Methodology note: this sandbox VM's effective CPU capacity fluctuates
 ~3x over minutes with hypervisor neighbors.  Each run therefore records
@@ -207,10 +232,10 @@ the cleanest windows.
 
 Notes
 - throughput covers the full wave pipeline: dequeue (salted per-host
-  budget windows) -> bloom seen-prune -> fetch-sim (in-UDF broadcast
-  membership over stored pages) -> extract UDF -> link enqueue -> atomic
-  snapshot commit.  Corpus generation and python-worker warmup are
-  excluded (input data / cluster-start cost).
+  budget windows) -> bloom seen-prune -> fetch-sim (batch ⨝ pages over
+  stored pages) -> extract UDF -> link enqueue -> atomic snapshot
+  commit.  Corpus generation and python-worker warmup are excluded
+  (input data / cluster-start cost).
 - per-wave fixed cost (job scheduling, snapshot commits, window
   ranking) is independent of data volume; at the 10^10-URL design point
   waves are millions of URLs and it vanishes.  Mid-range pairs

@@ -98,3 +98,77 @@ def test_fresh_driver_resume_rebuilds(spark, driver):
     d2.run_wave()
     assert d2._bloom is not None
     assert _bloom_covers_frontier(spark, d2)
+
+
+# --------------------------- sharded-regime incremental twin
+def _shards_cover_frontier(spark, d: CrawlDriver) -> bool:
+    """Reconstruct each shard bitmap and check every covered frontier
+    hash is a member of its shard's filter."""
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.crawl.bloom import _U64, BloomFilter
+    from pink_spider_spark.sources import schemas
+
+    shards = {r.shard: BloomFilter(r.m_bits, r.k,
+                                   np.frombuffer(bytes(r.bitmap), dtype=_U64))
+              for r in d._bloom_shards.collect()}
+    n_shards = d.config.bloom_n_shards
+    rows = (d._pinned("frontier", schemas.FRONTIER_SCHEMA)
+            .filter(F.col("discovered_wave") <= d._shards_covers)
+            .select("url_hash").toPandas()["url_hash"]
+            .to_numpy(dtype=np.int64))
+    for h in rows:
+        # python % matches Spark pmod for negative hashes
+        bf = shards.get(int(h % n_shards))
+        if bf is None or not bf.contains_many(np.array([h], dtype=np.int64))[0]:
+            return False
+    return True
+
+
+@pytest.fixture()
+def sharded_driver(spark):
+    items = build_catalog_items()
+    pages = gen_pages_spark(spark, 120, items).cache()
+    pages.count()
+    robots = spark.createDataFrame(robots_rows())
+    root = tempfile.mkdtemp(prefix="bloom_shard_incr_")
+    d = CrawlDriver(spark, TableStore(root), pages, robots, items,
+                    CrawlConfig(max_depth=2, max_waves=20,
+                                bloom_shard_min=0, bloom_n_shards=8))
+    yield d
+    pages.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_sharded_bloom_incremental_across_waves(spark, sharded_driver):
+    d = sharded_driver
+    d.bootstrap(seed_urls(6))
+    assert d._bloom_shards is None
+    d.run_wave()
+    first = d._bloom_shards
+    assert first is not None and d._shards_covers == 0
+    assert _shards_cover_frontier(spark, d)
+    d.run_wave()
+    # a new (update) DataFrame each wave, built ON the held one — covers
+    # advances and the superset property holds over both waves' rows
+    assert d._bloom_shards is not first and d._shards_covers == 1
+    assert _shards_cover_frontier(spark, d)
+
+
+def test_sharded_bloom_matches_full_crawl_parity(spark, sharded_driver):
+    """End-to-end: a full crawl on the incremental sharded path yields the
+    identical seen set as the (already parity-pinned) broadcast path."""
+    d = sharded_driver
+    d.run(seed_urls(6))
+    seen_shard = {(r.url, r.first_wave, r.seq)
+                  for r in d.store.table("seen").read(spark).collect()}
+
+    root2 = tempfile.mkdtemp(prefix="bloom_bcast_ref_")
+    d2 = CrawlDriver(spark, TableStore(root2), d.pages, d.robots,
+                     d.catalog_items,
+                     CrawlConfig(max_depth=2, max_waves=20))
+    d2.run(seed_urls(6))
+    seen_bcast = {(r.url, r.first_wave, r.seq)
+                  for r in d2.store.table("seen").read(spark).collect()}
+    shutil.rmtree(root2, ignore_errors=True)
+    assert seen_shard == seen_bcast

@@ -60,3 +60,37 @@ def test_features_deterministic_and_similarity_ready(spark, media):
     top = knn_brute_force(feats.filter("media_id <> 0"), q, k=3,
                           vec_col="embedding", id_col="media_id").collect()
     assert len(top) == 3
+
+
+# --- capability-gated codec tests: run EITHER WAY (fake-only sandbox or a
+# host with PIL), asserting the behavior appropriate to what's installed
+_PNG_1x1 = bytes.fromhex(  # minimal valid 1x1 grayscale PNG (89 bytes)
+    "89504e470d0a1a0a0000000d4948445200000001000000010800000000"
+    "3a7e9b550000000a49444154789c636000000002000148afa4710000000049454e44ae426082")
+
+
+def test_real_bytes_capability_gated(spark):
+    """Non-fake image bytes: decoded when PIL is importable, a graceful
+    nulls-with-n_bytes row when it is not — never a task failure."""
+    rows = [(1, "image", "image/png", bytearray(_PNG_1x1)),
+            (2, "image", "image/png", bytearray(b"garbage" * 5))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    meta = {r.media_id: r for r in M.decode_meta(media).collect()}
+    if M._HAVE_PIL:  # pragma: no cover - real-codec host
+        assert (meta[1].width, meta[1].height) == (1, 1)
+    else:
+        assert meta[1].width is None and meta[1].n_bytes == len(_PNG_1x1)
+    # corrupt bytes behave identically with or without PIL
+    assert meta[2].width is None and meta[2].n_bytes == 35
+
+
+def test_resize_real_bytes_capability_gated(spark):
+    rows = [(1, "image", "image/png", bytearray(_PNG_1x1))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    (out,) = M.resize_images(media, max_side=16).collect()
+    if M._HAVE_PIL:  # pragma: no cover - real-codec host
+        assert bytes(out.data)[:8] == b"\x89PNG\r\n\x1a\n"  # re-encoded PNG
+        assert out.mime == "image/png"
+    else:
+        # without a codec the undecodable blob passes through untouched
+        assert bytes(out.data) == _PNG_1x1
