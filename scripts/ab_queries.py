@@ -91,11 +91,12 @@ def cmd_rev(args):
 
     sys.path.insert(0, os.path.join(ROOT, "scripts"))
     targets = args.targets.split(",")
+    here_root = args.here_root or ROOT
     out = {}
     for t in targets:
         runs = {"here": [], "other": [], "cap_here": [], "cap_other": []}
         for _rep in range(args.reps):
-            for label, root in (("here", ROOT), ("other", args.other_root)):
+            for label, root in (("here", here_root), ("other", args.other_root)):
                 runs[f"cap_{label}"].append(round(host_capacity_probe(32), 1))
                 r = subprocess.run(
                     [sys.executable, "-c", _REV_SNIPPET, root, t, SF_DIR],
@@ -123,6 +124,8 @@ def main():
     r = sub.add_parser("rev")
     r.add_argument("--targets", required=True)
     r.add_argument("--other-root", required=True)
+    r.add_argument("--here-root", default=None,
+                   help="engine root for the 'here' arm (default: this repo)")
     r.add_argument("--reps", type=int, default=5)
     r.set_defaults(fn=cmd_rev)
     args = ap.parse_args()
