@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
 from .text import h60
 
 DIM = 64  # driver embeddings table dimension
@@ -294,4 +295,7 @@ def banded_lsh_signatures_vectorized(df: DataFrame, bands: int = 16,
             yield pd.DataFrame({id_col: ids, "band": band_ids,
                                 "bucket": buckets})
 
-    return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+    # per-row-independent numpy pass: fan a small single-file scan out
+    # to the session parallelism so every slot gets Arrow batches
+    # (no-op at scale — fanout.fan_out)
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(run, out_schema)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 HASH_BITS = 60  # 15 hex digits: fits signed int64, identical in DuckDB
 
 
@@ -237,8 +239,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 5,
                        n_hashes: int = 16) -> DataFrame:
     """n_hashes MinHash values per doc: min over shingles of
-    h60(shingle || '#' || seed).  Output long format (doc, seed, minhash)."""
-    sh = shingles(df, text_col, id_col, k)
+    h60(shingle || '#' || seed).  Output long format (doc, seed, minhash).
+
+    Shingling + seeding amplifies per-row work ×(n_shingles·n_hashes)
+    before the first shuffle, so a small single-file scan is fanned out
+    to the session parallelism first (no-op at scale); min-agg is
+    order-free under any partitioning."""
+    sh = shingles(fan_out(df), text_col, id_col, k)
     seeded = sh.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
@@ -379,4 +386,8 @@ def simhash_vectorized(df: DataFrame, text_col: str = "text",
                                 "simhash": pd.Series(out_hashes,
                                                      dtype="int64")})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    # per-row-independent numpy pass: fan a small single-file scan out
+    # to the session parallelism so every slot gets Arrow batches
+    # (no-op at scale — fanout.fan_out)
+    return fan_out(df.select(id_col, text_col)) \
+        .mapInPandas(run, schema=out_schema)

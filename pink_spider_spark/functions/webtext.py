@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import text as X
+from .fanout import fan_out
 
 # ------------------------------------------------------------- gopher
 # Thresholds chosen so the synthetic corpus splits non-degenerately
@@ -128,7 +129,12 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     (doc_id, line position)).  groupBy-min with map-side combine — NOT a
     window over the line partition, so a hot line never concentrates its
     full duplicate set on one task's sort.  Documents whose every line
-    is a duplicate vanish (the RefinedWeb behavior)."""
+    is a duplicate vanish (the RefinedWeb behavior).
+
+    Line wrapping amplifies per-row work ×n_lines, so a small
+    single-file scan is fanned out first (no-op at scale); min/count
+    aggs are order-free under any partitioning."""
+    df = fan_out(df)
     lines = df.select(
         F.col(id_col),
         F.posexplode(wrap_lines(F.col(text_col), k)).alias("pos", "line"))
@@ -390,7 +396,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     The corpus total rides the vocab frame via a broadcast single-row
     cross join, so the corpus is scanned exactly twice and no scalar
     ever blocks on the driver."""
-    tok = df.select(
+    # token explosion ×n_tokens, evaluated for both aggregations — fan
+    # the small input out first (no-op at scale); the per-doc avg's
+    # accumulation order is pinned oracle-green at both SFs with the
+    # fan-out active (4-dp round absorbs grouping-order ULP noise)
+    tok = fan_out(df).select(
         F.col(id_col),
         F.explode(X.tokens(F.lower(F.col(text_col)))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
@@ -485,8 +495,14 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     equi-join on the hash (AQE-planned, both sides already
     hash-partitioned on the key), (3) the per-doc covered-index
     collect_set (bounded by doc length).  The final token filter is
-    in-row (higher-order F.filter with index lambda), no UDF."""
-    docs = df.filter(F.trim(F.col(text_col)) != "")
+    in-row (higher-order F.filter with index lambda), no UDF.
+
+    The rolling-hash projection amplifies per-row work ×n_tokens, so
+    the input is fanned out to the session parallelism when a small
+    scan under-partitions it (no-op at scale — see fanout.fan_out);
+    every aggregation here is min/count/collect_set — order-free, so
+    partitioning cannot move the answer."""
+    docs = fan_out(df.filter(F.trim(F.col(text_col)) != ""))
     toks = docs.select(F.col(id_col),
                        X.tokens(F.col(text_col)).alias("tk"),
                        window_hashes(F.col(text_col), k).alias("whs"))
@@ -652,7 +668,12 @@ def dsir_weights(df: DataFrame, target_pred,
     is ``n_buckets`` rows (broadcast), and the per-doc score is one
     doc-keyed integer agg.  Linear, no skew surface: bucket ids are
     hash-uniform by construction."""
-    grams = df.select(
+    # bigram explosion amplifies per-row work ×n_tokens and is evaluated
+    # twice (distribution build + per-doc scoring); fan the small input
+    # out to the session parallelism when a single-file scan would pin
+    # both passes on one core (no-op at scale).  All aggregations below
+    # are integer counts/sums — order-free under any partitioning.
+    grams = fan_out(df).select(
         F.col(id_col), target_pred.alias("__t"),
         F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
     bucketed = grams.withColumn(
@@ -706,10 +727,12 @@ def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.5,
     corpus size riding a broadcast single-row frame; pair generation is
     a term-keyed self-equi-join whose fan-out is capped by the df cut;
     final agg keyed on the (a,b) pair.  All linear shuffles + one
-    bounded join — no cartesian, no window."""
-    tf = (df.select(F.col(id_col),
-                    F.explode(word_ngrams(F.col(text_col), 2))
-                    .alias("term"))
+    bounded join — no cartesian, no window.  Bigram explosion is fanned
+    out to the session parallelism on under-partitioned scans (no-op at
+    scale); weights/norms/dots are exact integers — order-free."""
+    tf = (fan_out(df).select(F.col(id_col),
+                             F.explode(word_ngrams(F.col(text_col), 2))
+                             .alias("term"))
           .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     n_docs = df.agg(F.count("*").cast("double").alias("n"))
     dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -838,8 +861,11 @@ def zipf_stats(df: DataFrame, text_col: str = "text",
     smaller than the token stream — the one place a global window is
     proportionate.  The token count itself is the usual linear
     token-keyed aggregation."""
-    tok = df.select(F.explode(X.tokens(F.lower(F.col(text_col))))
-                    .alias("token"))
+    # token explosion ×n_tokens — fan out under-partitioned scans
+    # (no-op at scale); vocabulary counts and the OLS sums are exact
+    # integer/decimal arithmetic, order-free under any partitioning
+    tok = fan_out(df).select(F.explode(X.tokens(F.lower(F.col(text_col))))
+                             .alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
     w = Window.orderBy(F.desc("c"), F.asc("token"))
     ranked = (vocab.withColumn("rank", F.row_number().over(w))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .crawl import rank as K
 from .functions import clustering as C
+from .functions.fanout import fan_out
 from .functions import similarity as S
 from .functions import sketches as SK
 from .functions import text as X
@@ -908,7 +909,11 @@ def docs_to_pages(spark, sf_dir):
     verify the full parse->walk->match extraction chain end-to-end."""
     from .sources.synth import build_catalog_items
 
-    docs = _t(spark, sf_dir, "documents")
+    # the extract UDF is the engine's heaviest per-row op (full WHATWG
+    # parse + readability walk); fan the single-file scan out so every
+    # slot parses (no-op at scale; the crawl path's partitioning is the
+    # scheduler's responsibility and is not touched here)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     items = build_catalog_items()
     embed_url = (
         F.when(F.col("doc_id") % 4 == 0,
