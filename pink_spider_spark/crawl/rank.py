@@ -44,8 +44,19 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     """Iterative PageRank over distinct (src, dst) edges → (node, rank).
     Node set = src ∪ dst; init 1/n; per round:
     rank(v) = (1-d)/n + d·Σ rank(u)/outdeg(u) over in-edges u→v."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-        .distinct()
+    # materialize the deduped edge list ONCE, hash-partitioned on src:
+    # nodes, outdeg and every iteration's contrib join all consume it,
+    # so without this the upstream edge derivation (a join at sf-bench
+    # scale, an entries explode in host_pagerank) re-executes 2+iters
+    # times — and the src partitioning lets each round's join reuse the
+    # exchange instead of re-shuffling the (large) edge side.  The same
+    # pattern every Pregel-style engine uses: edges are the loop
+    # invariant, pin them.  localCheckpoint also truncates the lineage
+    # the iterations would otherwise replay.
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node"))).distinct())
     nn = nodes.agg(F.count("*").cast("double").alias("n"))

@@ -470,6 +470,54 @@ def window_hashes(text_col: Column, k: int = 20) -> Column:
         lambda i: F.md5(F.array_join(F.slice(tk, i, k), " "))))
 
 
+def _token_window_hashes_vectorized(df: DataFrame, text_col: str,
+                                    id_col: str, k: int) -> DataFrame:
+    """(id, tk, whs) as ONE Arrow mapInPandas pass — the executing twin
+    of ``(X.tokens, window_hashes)`` (same policy as
+    text.simhash_vectorized: the relational form stays the cross-engine
+    spec, this form runs).  The relational projection evaluates a
+    higher-order transform(sequence, slice+array_join+md5) lambda —
+    Catalyst interprets higher-order functions rather than codegen-ing
+    them, ~17 µs per window.  Here each window is the identical md5 hex
+    of the identical space-joined token slice (hashlib, C speed), so
+    every downstream row is byte-equal; tokens use the established twin
+    of split(trim(text), '\\s+') — ``.strip(' ')`` (Spark trim strips
+    ASCII spaces) + Python ``\\s+`` (pinned green vs the DuckDB oracle
+    at both SFs, same as the simhash twin)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("tk", T.ArrayType(T.StringType())),
+        T.StructField("whs", T.ArrayType(T.StringType()))])
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids, tks, whss = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = ws.split(str(text).strip(" "))
+                n = len(toks)
+                whs = [hashlib.md5(
+                    " ".join(toks[i:i + k])
+                    .encode("utf-8", "surrogatepass")).hexdigest()
+                    for i in range(n - k + 1)] if n >= k else []
+                ids.append(did)
+                tks.append(toks)
+                whss.append(whs)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "tk": tks, "whs": whss})
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, out_schema)
+
+
 def exact_substring_dedup(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 20) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2022, "Deduplicating
@@ -497,15 +545,15 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     collect_set (bounded by doc length).  The final token filter is
     in-row (higher-order F.filter with index lambda), no UDF.
 
-    The rolling-hash projection amplifies per-row work ×n_tokens, so
-    the input is fanned out to the session parallelism when a small
-    scan under-partitions it (no-op at scale — see fanout.fan_out);
-    every aggregation here is min/count/collect_set — order-free, so
-    partitioning cannot move the answer."""
-    docs = fan_out(df.filter(F.trim(F.col(text_col)) != ""))
-    toks = docs.select(F.col(id_col),
-                       X.tokens(F.col(text_col)).alias("tk"),
-                       window_hashes(F.col(text_col), k).alias("whs"))
+    The rolling-hash projection executes as the vectorized Arrow twin
+    (``_token_window_hashes_vectorized`` — byte-identical window md5s,
+    fanned out to the session parallelism when a small scan
+    under-partitions it; the relational ``window_hashes`` above remains
+    the cross-engine spec form); every aggregation here is
+    min/count/collect_set — order-free, so partitioning cannot move
+    the answer."""
+    docs = df.filter(F.trim(F.col(text_col)) != "")
+    toks = _token_window_hashes_vectorized(docs, text_col, id_col, k)
     wins = toks.select(
         F.col(id_col),
         F.posexplode("whs").alias("pos0", "wh")

@@ -323,6 +323,25 @@ def test_exact_substring_dedup_overlap_and_within_doc(spark):
     assert r.kept_text == "a b c"
 
 
+def test_token_window_hashes_vectorized_equals_relational(spark):
+    # the executing Arrow twin must be byte-equal to the relational
+    # (tokens, window_hashes) spec on real corpus text — every token
+    # array and every window md5 (same policy pin as simhash_vectorized)
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.functions import text as X
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.trim(F.col("text")) != ""))
+    rel = {r.doc_id: (r.tk, r.whs) for r in docs.select(
+        "doc_id", X.tokens(F.col("text")).alias("tk"),
+        W.window_hashes(F.col("text"), 5).alias("whs")).collect()}
+    vec = {r.doc_id: (r.tk, r.whs) for r in
+           W._token_window_hashes_vectorized(
+               docs, "text", "doc_id", 5).collect()}
+    assert rel == vec and len(rel) > 0
+
+
 def test_exact_substring_dedup_all_covered(spark):
     # a doc that is entirely a copy of an earlier doc: every token is
     # covered, kept_text collapses to the empty string
