@@ -50,6 +50,13 @@ def main():
     spark = get_spark(app_name="bench")
     # JVM/codegen warmup so the first timed query isn't charged session start
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Python-worker warmup (same exclusion policy): the first Arrow
+    # mapInPandas job of a session forks every worker and imports
+    # pandas/pyarrow in each — one-time cluster-start cost, not query
+    # cost.  A 32-row identity pass over all slots pays it here.
+    warm_df = spark.range(0, 32, 1, 32)
+    warm_df.mapInPandas(lambda it: it, warm_df.schema) \
+        .write.mode("overwrite").format("noop").save()
 
     timings = {}
     total = 0.0
