@@ -139,6 +139,29 @@ def text_len(node: Node) -> int:
     return n
 
 
+def text_len_reaches(node: Node, limit: int) -> bool:
+    """``text_len(node) >= limit`` with early exit: stops scanning the
+    subtree the moment the bound is proven.  Threshold tests like
+    readability's is_candidate (< 20 chars) call text_len on every
+    element INCLUDING whole-page containers, where summing the full
+    subtree to compare against a tiny constant is O(page) per node —
+    this makes those tests O(limit).  Boolean-identical to the full sum
+    by construction (trimmed lengths are non-negative)."""
+    return _text_len_upto(node, limit) >= limit
+
+
+def _text_len_upto(node: Node, limit: int) -> int:
+    n = 0
+    for child in node.children:
+        if child.kind == TEXT:
+            n += len(child.text.strip())
+        elif child.kind == ELEMENT:
+            n += _text_len_upto(child, limit - n)
+        if n >= limit:
+            return n
+    return n
+
+
 def find_node(node: Node, tag_name: str, out: list) -> None:
     """All element DESCENDANTS with this tag, pre-order
     (reference: src/dom.rs:136-150)."""

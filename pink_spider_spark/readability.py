@@ -105,7 +105,9 @@ def get_link_density(node: Node) -> np.float32:
 
 def is_candidate(node: Node) -> bool:
     """reference: src/readability.rs:85-103."""
-    if dom.text_len(node) < 20:
+    # early-exit bound: identical to text_len(node) < 20, without
+    # summing whole-page subtrees to compare against 20
+    if not dom.text_len_reaches(node, 20):
         return False
     tag = dom.get_tag_name(node) or ""
     if tag == "p":
