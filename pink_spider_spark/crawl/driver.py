@@ -573,7 +573,12 @@ class CrawlDriver:
                 scheduler.wave_order(
                     src,
                     distributed_threshold=self.config.wave_order_threshold,
-                    cache_registry=wave_caches).select(
+                    cache_registry=wave_caches,
+                    # the batch count is already known (the dequeue's one
+                    # materializing job) — skip wave_order's own count;
+                    # a live recrawl changes the row set, so only then is
+                    # the count re-derived inside wave_order
+                    n_rows=None if n_recrawl else batch_n).select(
                     "url",
                     F.lit(wave).alias("first_wave"),
                     (F.lit(seen_count) + F.col("wave_pos")).cast("long")
@@ -670,10 +675,25 @@ class CrawlDriver:
             bases = {t: pinned.get(t, 0) for t in frames}
             return append_many_partitioned(self.store, frames, bases)
 
+        def timed(label, fn):
+            # per-task durations under SPARK_GRAFT_TIMING: the three pool
+            # tasks run concurrently, so these overlap (sum > wall) — they
+            # identify WHICH write is the wave's critical path
+            if not _TIMING:
+                return fn
+            def wrapped():
+                w0 = time.time()
+                try:
+                    return fn()
+                finally:
+                    print(f"  [wave {wave}]   {label}: {time.time() - w0:.2f}s",
+                          flush=True)
+            return wrapped
+
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_frontier = pool.submit(write_frontier)
-            f_seen = pool.submit(write_seen)
-            f_derived = pool.submit(write_derived)
+            f_frontier = pool.submit(timed("write_frontier", write_frontier))
+            f_seen = pool.submit(timed("write_seen", write_seen))
+            f_derived = pool.submit(timed("write_derived", write_derived))
             snapshots["frontier"] = f_frontier.result()
             snapshots["seen"] = f_seen.result()
             snapshots.update(f_derived.result())

@@ -57,11 +57,19 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
          .distinct()
          .repartition("src")
          .localCheckpoint(eager=False))
+    # the other three loop invariants get the same pin as the edge list:
+    # nodes is consumed twice per round (rank rebuild + teleport count),
+    # outdeg once per round — unpinned, every reference re-executed the
+    # union-distinct / groupBy shuffle against the edge blocks each
+    # iteration (3 extra shuffles per round at 3 consumers)
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    outdeg = e.groupBy("src").agg(F.count("*").cast("double")
-                                  .alias("outdeg"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    nn = (nodes.agg(F.count("*").cast("double").alias("n"))
+          .localCheckpoint(eager=False))
+    outdeg = (e.groupBy("src").agg(F.count("*").cast("double")
+                                   .alias("outdeg"))
+              .localCheckpoint(eager=False))
     ranks = (nodes.crossJoin(F.broadcast(nn))
              .select("node", F.round(F.lit(1.0) / F.col("n"), decimals)
                      .alias("rank")))

@@ -70,7 +70,8 @@ def per_host_budget_batch(candidates: DataFrame) -> DataFrame:
 
 
 def wave_order(batch: DataFrame, distributed_threshold: int | None = 2048,
-               cache_registry: list | None = None) -> DataFrame:
+               cache_registry: list | None = None,
+               n_rows: int | None = None) -> DataFrame:
     """Deterministic in-wave sequence: rank by (priority DESC, url ASC).
 
     Two physical strategies, same result:
@@ -101,11 +102,15 @@ def wave_order(batch: DataFrame, distributed_threshold: int | None = 2048,
     silently recomputing a different assignment.  (``cache_registry`` is
     kept for API compatibility; checkpoint blocks are GC-managed and need
     no explicit unpersist.)
+
+    ``n_rows``: the caller's already-known row count (the crawl driver
+    counts its batch once per wave anyway) — passing it skips this
+    function's own count job.
     """
     w = Window.orderBy(F.desc("priority"), F.asc("url"))
     if distributed_threshold is None:
         return batch.withColumn("wave_pos", F.row_number().over(w))
-    n = batch.count()
+    n = batch.count() if n_rows is None else int(n_rows)
     if n <= int(distributed_threshold):
         return batch.withColumn("wave_pos", F.row_number().over(w))
 

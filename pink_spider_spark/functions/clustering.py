@@ -145,7 +145,8 @@ def ann_ivf(emb: DataFrame, query_vec: list, topk: int = 10, k: int = 8,
 
 def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
              eps: float = 0.35, id_col: str = "vec_id",
-             vec_col: str = "embedding", decimals: int = 6) -> DataFrame:
+             vec_col: str = "embedding", decimals: int = 6,
+             vectorized: bool = True) -> DataFrame:
     """SemDedup (Abbas et al. 2023): semantic near-duplicate removal
     gated by k-means clusters — a vector is DROPPED iff some lower-id
     vector in the SAME cluster has cosine similarity ≥ ``eps``
@@ -161,11 +162,30 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     (linear, see above) and one equi-join on ``cluster`` — no
     cartesian, no all-pairs.  Cosine is rounded to ``decimals`` before
     the threshold test so Spark and the SQL oracle agree bit-for-bit.
+
+    ``vectorized`` (default) executes the within-cluster pair pass as a
+    numpy applyInPandas per cluster instead of the relational pair join:
+    the zip_with/aggregate cosine fold is a higher-order expression
+    Catalyst INTERPRETS (~12 µs per pair), so at n²/k pairs it dominates
+    the query.  The numpy pass accumulates the pair dot products one
+    DIMENSION at a time (acc += outer(x_d, x_d)), so every pair's double
+    chain is the identical left-to-right fold — same bit-equality policy
+    as simhash_vectorized / banded_lsh_signatures_vectorized — and the
+    final HALF_UP rounding twin of F.round(double, 6)
+    (Decimal(repr(x)), the BigDecimal.valueOf shortest-repr semantics)
+    is applied only to the few near-threshold candidate pairs.  The
+    relational form below stays as the cross-engine spec; equality is
+    pinned on the real corpus by tests/test_clustering.py and the
+    unchanged DuckDB oracle.
     """
     assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col,
                              vec_col=vec_col, decimals=decimals)
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias("__v"))
+    if vectorized:
+        side_v = assigned.join(vecs, id_col).select(
+            F.col(id_col), "cluster", F.col("__v"))
+        return _semdedup_kept_vectorized(side_v, eps, id_col, decimals)
     norm = F.sqrt(F.aggregate(
         F.col("__v"), F.lit(0.0), lambda a, x: a + x * x))
     side = (assigned.join(vecs, id_col)
@@ -189,6 +209,87 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     return (side.join(dup, id_col, "left")
             .select(F.col(id_col), "cluster",
                     F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept")))
+
+
+#: Row-block size of the vectorized semdedup pair pass: memory per task
+#: is O(block · cluster_size) doubles, never a full cluster² matrix.
+_SEMDEDUP_BLOCK = 1024
+
+
+def _semdedup_kept_vectorized(side: DataFrame, eps: float, id_col: str,
+                              decimals: int) -> DataFrame:
+    """The within-cluster "kept" pass of :func:`semdedup` as one numpy
+    applyInPandas per cluster — bit-identical decisions to the
+    relational pair join (see semdedup docstring for the policy).
+
+    Per cluster (rows sorted by id): norms and the pairwise Gram matrix
+    are accumulated one dimension at a time so each scalar follows the
+    exact left-to-right double chain of the zip_with/aggregate fold;
+    cos = dot / (n_i · n_j) is the same single IEEE divide.  Only pairs
+    whose unrounded cosine clears eps − 10⁻⁶ (a strict superset of the
+    post-rounding survivors, since HALF_UP moves a value by ≤ 5·10⁻⁷)
+    pay the exact Decimal rounding twin.  A zero denominator (all-zero
+    vector) RAISES in the relational form under Spark's default ANSI
+    mode, so the spec defines no decision there; this path stays total
+    and applies Spark's NaN-largest ordering (the pair counts as a
+    duplicate hit).  Work and memory are bounded
+    per task by row-blocking: O(block · cluster_size), never a full
+    n²/k matrix at once."""
+    from pyspark.sql import types as T
+
+    fields = {f.name: f for f in side.schema.fields}
+    out_schema = T.StructType([
+        fields[id_col], fields["cluster"],
+        T.StructField("kept", T.BooleanType(), nullable=False)])
+    margin = float(eps) - 10.0 ** (-decimals)
+    quant = "0." + "0" * (decimals - 1) + "1"
+
+    def kept_fn(pdf):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        q = Decimal(quant)
+
+        def round_twin(v):
+            return float(Decimal(repr(float(v))).quantize(
+                q, rounding=ROUND_HALF_UP))
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        c = len(pdf)
+        X = np.empty((c, len(pdf["__v"].iloc[0])), dtype=np.float64)
+        for i, v in enumerate(pdf["__v"]):
+            X[i, :] = v
+        d_dims = X.shape[1]
+        # norms: the same left-to-right per-dimension chain as the fold
+        acc = np.zeros(c, dtype=np.float64)
+        for d in range(d_dims):
+            acc += X[:, d] * X[:, d]
+        n = np.sqrt(acc)
+        kept = np.ones(c, dtype=bool)
+        block = _SEMDEDUP_BLOCK
+        for lo in range(1, c, block):
+            hi = min(lo + block, c)
+            # pair dots for rows [lo, hi) against all LOWER-id rows —
+            # accumulated per dimension for the identical double chain
+            g = np.zeros((hi - lo, hi), dtype=np.float64)
+            for d in range(d_dims):
+                g += X[lo:hi, d, None] * X[None, :hi, d]
+            denom = n[lo:hi, None] * n[None, :hi]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / denom
+            jj = np.arange(hi)
+            lower = jj[None, :] < np.arange(lo, hi)[:, None]
+            cand = lower & (np.isnan(cos) | (cos >= margin))
+            for bi, j in zip(*np.nonzero(cand)):
+                v = cos[bi, j]
+                if np.isnan(v) or round_twin(v) >= eps:
+                    kept[lo + bi] = False
+        return pd.DataFrame({id_col: pdf[id_col], "cluster": pdf["cluster"],
+                             "kept": kept})
+
+    return side.groupBy("cluster").applyInPandas(kept_fn, schema=out_schema)
 
 
 def pq_fit(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,

@@ -133,3 +133,47 @@ def test_pq_adc_is_sum_of_subspace_tables(spark):
            C.pq_adc_topk(df, [0.0, 0.0, 0.0, 0.0], topk=5, m=2, k=3,
                          iters=1, exclude_id=0).collect()}
     assert out[3] == out[1] + out[2] == 125.0
+
+
+def test_semdedup_vectorized_equals_relational_corpus(spark):
+    # the vectorized pair pass is the execution default; the relational
+    # pair join stays as the cross-engine spec (same policy as
+    # simhash_vectorized) — pin decision-by-decision equality on the
+    # real embeddings corpus
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rel = {r.vec_id: (r.cluster, r.kept)
+           for r in C.semdedup(emb, vectorized=False).collect()}
+    vec = {r.vec_id: (r.cluster, r.kept)
+           for r in C.semdedup(emb, vectorized=True).collect()}
+    assert rel == vec and any(not k for _, k in rel.values())
+
+
+def test_semdedup_vectorized_row_blocking(spark, monkeypatch):
+    # force block=2 so a 6-row cluster spans 3 blocks: decisions must
+    # be identical to the unblocked relational form (rows only ever
+    # compare against LOWER-id rows, never within-block state)
+    monkeypatch.setattr(C, "_SEMDEDUP_BLOCK", 2)
+    df = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0]),
+                      (3, [0.0, 3.0]), (4, [-1.0, 0.2]), (5, [3.0, 0.0])])
+    out = {r.vec_id: (r.cluster, r.kept) for r in
+           C.semdedup(df, k=2, iters=1, eps=0.9).collect()}
+    assert out == {0: (0, True), 2: (0, False), 5: (0, False),
+                   1: (1, True), 3: (1, False), 4: (1, True)}
+
+
+def test_semdedup_zero_vector_behavior(spark):
+    # an all-zero vector makes cosine 0/0: the relational spec form
+    # RAISES under Spark's default ANSI mode (DIVIDE_BY_ZERO), so it
+    # defines no decision there; the vectorized path stays total —
+    # NaN follows Spark's NaN-largest ordering (counts as a duplicate
+    # hit), so EVERY higher-id row compared against a zero vector is
+    # dropped (1 vs 0 and 2 vs 0 are both NaN)
+    import pytest
+
+    df = _emb(spark, [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])])
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        C.semdedup(df, k=1, iters=1, eps=0.9, vectorized=False).collect()
+    vec = {r.vec_id: r.kept
+           for r in C.semdedup(df, k=1, iters=1, eps=0.9,
+                               vectorized=True).collect()}
+    assert vec == {0: True, 1: False, 2: False}
