@@ -261,12 +261,27 @@ def trigrams(text_col: Column) -> Column:
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       vectorized: bool = True) -> DataFrame:
     """Gopher repetition rules 5/6-style: the most frequent word-bigram's
     share of all bigrams, and the fraction of trigram OCCURRENCES whose
     trigram repeats within the document.  Explode + count keyed on
     (doc_id, gram) — two map-side-combining aggregations hash-partitioned
-    by document, linear at any corpus size (requires ≥3 tokens/doc)."""
+    by document, linear at any corpus size (requires ≥3 tokens/doc).
+
+    ``vectorized`` (default) computes both signals fully IN-ROW as one
+    Arrow mapInPandas pass with a per-doc Counter: the relational form
+    explodes every bigram AND trigram occurrence through two full
+    shuffle+agg pipelines, and its gram projection is the interpreted
+    transform(sequence, slice+array_join) lambda (~µs per gram — the
+    same higher-order-function cost as the substring-dedup window
+    projection).  Both signals are integer-count ratios, so the only
+    float ops are one IEEE divide of exact integers and the
+    F.round(double, 4) HALF_UP twin — bit-equality is structural, and
+    pinned against the relational spec form (which remains the
+    cross-engine oracle definition) plus the unchanged DuckDB oracle."""
+    if vectorized:
+        return _repetition_signals_vectorized(df, text_col, id_col)
     bi = (df.select(F.col(id_col),
                     F.explode(bigrams(F.col(text_col))).alias("g"))
           .groupBy(id_col, "g").agg(F.count("*").alias("c"))
@@ -285,6 +300,60 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                     .alias("top_bigram_frac"),
                     F.round(F.col("dup_tri") / F.col("n_tri").cast("double"), 4)
                     .alias("dup_trigram_frac")))
+
+
+def _repetition_signals_vectorized(df: DataFrame, text_col: str,
+                                   id_col: str) -> DataFrame:
+    """The executing twin of :func:`repetition_signals` (see its
+    docstring for the policy): tokens use the pinned split/strip twin of
+    split(trim(lower(text)), '\\s+'); a doc emits a row iff it has ≥3
+    tokens (the relational inner bi⋈tri join drops shorter docs);
+    max_bi / n_bi and dup_tri / n_tri are single IEEE divides of exact
+    integers (n_bi = n−1, n_tri = n−2 — the occurrence totals the
+    relational SUM(c) computes), rounded with the established
+    Decimal-HALF_UP twin of F.round(double, 4)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("top_bigram_frac", T.DoubleType()),
+        T.StructField("dup_trigram_frac", T.DoubleType())])
+
+    def run(batches):
+        import re
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        q = Decimal("0.0001")
+
+        def r4(v):
+            return float(Decimal(repr(float(v))).quantize(
+                q, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            ids, tb, dt = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = ws.split(str(text).lower().strip(" "))
+                n = len(toks)
+                if n < 3:
+                    continue
+                bc = Counter(" ".join(toks[i:i + 2]) for i in range(n - 1))
+                tc = Counter(" ".join(toks[i:i + 3]) for i in range(n - 2))
+                ids.append(did)
+                tb.append(r4(max(bc.values()) / float(n - 1)))
+                dt.append(r4(sum(c for c in tc.values() if c > 1)
+                             / float(n - 2)))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "top_bigram_frac": pd.Series(tb, dtype="float64"),
+                "dup_trigram_frac": pd.Series(dt, dtype="float64")})
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, out_schema)
 
 
 # --------------------------------------------------------------- tf-idf
@@ -350,9 +419,52 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _distinct_ngrams_vectorized(df: DataFrame, text_col: str, id_col: str,
+                                n: int) -> DataFrame:
+    """(id, gram) rows — one per DISTINCT word n-gram per document — as
+    one Arrow mapInPandas pass: the executing twin of
+    ``explode(array_distinct(word_ngrams(text, n)))``.  The relational
+    projection evaluates the interpreted transform(sequence,
+    slice+array_join) lambda per gram (the same higher-order-function
+    cost as the substring-dedup window projection); here each gram is
+    the identical space-join of the identical lowercased token slice
+    (tokens = the pinned split/strip twin of split(trim(lower(text)),
+    '\\s+')), so every downstream row is byte-equal.  Docs with fewer
+    than n tokens emit nothing (explode-of-empty-array semantics)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        df.schema[id_col], T.StructField("gram", T.StringType())])
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids, grams = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = ws.split(str(text).lower().strip(" "))
+                m = len(toks)
+                if m < n:
+                    continue
+                seen = dict.fromkeys(
+                    " ".join(toks[i:i + n]) for i in range(m - n + 1))
+                ids.extend([did] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "gram": pd.Series(grams, dtype="object")})
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, out_schema)
+
+
 def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,
                   threshold: float = 0.5, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  vectorized: bool = True) -> DataFrame:
     """Benchmark decontamination (GPT-3 appx C / Llama-style n-gram
     overlap): for every candidate document, the fraction of its DISTINCT
     word n-grams that appear anywhere in the benchmark/eval set.  A doc
@@ -364,11 +476,21 @@ def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,
     explode, no (doc,gram) shuffle) and the only exchange is the
     doc-keyed count aggregation with map-side combine.  Linear in
     corpus size, no skew surface (gram hot-ness never forms a join
-    key on the big side — the join is broadcast-hash)."""
-    cand = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
-        .alias("gram"))
+    key on the big side — the join is broadcast-hash).
+
+    ``vectorized`` (default) computes the corpus side's per-doc
+    distinct grams via :func:`_distinct_ngrams_vectorized` (byte-equal
+    rows, C-speed) instead of the interpreted relational gram lambda;
+    the benchmark side stays relational — it is broadcast-sized by
+    definition, so its projection cost is nil and the spec form keeps
+    running cross-engine there."""
+    if vectorized:
+        cand = _distinct_ngrams_vectorized(docs, text_col, id_col, n)
+    else:
+        cand = docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+            .alias("gram"))
     bgrams = (bench.select(
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct().withColumn("hit", F.lit(1)))

@@ -543,3 +543,41 @@ def test_zipf_stats_top_token_tie_breaks_lexicographically(spark):
     df = spark.createDataFrame([(1, "z z y y x")], ["doc_id", "text"])
     r = W.zipf_stats(df).collect()[0]
     assert r.top_token == "y" and r.top_freq == 2  # smallest among ties
+
+def test_repetition_signals_vectorized_equals_relational(spark):
+    # the in-row Arrow twin is the execution default; the relational
+    # explode+agg form stays the cross-engine spec — pin row-by-row
+    # equality (values AND the ≥3-token row-drop) on real corpus text
+    # plus degenerate 0/1/2/3-token docs
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(10**9, ""), (10**9 + 1, "one"), (10**9 + 2, "one two"),
+         (10**9 + 3, "one two three"), (10**9 + 4, "A a B a b A")],
+        ["doc_id", "text"])
+    docs = corpus.select("doc_id", "text").unionByName(extra)
+    rel = {r.doc_id: (r.top_bigram_frac, r.dup_trigram_frac)
+           for r in W.repetition_signals(docs, vectorized=False).collect()}
+    vec = {r.doc_id: (r.top_bigram_frac, r.dup_trigram_frac)
+           for r in W.repetition_signals(docs, vectorized=True).collect()}
+    assert rel == vec and len(rel) > 100
+    assert 10**9 + 3 in rel and 10**9 + 2 not in rel
+
+
+def test_contamination_vectorized_equals_relational(spark):
+    # the corpus-side distinct-gram Arrow twin must reproduce the
+    # relational explode(array_distinct(word_ngrams)) rows exactly —
+    # pinned via full contamination output equality on real corpus text
+    # with a benchmark sliced from the same corpus (guaranteed hits)
+    corpus = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+              .select("doc_id", "text"))
+    bench = corpus.filter("doc_id % 17 = 0")
+    rel = {r.doc_id: (r.n_grams, r.hit_grams, r.contamination_frac,
+                      r.contaminated)
+           for r in W.contamination(corpus, bench, n=3,
+                                    vectorized=False).collect()}
+    vec = {r.doc_id: (r.n_grams, r.hit_grams, r.contamination_frac,
+                      r.contaminated)
+           for r in W.contamination(corpus, bench, n=3,
+                                    vectorized=True).collect()}
+    assert rel == vec and len(rel) > 100
+    assert any(v[3] for v in rel.values())
