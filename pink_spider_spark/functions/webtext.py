@@ -165,11 +165,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     frame is pinned with ``localCheckpoint(eager=True)`` so the iterative
     lineage is truncated (same recompute-hazard discipline as
     crawl/scheduler.wave_order).  Converges in ≤ diameter rounds and
-    stops early via a limit-1 changed-row probe."""
+    stops early via a limit-1 changed-row probe.
+
+    The symmetrized edge set is the loop invariant: it is materialized
+    ONCE, hash-partitioned on ``src`` (the per-round join key), and
+    lineage-truncated — unpinned, every round re-executed the entire
+    upstream edge derivation (for dedup_clusters that is the full
+    MinHash-LSH candidate pipeline) and re-shuffled it for the join;
+    the same Pregel-style pin as crawl/rank.pagerank's edge list."""
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-           .distinct())
+           .distinct()
+           .repartition("src")
+           .localCheckpoint(eager=False))
     labels = (nodes.select("node", F.col("node").alias("label"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
