@@ -68,6 +68,16 @@ class CrawlConfig:
     # if broadcast, ~3 MB per task if sharded).
     bloom_shard_min: int = 2_000_000
     bloom_n_shards: int = 64
+    # Which approximate membership structure backs the SHARDED seen
+    # filter: "bloom" (default — cheapest build, OR-mergeable) or
+    # "cuckoo" (crawl/cuckoo.py — 16-bit fingerprints in 4-slot
+    # buckets: ~100x lower fpp at comparable space AND supports
+    # deletion, the operation a bloom bit cannot do).  Both share the
+    # identical cogroup probe + exact confirm-join contract, so the
+    # crawl outcome is bit-identical either way (pinned by parity
+    # test).  The broadcast (small-crawl) regime always uses the bloom
+    # — cuckoo's advantages only matter at shard scale.
+    seen_filter: str = "bloom"
     # Every K waves, bin-pack the small per-wave append dirs of the
     # append-heavy tables (Iceberg rewrite_data_files analog) and re-pin
     # the checkpoint on the compacted snapshots.  0 = off.  At the 10^10
@@ -244,21 +254,36 @@ class CrawlDriver:
         triggers as the broadcast form (fresh driver, recrawl, capacity
         outgrown -> full rebuild, sized 4x and covering every shard id so
         incremental updates never miss a shard row)."""
+        n_shards = self.config.bloom_n_shards
+        if self.config.seen_filter == "cuckoo":
+            from .cuckoo import (build_cuckoo_shards,
+                                 cover_all_cuckoo_shards,
+                                 update_cuckoo_shards)
+
+            def full_build(df, capacity):
+                return cover_all_cuckoo_shards(
+                    build_cuckoo_shards(df, "url_hash", capacity,
+                                        n_shards=n_shards), n_shards)
+
+            incr_update = update_cuckoo_shards
+        else:
+            def full_build(df, capacity):
+                return cover_all_shards(
+                    build_bloom_shards(df, "url_hash", capacity,
+                                       n_shards=n_shards,
+                                       fpp=self.config.bloom_fpp), n_shards)
+
+            incr_update = update_bloom_shards
         held = self._bloom_shards
         if held is None or known_estimate > self._shards_capacity:
             capacity = max(4 * known_estimate, 100_000)
-            shards = cover_all_shards(
-                build_bloom_shards(frontier, "url_hash", capacity,
-                                   n_shards=self.config.bloom_n_shards,
-                                   fpp=self.config.bloom_fpp),
-                self.config.bloom_n_shards)
+            shards = full_build(frontier, capacity)
             self._shards_capacity = capacity
         else:
             delta = (frontier
                      .filter(F.col("discovered_wave") > self._shards_covers)
                      .select("url_hash"))
-            shards = update_bloom_shards(held, delta, "url_hash",
-                                         self.config.bloom_n_shards)
+            shards = incr_update(held, delta, "url_hash", n_shards)
         shards = shards.localCheckpoint(eager=False)
         self._bloom_shards = shards
         self._shards_covers = wave - 1
@@ -511,7 +536,11 @@ class CrawlDriver:
         # path; as a pool task it overlaps the seen/derived-table writes
         def build_frontier_next() -> DataFrame:
             if bloom_shards is not None:
-                new_urls = prune_with_bloom_shards(
+                if self.config.seen_filter == "cuckoo":
+                    from .cuckoo import prune_with_cuckoo_shards as prune_sh
+                else:
+                    prune_sh = prune_with_bloom_shards
+                new_urls = prune_sh(
                     with_url_hash(links), frontier.select("url"), bloom_shards,
                     n_shards=self.config.bloom_n_shards,
                     cache_registry=wave_caches)
