@@ -116,26 +116,47 @@ class CuckooFilter:
     def add_many(self, hashes: np.ndarray) -> None:
         """Insert every key; raises if an eviction chain exceeds
         ``_MAX_KICKS`` (the filter is over capacity — callers size via
-        ``sized_for`` and rebuild on growth, same policy as the bloom)."""
+        ``sized_for`` and rebuild on growth, same policy as the bloom).
+
+        Bulk path is vectorized: below the target load almost every key
+        lands directly in bucket i1 or i2, so two grouped-rank scatter
+        passes place the whole batch in O(n log n) numpy time; only the
+        residue whose both buckets are full walks the per-key eviction
+        chain.  Layout differs from the sequential insert order (buckets
+        are left-packed first), which is membership-irrelevant — see the
+        module docstring."""
         fps, i1s = self._fp_i1(hashes)
+        if len(fps) == 0:
+            return
         tbl = self.table
-        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
-            i2 = int(self._alt(i1, fp))
-            placed = False
-            for b in (i1, i2):
-                row = tbl[b]
-                for s in range(_SLOTS):
-                    if row[s] == 0:
-                        row[s] = fp
-                        placed = True
-                        break
-                if placed:
-                    break
-            if placed:
-                continue
-            # kick loop: deterministic slot rotation keeps runs
-            # reproducible (layout may differ by input order; membership
-            # does not — see module docstring)
+        # left-pack every bucket (nonzero fingerprints first) so each
+        # bucket's free slots are its contiguous tail
+        tbl[:] = np.sort(tbl, axis=1)[:, ::-1]
+        occ = (tbl != 0).sum(axis=1).astype(np.int64)
+        pending = np.arange(len(fps))
+        for bucket_of in (i1s, self._alt(i1s, fps)):
+            if len(pending) == 0:
+                break
+            order = np.argsort(bucket_of[pending], kind="stable")
+            bs = bucket_of[pending][order]
+            # rank of each key within its same-bucket group: the j-th
+            # key aimed at one bucket this pass takes slot occ + j
+            newgrp = np.empty(len(bs), dtype=bool)
+            newgrp[0] = True
+            np.not_equal(bs[1:], bs[:-1], out=newgrp[1:])
+            starts = np.nonzero(newgrp)[0]
+            grp_start = np.repeat(starts,
+                                  np.diff(np.append(starts, len(bs))))
+            rank = np.arange(len(bs)) - grp_start
+            fits = rank < (_SLOTS - occ[bs])
+            put_b = bs[fits]
+            tbl[put_b, occ[bs][fits] + rank[fits]] = \
+                fps[pending][order][fits]
+            np.add.at(occ, put_b, 1)
+            pending = pending[order][~fits]
+        # residue: both buckets full — per-key eviction chains
+        # (deterministic slot rotation keeps runs reproducible)
+        for fp, i1 in zip(fps[pending].tolist(), i1s[pending].tolist()):
             b, f = i1, fp
             for kick in range(_MAX_KICKS):
                 s = kick % _SLOTS
