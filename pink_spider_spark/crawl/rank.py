@@ -89,6 +89,67 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     return ranks
 
 
+def hits(edges: DataFrame, iters: int = 2,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over distinct (src, dst)
+    edges → (node, auth, hub) — the other classic crawl-frontier
+    authority score beside PageRank: a good HUB page is where a crawler
+    harvests outlinks; a good AUTHORITY is what it should fetch first.
+
+    Per round: auth(v) = Σ hub(u) over in-edges, L1-normalized; then
+    hub(u) = Σ auth(v) over out-edges, L1-normalized (L1 instead of the
+    classic L2 — same fixed-point direction, no sqrt, and it makes the
+    trajectory exactly representable, below).  Scale shape mirrors
+    ``pagerank``: the edge list is the loop invariant — materialized
+    once, hash-partitioned, lineage-truncated — and each half-round is
+    one keyed join + one linear dst/src-keyed aggregation with map-side
+    combine plus a scalar total; scores stay mergeable integers.
+
+    Determinism (stronger than pagerank's 8-dp float pin): scores are
+    carried as exact 1e8-scaled LONGS.  Each normalization is
+    round(1e8 · (part/total)) on two exact integers — one double divide,
+    one multiply, one half-up round per node per round — and every SUM
+    in the algorithm is an integer sum, order-free under any
+    partitioning.  The SQL oracle replays the identical arithmetic."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .repartition("dst")
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    hub8 = nodes.select("node", F.lit(100_000_000).cast("long").alias("s8"))
+    auth8 = None
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        """(node, r) integer partials → L1-normalized 1e8-scaled longs
+        over the full node set (contribution-less nodes score 0)."""
+        tot = raw.agg(F.sum("r").cast("double").alias("t"))
+        return (nodes.crossJoin(F.broadcast(tot))
+                .join(raw, "node", "left")
+                .select("node", F.when(
+                    F.col("r").isNull(), F.lit(0).cast("long")).otherwise(
+                    F.round(F.lit(1e8) * (F.col("r").cast("double")
+                                          / F.col("t"))).cast("long"))
+                    .alias("s8"))
+                .localCheckpoint(eager=False))
+
+    for _ in range(iters):
+        a_raw = (e.join(hub8.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst").agg(F.sum("s8").alias("r"))
+                 .withColumnRenamed("dst", "node"))
+        auth8 = _norm(a_raw)
+        h_raw = (e.join(auth8.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src").agg(F.sum("s8").alias("r"))
+                 .withColumnRenamed("src", "node"))
+        hub8 = _norm(h_raw)
+    return (auth8.withColumnRenamed("s8", "a8")
+            .join(hub8, "node")
+            .select("node",
+                    (F.col("a8").cast("double") / F.lit(1e8)).alias("auth"),
+                    (F.col("s8").cast("double") / F.lit(1e8)).alias("hub")))
+
+
 def host_pagerank(entries: DataFrame, iters: int = 3,
                   damping: float = 0.85) -> DataFrame:
     """Host-level PageRank from extracted pages: edges = (host(url) →

@@ -1,0 +1,73 @@
+"""Ranked keyword retrieval: BM25 scoring without an inverted index.
+
+Okapi BM25 (Robertson & Walker 1994; the Lucene-default +1 idf variant)
+as a single declarative pass — the shape a 100 TB corpus wants when a
+handful of ad-hoc queries don't justify building and maintaining an
+index: the token explode is filtered to the query's terms IMMEDIATELY
+(Catalyst pushes the isin through the generator's consumer, so only
+query-term postings survive into the shuffle), document frequencies and
+corpus stats are broadcast-sized by construction (|query| rows and one
+scalar row), document length joins on the doc key, and the final top-k
+is a TakeOrderedAndProject — never a global sort.
+
+Cross-engine determinism: per-(doc, term) scores are doubles built from
+a pinned expression shape (one ln, fixed association order), then
+integerized to 1e-6 resolution BEFORE the per-doc sum — integer sums
+are order-free under any partitioning, so Spark and the SQL oracle
+produce identical ranked lists including tie-breaks (score desc,
+doc_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as X
+from .fanout import fan_out
+
+
+def bm25_topk(df: DataFrame, query_terms: list, text_col: str = "text",
+              id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+              top_k: int = 20) -> DataFrame:
+    """Top-k documents by BM25 score for ``query_terms``.  Returns
+    (doc_id, n_terms_hit, score) — documents matching no query term are
+    absent (their score is 0).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1): the non-negative
+    Lucene formulation."""
+    base = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              X.tokens(F.col(text_col)).alias("tk"))
+    lens = base.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    stats = lens.agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("dl").alias("sum_dl"))
+    # postings for query terms only — the isin prunes the exploded
+    # stream before any shuffle; (doc, term) counts are the tf table
+    tf = (base.select("doc_id", F.explode("tk").alias("term"))
+          .filter(F.col("term").isin(list(query_terms)))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = F.log(((n_d - F.col("df").cast("double")) + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5)) + F.lit(1.0))
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    denom = F.col("tf").cast("double") + F.lit(k1) * norm
+    ts = idf * ((F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom)
+
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(lens, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id",
+                      F.round(ts * F.lit(1e6)).cast("long").alias("micro")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_terms_hit"),
+                 F.sum("micro").alias("sm"))
+            .select("doc_id", "n_terms_hit",
+                    F.round(F.col("sm").cast("double") / F.lit(1e6), 4)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k))

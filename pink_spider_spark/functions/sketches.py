@@ -54,6 +54,79 @@ def kmv_distinct(df: DataFrame, key_cols: list, value_col: str,
                     .alias("exact_distinct"), est.alias("kmv_estimate")))
 
 
+# -------------------------------------------------- hyperloglog
+#: HLL geometry: p=10 index bits of the 60-bit h60 hash -> m=1024
+#: registers, 50 remaining bits feed the leading-zero rank.
+HLL_P = 10
+HLL_M = 1 << HLL_P           # 1024 registers
+_HLL_W_BITS = 60 - HLL_P     # 50 rank bits
+#: alpha_m * m^2 * 2^61 for m=1024 (Flajolet et al. 2007 eq. 3), embedded
+#: as ONE literal so both engines divide the same constant — the 2^61
+#: factor un-scales the exact-integer register sum below.
+_HLL_C = 1.742160653640441e+24
+_HLL_LINEAR_CUTOFF = 2560.0  # 2.5 * m: below this, linear counting
+
+
+def hll_distinct(df: DataFrame, key_cols: list, value_col: str) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate (Flajolet et al. 2007) —
+    THE production distinct sketch at 10^10-key scale: fixed 1024
+    registers per group, one linear (group, register)-keyed MAX
+    aggregation with map-side combine, mergeable by register-wise max.
+    Returns (group..., exact_distinct, hll_raw, hll_estimate);
+    ``hll_raw`` is the uncorrected harmonic-mean estimate,
+    ``hll_estimate`` applies the small-range linear-counting correction
+    (E <= 2.5m with empty registers -> m*ln(m/V)).
+
+    Cross-engine determinism (unlike production HLLs, whose register
+    encodings are engine-private): register index = h60 % m, rank
+    rho = 51 - bit_length(h60 / m) — exact integer arithmetic (the
+    bit length is length(bin(w)), never floor(log2) whose misrounding
+    at 2^k-1 boundaries would corrupt rho).  The harmonic sum
+    Σ 2^-M_j is integerized as Σ 2^(61-M_j) in DECIMAL(38,0) — exact
+    and order-free (max register rank is 51, so every term is an exact
+    long and the 1024-term total fits 38 digits) — then un-scaled by
+    the single literal division, so the only float ops are one divide
+    (+ one ln on the correction branch) on each engine."""
+    hashed = (df.select(*key_cols,
+                        X.h60(F.col(value_col).cast("string")).alias("hv"))
+              .distinct())
+    # upper 50 bits via shift — NEVER hv/1024 in doubles (h60 exceeds
+    # 2^53, the double quotient is inexact and corrupts the rank)
+    w = F.shiftright(F.col("hv"), HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w)))
+    regs = (hashed
+            .select(*key_cols, F.pmod(F.col("hv"), F.lit(HLL_M)).alias("reg"),
+                    rho.alias("rho"))
+            .groupBy(*key_cols, "reg").agg(F.max("rho").alias("mj")))
+    # Σ 2^(61-M_j) over PRESENT registers, exact; absent registers
+    # (M_j = 0) contribute 2^61 each — added as a count-derived term.
+    # python F.shiftleft only takes a literal shift; the SQL form
+    # accepts the per-row register rank
+    term = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) "
+                  "AS DECIMAL(38,0))")
+    agg = (regs.groupBy(*key_cols)
+           .agg(F.count("*").alias("npresent"),
+                F.sum(term).alias("s_present")))
+    # present registers always have rho >= 1, so the empty-register
+    # count V is exactly the absent ones
+    v_empty = (F.lit(HLL_M) - F.col("npresent")).cast("long")
+    s_total = (F.col("s_present")
+               + v_empty.cast("decimal(38,0)")
+               * F.lit(2305843009213693952).cast("decimal(38,0)"))
+    raw = F.lit(_HLL_C) / s_total.cast("double")
+    vd = v_empty.cast("double")
+    est = F.when((raw <= F.lit(_HLL_LINEAR_CUTOFF)) & (v_empty > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / vd)
+                 ).otherwise(raw)
+    exact = hashed.groupBy(*key_cols).agg(F.count("*").alias("nd"))
+    return (agg.join(exact, list(key_cols))
+            .select(*key_cols,
+                    F.col("nd").cast("long").alias("exact_distinct"),
+                    F.round(raw, 4).alias("hll_raw"),
+                    F.round(est, 4).alias("hll_estimate")))
+
+
 # -------------------------------------------------- count-min sketch
 def _cms_col(key_col: str, row_col) -> F.Column:
     """Row-i hash column: h60('cms-<i>-<key>'), the % width applied by

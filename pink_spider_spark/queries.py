@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from .crawl import rank as K
 from .functions import clustering as C
 from .functions.fanout import fan_out
+from .functions import search as SE
 from .functions import similarity as S
 from .functions import sketches as SK
 from .functions import text as X
@@ -2154,6 +2155,142 @@ def docs_zipf_stats(spark, sf_dir):
 
 
 # =====================================================================
+# Round-4 additions: HLL distinct sketch, BM25 retrieval, HITS
+# =====================================================================
+@q("events_distinct_users_hll", """
+WITH h AS (SELECT DISTINCT event_type,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events),
+rr AS (SELECT event_type, hv % 1024 AS reg,
+        CASE WHEN hv // 1024 = 0 THEN 51
+             ELSE 51 - length(bin(hv // 1024)) END AS rho
+       FROM h),
+regs AS (SELECT event_type, reg, max(rho) AS mj FROM rr GROUP BY 1, 2),
+agg AS (SELECT event_type, count(*) AS npresent,
+        sum(CAST(1::BIGINT << (61 - mj) AS DECIMAL(38,0))) AS sp
+        FROM regs GROUP BY 1),
+ex AS (SELECT event_type, count(*) AS nd FROM h GROUP BY 1),
+est AS (SELECT a.event_type, ex.nd, 1024 - a.npresent AS v,
+        1.742160653640441e+24 / CAST(a.sp
+          + CAST(1024 - a.npresent AS DECIMAL(38,0))
+            * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+        FROM agg a JOIN ex USING (event_type))
+SELECT event_type, CAST(nd AS BIGINT) AS exact_distinct,
+       round(raw, 4) AS hll_raw,
+       round(CASE WHEN raw <= 2560.0 AND v > 0
+             THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE)) ELSE raw END, 4)
+         AS hll_estimate
+FROM est
+""")
+def events_distinct_users_hll(spark, sf_dir):
+    """HyperLogLog distinct-count sketch per event type (Flajolet et
+    al. 2007) — the production 10^10-key distinct sketch beside the
+    verifiable KMV: 1024 fixed registers per group, one linear
+    (group, register)-keyed MAX agg, mergeable by register-wise max
+    (functions/sketches.py hll_distinct).  Exact integer register
+    arithmetic (bit-length rho, DECIMAL harmonic sum) makes the sketch
+    bit-identical cross-engine; raw + linear-counting-corrected
+    estimates both emitted so each branch is hash-pinned."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.hll_distinct(ev, ["event_type"], "user_id")
+
+
+@q("docs_bm25_topk", """
+WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents),
+lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(dl) AS sum_dl
+          FROM lens),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(tk) AS term FROM base)
+       WHERE term IN ('spark', 'stream', 'merge', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT t.doc_id, CAST(round(
+         ln(((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+            / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+         * ((CAST(t.tf AS DOUBLE) * 2.2)
+            / (CAST(t.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+         * 1000000.0) AS BIGINT) AS micro
+       FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+       CROSS JOIN stats s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 4) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""")
+def docs_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson & Walker 1994, Lucene +1 idf)
+    for a fixed 4-term query, no inverted index: the token explode is
+    pruned to query terms before any shuffle, df/corpus stats are
+    broadcast by construction, top-k is TakeOrderedAndProject.
+    Per-(doc, term) scores integerized at 1e-6 BEFORE the per-doc sum
+    so the ranked list is order-free and hash-identical
+    (functions/search.py bm25_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SE.bm25_topk(docs, ["spark", "stream", "merge", "window"])
+
+
+@q("graph_hits", """
+WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+h0 AS (SELECT node, 100000000::BIGINT AS s8 FROM nodes),
+a1r AS (SELECT e.dst AS node, sum(h.s8) AS r
+        FROM ed e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+a1t AS (SELECT CAST(sum(r) AS DOUBLE) AS t FROM a1r),
+a1 AS (SELECT n.node, CASE WHEN r.r IS NULL THEN 0::BIGINT
+         ELSE CAST(round(1e8 * (CAST(r.r AS DOUBLE) / a1t.t)) AS BIGINT)
+       END AS s8
+       FROM nodes n CROSS JOIN a1t LEFT JOIN a1r r ON n.node = r.node),
+h1r AS (SELECT e.src AS node, sum(a.s8) AS r
+        FROM ed e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+h1t AS (SELECT CAST(sum(r) AS DOUBLE) AS t FROM h1r),
+h1 AS (SELECT n.node, CASE WHEN r.r IS NULL THEN 0::BIGINT
+         ELSE CAST(round(1e8 * (CAST(r.r AS DOUBLE) / h1t.t)) AS BIGINT)
+       END AS s8
+       FROM nodes n CROSS JOIN h1t LEFT JOIN h1r r ON n.node = r.node),
+a2r AS (SELECT e.dst AS node, sum(h.s8) AS r
+        FROM ed e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+a2t AS (SELECT CAST(sum(r) AS DOUBLE) AS t FROM a2r),
+a2 AS (SELECT n.node, CASE WHEN r.r IS NULL THEN 0::BIGINT
+         ELSE CAST(round(1e8 * (CAST(r.r AS DOUBLE) / a2t.t)) AS BIGINT)
+       END AS s8
+       FROM nodes n CROSS JOIN a2t LEFT JOIN a2r r ON n.node = r.node),
+h2r AS (SELECT e.src AS node, sum(a.s8) AS r
+        FROM ed e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+h2t AS (SELECT CAST(sum(r) AS DOUBLE) AS t FROM h2r),
+h2 AS (SELECT n.node, CASE WHEN r.r IS NULL THEN 0::BIGINT
+         ELSE CAST(round(1e8 * (CAST(r.r AS DOUBLE) / h2t.t)) AS BIGINT)
+       END AS s8
+       FROM nodes n CROSS JOIN h2t LEFT JOIN h2r r ON n.node = r.node)
+SELECT a2.node, CAST(a2.s8 AS DOUBLE) / 1e8 AS auth,
+       CAST(h2.s8 AS DOUBLE) / 1e8 AS hub
+FROM a2 JOIN h2 USING (node)
+""")
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999, 2 rounds, L1-normalized)
+    over the same customer→supplier purchase graph as graph_pagerank —
+    the crawl-frontier companion score: hubs are where outlinks are
+    harvested, authorities what to fetch first (crawl/rank.py hits).
+    Scores carried as exact 1e8-scaled longs; every sum in the
+    algorithm is an integer sum, so the trajectory is bit-identical
+    cross-engine (a stronger pin than pagerank's 8-dp float rounds)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst")))
+    return K.hits(edges, iters=2)
+
+
+# =====================================================================
 # Registry ordering for the driver's correctness gate
 # =====================================================================
 # The driver's gate samples the FIRST 50 entries of ``queries()`` in
@@ -2176,18 +2313,23 @@ _GATE_FIRST = [
     "docs_ccnet_buckets", "docs_dsir_weights", "docs_tfidf_cosine_pairs",
     "frontier_url_filter", "emb_pq_codes", "docs_dedup_clusters_star",
     "emb_pq_adc_topk", "events_heavy_hitters_cms", "docs_zipf_stats",
+    # round-4 additions (driver-unchecked in r1-r3)
+    "events_distinct_users_hll", "docs_bm25_topk", "graph_hits",
     # representative §2 core, one per operator family, incl. both flagships
     "orders_page3", "lineitem_top3_per_order",
     "customers_without_recent_orders", "part_search_red",
     "active_suppliers", "signup_events_with_props",
     "nation_customer_rollup", "event_type_counters",
-    "latest_order_per_customer", "events_after_jan15", "events_page_after",
-    "orders_mget", "revenue_by_segment", "recent20_events_per_user",
+    "latest_order_per_customer", "events_page_after",
+    "revenue_by_segment", "recent20_events_per_user",
     "docs_exact_dedup", "docs_fingerprint", "docs_token_count",
     "docs_quality", "docs_langid", "docs_minhash_lsh_pairs",
-    "docs_simhash", "emb_knn_of_vec0", "docs_json_props",
+    "docs_simhash", "emb_knn_of_vec0",
     "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
 ]
+# dropped from the gate window to make room for the round-4 additions
+# (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
+# events_after_jan15, orders_mget, docs_json_props
 
 
 def _reorder_registry() -> None:

@@ -128,6 +128,22 @@ CHECKS = {
     # Zipf fit: the one DELIBERATE global window (over the vocabulary,
     # sublinear in corpus size) + exact decimal OLS sums — no cartesian
     "docs_zipf_stats": (["HashAggregate"], ["CartesianProduct"]),
+    # HLL: (group,register)-keyed MAX + exact decimal harmonic sum —
+    # two linear keyed aggs with map-side combine, nothing else
+    "events_distinct_users_hll": (["HashAggregate"],
+                                  ["Window", "CartesianProduct",
+                                   "SortMergeJoin"]),
+    # BM25: query-term filter pruned before the shuffle, broadcast
+    # df/stats sides, global top-k — no index, no window, no cartesian
+    "docs_bm25_topk": (["TakeOrderedAndProject", "BroadcastHashJoin"],
+                       ["Window", "CartesianProduct"]),
+    # HITS: per-round keyed joins + linear integer aggs over the pinned
+    # edge list; the visible top-level join (auth ⋈ hub on node) is a
+    # keyed equi-join of two checkpointed node-sized frames (SMJ
+    # statically, AQE re-plans at runtime) — no window, no cartesian,
+    # no nested loop
+    "graph_hits": ([], ["Window", "CartesianProduct",
+                        "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -61,3 +61,38 @@ def test_with_host_rank_priority_large_graph_keyed_join(spark):
                                    max_broadcast_nodes=2).collect()}
     assert out["http://a.com/1"] == 250_000
     assert out["http://nowhere.org/2"] == 0
+
+
+# ----------------------------------------------------------- HITS
+def test_hits_hand_graph_two_rounds(spark):
+    # a->b, a->c, b->c — integer-exact trajectory computed by hand:
+    # r1: auth (b 1/3, c 2/3) -> a1 = (0, 33333333, 66666667)
+    #     hub raw (a 1e8, b 66666667) -> h1 = (60000000, 40000000, 0)
+    # r2: auth raw (b 6e7, c 1e8), tot 1.6e8 -> a2 = (0, .375, .625)
+    #     hub raw (a 1e8, b 62500000), tot 1.625e8
+    #     -> h2 = (61538462, 38461538, 0)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    r = {x.node: (x.auth, x.hub) for x in K.hits(edges, iters=2).collect()}
+    assert r["a"] == (0.0, 0.61538462)
+    assert r["b"] == (0.375, 0.38461538)
+    assert r["c"] == (0.625, 0.0)
+
+
+def test_hits_star_graph_center_is_the_authority(spark):
+    edges = spark.createDataFrame(
+        [(f"s{i}", "center") for i in range(5)], ["src", "dst"])
+    r = {x.node: (x.auth, x.hub) for x in K.hits(edges, iters=2).collect()}
+    assert r["center"] == (1.0, 0.0)       # all authority mass
+    for i in range(5):                     # spokes split hub mass evenly
+        assert r[f"s{i}"] == (0.0, 0.2)
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c")], ["src", "dst"])
+    ded = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"])
+    rd = {x.node: (x.auth, x.hub) for x in K.hits(dup, iters=2).collect()}
+    rr = {x.node: (x.auth, x.hub) for x in K.hits(ded, iters=2).collect()}
+    assert rd == rr

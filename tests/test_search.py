@@ -1,0 +1,71 @@
+"""BM25 ranked retrieval (functions/search.py) — python-twin pins."""
+
+import math
+
+from pink_spider_spark.functions import search as SE
+
+
+def _bm25_py(docs, terms, k1=1.2, b=0.75):
+    """Python twin replaying bm25_topk's exact arithmetic (including the
+    1e-6 integerization before the per-doc sum)."""
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = float(sum(len(t) for t in toks.values())) / float(n)
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    out = {}
+    for d, tk in toks.items():
+        micro, hit = 0, 0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            hit += 1
+            idf = math.log(((float(n) - float(df[t])) + 0.5)
+                           / (float(df[t]) + 0.5) + 1.0)
+            norm = (1.0 - b) + b * (float(len(tk)) / avgdl)
+            ts = idf * ((float(tf) * (k1 + 1.0)) / (float(tf) + k1 * norm))
+            micro += int(round(ts * 1e6))
+        if hit:
+            out[d] = (hit, round(float(micro) / 1e6, 4))
+    return out
+
+
+def test_bm25_matches_python_twin(spark):
+    docs = [
+        (0, "spark join spark window table"),
+        (1, "merge sort merge merge stream line"),
+        (2, "table scan row value key agg"),
+        (3, "spark stream merge window spark stream"),
+        (4, "window"),
+    ]
+    terms = ["spark", "stream", "merge", "window"]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_terms_hit, r.score)
+           for r in SE.bm25_topk(df, terms).collect()}
+    assert got == _bm25_py(docs, terms)
+    assert 2 not in got  # no query term -> absent, not zero-scored
+
+
+def test_bm25_ranking_and_topk(spark):
+    # doc 3 hits all four terms -> must outrank the single-term docs;
+    # top_k truncates after the deterministic (score desc, id asc) order
+    docs = [(i, "spark filler filler") for i in range(10)]
+    docs.append((99, "spark stream merge window"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = SE.bm25_topk(df, ["spark", "stream", "merge", "window"],
+                        top_k=3).collect()
+    assert len(rows) == 3
+    assert rows[0].doc_id == 99
+    # identical filler docs tie -> doc_id ascending breaks the tie
+    assert [r.doc_id for r in rows[1:]] == [0, 1]
+
+
+def test_bm25_tf_saturation(spark):
+    # BM25's tf term saturates: 10 repeats must score higher than 1 but
+    # far less than 10x (the property that distinguishes it from raw tf)
+    docs = [(0, "spark " + "pad " * 9), (1, ("spark " * 10) + "pad " * 0)]
+    df = spark.createDataFrame([(d, t.strip()) for d, t in docs],
+                               ["doc_id", "text"])
+    got = {r.doc_id: r.score for r in SE.bm25_topk(df, ["spark"]).collect()}
+    assert got[1] > got[0]
+    assert got[1] < 5 * got[0]

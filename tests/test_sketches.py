@@ -101,3 +101,61 @@ def test_cms_counters_merge_by_summation(spark):
     a = {(r.row, r.col): r.c for r in merged.collect()}
     b = {(r.row, r.col): r.c for r in whole.collect()}
     assert a == b  # distributive: partial sketches sum to the full one
+
+
+# ------------------------------------------------- hyperloglog
+def _hll_py(values):
+    """Python twin of hll_distinct's register/estimate arithmetic."""
+    import math
+    regs = {}
+    for v in set(values):
+        hv = _h60(v)
+        idx, w = hv % 1024, hv >> 10
+        rho = 51 if w == 0 else 51 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = sum(1 << (61 - mj) for mj in regs.values())
+    s += (1024 - len(regs)) << 61
+    raw = SK._HLL_C / float(s)
+    v_empty = 1024 - len(regs)
+    est = (1024.0 * math.log(1024.0 / float(v_empty))
+           if raw <= 2560.0 and v_empty > 0 else raw)
+    return round(raw, 4), round(est, 4)
+
+
+def test_hll_matches_python_twin_small(spark):
+    # small cardinality -> linear-counting branch
+    vals = [f"user{i}" for i in range(120)]
+    df = spark.createDataFrame([("g", v) for v in vals] * 2, ["grp", "val"])
+    r = SK.hll_distinct(df, ["grp"], "val").collect()[0]
+    raw, est = _hll_py(vals)
+    assert r.exact_distinct == 120
+    assert r.hll_raw == raw
+    assert r.hll_estimate == est
+    assert abs(r.hll_estimate - 120) / 120 < 0.15
+
+
+def test_hll_accuracy_large_raw_branch(spark):
+    # 20k distinct >> 2.5m -> uncorrected branch; std err 1.04/sqrt(1024)
+    # ~3.3%, assert within 10%
+    vals = [f"k{i}" for i in range(20000)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "val"])
+    r = SK.hll_distinct(df, ["grp"], "val").collect()[0]
+    raw, est = _hll_py(vals)
+    assert r.hll_raw == raw and r.hll_estimate == est
+    assert r.hll_estimate == r.hll_raw  # no correction fired
+    assert abs(r.hll_estimate - 20000) / 20000 < 0.10
+
+
+def test_hll_partitioning_invariance_and_groups(spark):
+    rows = ([("a", f"x{i}") for i in range(300)]
+            + [("b", f"y{i}") for i in range(30)])
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    r1 = {r.grp: (r.hll_raw, r.hll_estimate)
+          for r in SK.hll_distinct(df, ["grp"], "val").collect()}
+    r2 = {r.grp: (r.hll_raw, r.hll_estimate)
+          for r in SK.hll_distinct(df.repartition(13), ["grp"],
+                                   "val").collect()}
+    # register max + integer harmonic sum are order-free: any
+    # partitioning yields the identical sketch
+    assert r1 == r2
+    assert set(r1) == {"a", "b"}
