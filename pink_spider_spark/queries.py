@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .crawl import freshness as FR
 from .crawl import rank as K
 from .functions import clustering as C
 from .functions.fanout import fan_out
@@ -2290,6 +2291,46 @@ def graph_hits(spark, sf_dir):
     return K.hits(edges, iters=2)
 
 
+@q("events_recrawl_priority", """
+WITH obs AS (SELECT user_id, epoch_us(ts) AS us,
+                    (event_type <> 'view') AS ch FROM events),
+agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_changes,
+               min(us) AS f, max(us) AS l
+        FROM obs GROUP BY user_id HAVING count(*) >= 2),
+sc AS (SELECT user_id, n_obs, n_changes,
+        -ln(((CAST(n_obs AS DOUBLE) - CAST(n_changes AS DOUBLE)) + 0.5)
+            / (CAST(n_obs AS DOUBLE) + 0.5))
+        / ((CAST(l - f AS DOUBLE) / 86400000000.0)
+           / (CAST(n_obs AS DOUBLE) - 1.0)) AS lam,
+        CAST(1706745600000000 - l AS DOUBLE) / 86400000000.0 AS age
+       FROM agg)
+SELECT user_id, n_obs, n_changes,
+       round(lam, 4) AS lambda_per_day,
+       round(1.0 - exp(-(lam * age)), 4) AS staleness
+FROM sc
+""")
+def events_recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl priority (Cho & Garcia-Molina 2003):
+    per-entity Poisson change-rate λ̂ from revisit observations with the
+    bias-corrected −ln((n−X+½)/(n+½))/Ī estimator, then expected
+    staleness 1−e^(−λ·age) at a fixed reference instant — the
+    refetch-scheduling score of a 10^10-URL frontier
+    (crawl/freshness.py; opt-in priority source like host PageRank).
+    Events stand in as the revisit log: each row is one observation of
+    entity user_id, 'changed' = any non-view event.  One linear
+    key-grouped agg, pinned ln/exp chain, 4-dp outputs."""
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select("user_id", "ts",
+                     (F.col("event_type") != "view").alias("changed"))
+    rates = FR.change_rate(hist, ["user_id"])
+    out = FR.staleness(rates, 1706745600000000)
+    return out.select("user_id", "n_obs", "n_changes",
+                      F.round("lambda_per_day", 4).alias("lambda_per_day"),
+                      F.round("staleness", 4).alias("staleness"))
+
+
 # =====================================================================
 # Registry ordering for the driver's correctness gate
 # =====================================================================
@@ -2315,10 +2356,11 @@ _GATE_FIRST = [
     "emb_pq_adc_topk", "events_heavy_hitters_cms", "docs_zipf_stats",
     # round-4 additions (driver-unchecked in r1-r3)
     "events_distinct_users_hll", "docs_bm25_topk", "graph_hits",
+    "events_recrawl_priority",
     # representative §2 core, one per operator family, incl. both flagships
     "orders_page3", "lineitem_top3_per_order",
     "customers_without_recent_orders", "part_search_red",
-    "active_suppliers", "signup_events_with_props",
+    "active_suppliers",
     "nation_customer_rollup", "event_type_counters",
     "latest_order_per_customer", "events_page_after",
     "revenue_by_segment", "recent20_events_per_user",
@@ -2329,7 +2371,8 @@ _GATE_FIRST = [
 ]
 # dropped from the gate window to make room for the round-4 additions
 # (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
-# events_after_jan15, orders_mget, docs_json_props
+# events_after_jan15, orders_mget, docs_json_props,
+# signup_events_with_props
 
 
 def _reorder_registry() -> None:

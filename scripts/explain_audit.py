@@ -137,6 +137,11 @@ CHECKS = {
     # df/stats sides, global top-k — no index, no window, no cartesian
     "docs_bm25_topk": (["TakeOrderedAndProject", "BroadcastHashJoin"],
                        ["Window", "CartesianProduct"]),
+    # recrawl priority: ONE key-grouped linear agg over the fetch log +
+    # in-row ln/exp scoring — no window, no join, no cartesian
+    "events_recrawl_priority": (["HashAggregate"],
+                                ["Window", "CartesianProduct",
+                                 "SortMergeJoin", "BroadcastHashJoin"]),
     # HITS: per-round keyed joins + linear integer aggs over the pinned
     # edge list; the visible top-level join (auth ⋈ hub on node) is a
     # keyed equi-join of two checkpointed node-sized frames (SMJ
