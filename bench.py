@@ -37,6 +37,11 @@ HEADLINE = [
     "emb_semdedup",
     "graph_pagerank",
     "docs_dsir_weights",
+    # round-4 operators
+    "graph_hits",
+    "docs_bm25_topk",
+    "events_distinct_users_hll",
+    "events_recrawl_priority",
 ]
 
 

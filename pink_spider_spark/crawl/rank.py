@@ -124,6 +124,9 @@ def hits(edges: DataFrame, iters: int = 2,
     def _norm(raw: DataFrame) -> DataFrame:
         """(node, r) integer partials → L1-normalized 1e8-scaled longs
         over the full node set (contribution-less nodes score 0)."""
+        # two consumers (the scalar total and the join) — pin the
+        # partials so the join+agg upstream runs once, not twice
+        raw = raw.localCheckpoint(eager=False)
         tot = raw.agg(F.sum("r").cast("double").alias("t"))
         return (nodes.crossJoin(F.broadcast(tot))
                 .join(raw, "node", "left")
