@@ -153,6 +153,107 @@ def hits(edges: DataFrame, iters: int = 2,
                     (F.col("s8").cast("double") / F.lit(1e8)).alias("hub")))
 
 
+def opic(edges: DataFrame, iters: int = 3,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW 2003) over distinct (src, dst) edges →
+    (node, history8, cash8, importance).  The third classic frontier-
+    priority score beside PageRank and HITS, and the one actually
+    DESIGNED for crawling: importance accrues ONLINE as pages are
+    fetched (cash is distributed to outlinks at fetch time), so a
+    crawler can rank its frontier without waiting for an offline
+    link-graph job to converge.
+
+    Synchronous batch variant: every node starts with equal cash
+    (1e8-scaled); each round EVERY node distributes its cash equally
+    over its out-edges and banks the distributed amount in its history;
+    dangling nodes (no out-edges) route their cash through the virtual
+    page, which redistributes it uniformly over all nodes — the paper's
+    virtual-page treatment restricted to the dangling case (non-dangling
+    nodes keep their full cash on real outlinks).  Importance estimate
+    after k rounds = (history + cash) / Σ(history + cash) — the paper's
+    X = (H + C)/(G + 1) with the same denominator for every node.
+
+    Scale shape mirrors ``pagerank``: the edge list is the loop
+    invariant — materialized once, hash-partitioned on src, lineage-
+    truncated — and each round is one src-keyed join + one dst-keyed
+    linear aggregation with map-side combine, plus one scalar (dangling
+    total) broadcast.  No window, no iteration-growing lineage.
+
+    Determinism (HITS-grade, stronger than pagerank's float rounds):
+    cash and history are exact LONGS throughout.  The per-edge share is
+    integer floor division ``cash div outdeg`` (Spark `div` ≡ DuckDB
+    `//` on non-negative longs), the dangling share is
+    ``dangling_total div n``, and every sum is an integer sum —
+    order-free under any partitioning, replayed exactly by the SQL
+    oracle (`graph_opic` in queries.py).  Division remainders are
+    retired from circulation (documented estimator bias ≤ outdeg·1
+    units of 1e-8 per node per round — two orders below the 8-dp
+    importance round)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    nn = (nodes.agg(F.count("*").cast("long").alias("n"))
+          .localCheckpoint(eager=False))
+    outdeg = (e.groupBy("src").agg(F.count("*").cast("long")
+                                   .alias("outdeg"))
+              .localCheckpoint(eager=False))
+    cash = nodes.select("node",
+                        F.lit(100_000_000).cast("long").alias("c8"))
+    hist = nodes.select("node", F.lit(0).cast("long").alias("h8"))
+    for _ in range(iters):
+        # history banks this round's distributed cash FIRST (every node
+        # distributes: real outlinks or the virtual page) — h and c are
+        # both consumed twice below, pin them
+        hist = (hist.join(cash, "node")
+                .select("node", (F.col("h8") + F.col("c8")).alias("h8"))
+                .localCheckpoint(eager=False))
+        contrib = (e.join(outdeg, "src")
+                   .join(cash.withColumnRenamed("node", "src"), "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.expr("c8 div outdeg")).alias("r"))
+                   .withColumnRenamed("dst", "node"))
+        dang = (cash.join(outdeg.withColumnRenamed("src", "node"),
+                          "node", "left_anti")
+                .agg(F.coalesce(F.sum("c8"), F.lit(0)).cast("long")
+                     .alias("dt")))
+        cash = (nodes.crossJoin(F.broadcast(nn))
+                .crossJoin(F.broadcast(dang))
+                .join(contrib, "node", "left")
+                .select("node",
+                        (F.coalesce(F.col("r"), F.lit(0))
+                         + F.expr("dt div n")).cast("long").alias("c8"))
+                .localCheckpoint(eager=False))
+    tot = (hist.join(cash, "node")
+           .agg(F.sum(F.col("h8") + F.col("c8")).cast("double")
+                .alias("tot")))
+    return (hist.join(cash, "node")
+            .crossJoin(F.broadcast(tot))
+            .select("node", F.col("h8").alias("history8"),
+                    F.col("c8").alias("cash8"),
+                    F.round((F.col("h8") + F.col("c8")).cast("double")
+                            / F.col("tot"), 8).alias("importance")))
+
+
+def host_opic(entries: DataFrame, iters: int = 3) -> DataFrame:
+    """Host-level OPIC from extracted pages — same host-edge derivation
+    as ``host_pagerank``; returns (node=host, rank=importance) so it
+    plugs into ``with_host_rank_priority`` unchanged (the opt-in
+    frontier priority contract)."""
+    edges = (entries
+             .select(host_col("url").alias("src"),
+                     F.explode("links").alias("link"))
+             .select("src", host_col("link").alias("dst"))
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                     & (F.col("src") != F.col("dst"))))
+    return (opic(edges, iters=iters)
+            .select("node", F.col("importance").alias("rank")))
+
+
 def host_pagerank(entries: DataFrame, iters: int = 3,
                   damping: float = 0.85) -> DataFrame:
     """Host-level PageRank from extracted pages: edges = (host(url) →

@@ -2331,6 +2331,77 @@ def events_recrawl_priority(spark, sf_dir):
                       F.round("staleness", 4).alias("staleness"))
 
 
+@q("graph_opic", """
+WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       FROM ed GROUP BY src),
+c0 AS (SELECT node, 100000000::BIGINT AS c8 FROM nodes),
+h0 AS (SELECT node, 0::BIGINT AS h8 FROM nodes),
+h1 AS (SELECT h0.node, h0.h8 + c0.c8 AS h8
+       FROM h0 JOIN c0 ON h0.node = c0.node),
+p1 AS (SELECT e.dst AS node, sum(c.c8 // o.outdeg) AS r
+       FROM ed e JOIN od o ON e.src = o.src JOIN c0 c ON e.src = c.node
+       GROUP BY e.dst),
+d1 AS (SELECT coalesce(sum(c.c8), 0)::BIGINT AS dt
+       FROM c0 c LEFT JOIN od o ON c.node = o.src WHERE o.src IS NULL),
+c1 AS (SELECT nodes.node,
+              (coalesce(p1.r, 0) + (d1.dt // nn.n))::BIGINT AS c8
+       FROM nodes CROSS JOIN nn CROSS JOIN d1
+       LEFT JOIN p1 ON nodes.node = p1.node),
+h2 AS (SELECT h1.node, h1.h8 + c1.c8 AS h8
+       FROM h1 JOIN c1 ON h1.node = c1.node),
+p2 AS (SELECT e.dst AS node, sum(c.c8 // o.outdeg) AS r
+       FROM ed e JOIN od o ON e.src = o.src JOIN c1 c ON e.src = c.node
+       GROUP BY e.dst),
+d2 AS (SELECT coalesce(sum(c.c8), 0)::BIGINT AS dt
+       FROM c1 c LEFT JOIN od o ON c.node = o.src WHERE o.src IS NULL),
+c2 AS (SELECT nodes.node,
+              (coalesce(p2.r, 0) + (d2.dt // nn.n))::BIGINT AS c8
+       FROM nodes CROSS JOIN nn CROSS JOIN d2
+       LEFT JOIN p2 ON nodes.node = p2.node),
+h3 AS (SELECT h2.node, h2.h8 + c2.c8 AS h8
+       FROM h2 JOIN c2 ON h2.node = c2.node),
+p3 AS (SELECT e.dst AS node, sum(c.c8 // o.outdeg) AS r
+       FROM ed e JOIN od o ON e.src = o.src JOIN c2 c ON e.src = c.node
+       GROUP BY e.dst),
+d3 AS (SELECT coalesce(sum(c.c8), 0)::BIGINT AS dt
+       FROM c2 c LEFT JOIN od o ON c.node = o.src WHERE o.src IS NULL),
+c3 AS (SELECT nodes.node,
+              (coalesce(p3.r, 0) + (d3.dt // nn.n))::BIGINT AS c8
+       FROM nodes CROSS JOIN nn CROSS JOIN d3
+       LEFT JOIN p3 ON nodes.node = p3.node),
+tot AS (SELECT CAST(sum(h3.h8 + c3.c8) AS DOUBLE) AS tot
+        FROM h3 JOIN c3 ON h3.node = c3.node)
+SELECT h3.node, h3.h8 AS history8, c3.c8 AS cash8,
+       round(CAST(h3.h8 + c3.c8 AS DOUBLE) / tot.tot, 8) AS importance
+FROM h3 JOIN c3 ON h3.node = c3.node CROSS JOIN tot
+""")
+def graph_opic(spark, sf_dir):
+    """OPIC on-line page importance (Abiteboul, Preda & Cobéna, WWW
+    2003, 3 synchronous rounds) over the same customer→supplier
+    purchase graph as graph_pagerank/graph_hits — the frontier-priority
+    score designed for crawling: cash distributes to outlinks at fetch
+    time, history banks it, importance = (H+C)/Σ(H+C)
+    (crawl/rank.py opic / host_opic; opt-in priority source via
+    with_host_rank_priority).  Cash and history are exact longs (integer
+    floor-division shares, Spark `div` ≡ DuckDB `//`), so the whole
+    trajectory is bit-identical cross-engine; only the final importance
+    ratio is a float (one divide, 8-dp round)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst")))
+    return K.opic(edges, iters=3)
+
+
 # =====================================================================
 # Registry ordering for the driver's correctness gate
 # =====================================================================
@@ -2356,12 +2427,12 @@ _GATE_FIRST = [
     "emb_pq_adc_topk", "events_heavy_hitters_cms", "docs_zipf_stats",
     # round-4 additions (driver-unchecked in r1-r3)
     "events_distinct_users_hll", "docs_bm25_topk", "graph_hits",
-    "events_recrawl_priority",
+    "events_recrawl_priority", "graph_opic",
     # representative §2 core, one per operator family, incl. both flagships
     "orders_page3", "lineitem_top3_per_order",
     "customers_without_recent_orders", "part_search_red",
     "active_suppliers",
-    "nation_customer_rollup", "event_type_counters",
+    "nation_customer_rollup",
     "latest_order_per_customer", "events_page_after",
     "revenue_by_segment", "recent20_events_per_user",
     "docs_exact_dedup", "docs_fingerprint", "docs_token_count",
@@ -2372,7 +2443,7 @@ _GATE_FIRST = [
 # dropped from the gate window to make room for the round-4 additions
 # (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
 # events_after_jan15, orders_mget, docs_json_props,
-# signup_events_with_props
+# signup_events_with_props, event_type_counters
 
 
 def _reorder_registry() -> None:

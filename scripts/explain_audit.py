@@ -149,6 +149,12 @@ CHECKS = {
     # no nested loop
     "graph_hits": ([], ["Window", "CartesianProduct",
                         "BroadcastNestedLoopJoin"]),
+    # OPIC: per-round src-keyed join + dst-keyed integer agg over the
+    # pinned edge list, plus two deliberate single-row broadcasts per
+    # round (node count, dangling total) that compile to
+    # BroadcastNestedLoopJoin on 1-row frames — same annotated pattern
+    # as the other scalar crossJoins.  No window, no cartesian.
+    "graph_opic": ([], ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -96,3 +96,86 @@ def test_hits_duplicate_edges_collapse(spark):
     rd = {x.node: (x.auth, x.hub) for x in K.hits(dup, iters=2).collect()}
     rr = {x.node: (x.auth, x.hub) for x in K.hits(ded, iters=2).collect()}
     assert rd == rr
+
+
+# ----------------------------------------------------------- OPIC
+def test_opic_hand_graph_three_rounds(spark):
+    # a->b, a->c, b->c — integer-exact cash/history trajectory by hand
+    # (init 1e8 each; c is dangling -> virtual-page uniform respray):
+    # r1: shares a->{b,c} 5e7, b->c 1e8, dangling dt=1e8 -> respray 33333333
+    #     c = (33333333, 83333333, 183333333), h = (1e8, 1e8, 1e8)
+    # r2: a 33333333//2=16666666, b->c 83333333, dt=183333333 -> 61111111
+    #     c = (61111111, 77777777, 161111110)
+    #     h = (133333333, 183333333, 283333333)
+    # r3: a 61111111//2=30555555, b->c 77777777, dt=161111110 -> 53703703
+    #     c = (53703703, 84259258, 162037035)
+    #     h = (194444444, 261111110, 444444443)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    rows = {x.node: x for x in K.opic(edges, iters=3).collect()}
+    assert (rows["a"].history8, rows["a"].cash8) == (194444444, 53703703)
+    assert (rows["b"].history8, rows["b"].cash8) == (261111110, 84259258)
+    assert (rows["c"].history8, rows["c"].cash8) == (444444443, 162037035)
+    tot = sum(r.history8 + r.cash8 for r in rows.values())
+    assert tot == 1199999993          # 3e8 minus 7 units of div remainder
+    for n, r in rows.items():
+        assert r.importance == round((r.history8 + r.cash8) / tot, 8)
+    # the sink accumulates the most importance, the source the least
+    assert rows["c"].importance > rows["b"].importance > rows["a"].importance
+
+
+def test_opic_duplicate_edges_collapse(spark):
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c")], ["src", "dst"])
+    ded = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"])
+    rd = {x.node: (x.history8, x.cash8) for x in K.opic(dup, iters=2).collect()}
+    rr = {x.node: (x.history8, x.cash8) for x in K.opic(ded, iters=2).collect()}
+    assert rd == rr
+
+
+def test_opic_cash_conservation_up_to_div_remainders(spark):
+    # CASH is conserved round-over-round (history BANKS each round's
+    # distributed cash, so H+C grows to (iters+1)·n·1e8 by design):
+    # per round the circulating total shrinks only by the integer-div
+    # remainders — < outdeg units per distributing node plus < n at the
+    # virtual page
+    iters, edges_list = 4, [("a", "b"), ("b", "c"), ("c", "d"),
+                            ("d", "a"), ("a", "c"), ("b", "d")]
+    edges = spark.createDataFrame(edges_list, ["src", "dst"])
+    rows = K.opic(edges, iters=iters).collect()
+    n, n_edges = len(rows), len(edges_list)
+    cash = sum(r.cash8 for r in rows)
+    loss_bound = iters * (n_edges + n)
+    assert n * 100_000_000 - loss_bound <= cash <= n * 100_000_000
+    tot = sum(r.history8 + r.cash8 for r in rows)
+    assert (iters + 1) * n * 100_000_000 - (iters + 1) * loss_bound \
+        <= tot <= (iters + 1) * n * 100_000_000
+
+
+def test_opic_star_graph_center_hoards_importance(spark):
+    edges = spark.createDataFrame(
+        [(f"s{i}", "center") for i in range(5)], ["src", "dst"])
+    rows = {x.node: x for x in K.opic(edges, iters=2).collect()}
+    assert all(rows["center"].importance > rows[f"s{i}"].importance
+               for i in range(5))
+
+
+def test_host_opic_plugs_into_priority_join(spark):
+    # host_opic emits (node, rank) — the with_host_rank_priority contract
+    entries = spark.createDataFrame(
+        [("http://a.com/x", ["http://b.com/y", "http://a.com/self"]),
+         ("http://b.com/z", ["http://a.com/q"])],
+        ["url", "links"])
+    ranks = K.host_opic(entries, iters=2)
+    assert ranks.columns == ["node", "rank"]
+    r = {x.node: x.rank for x in ranks.collect()}
+    assert set(r) == {"a.com", "b.com"}          # self-loop dropped
+    assert r["a.com"] == r["b.com"] == 0.5       # symmetric 2-cycle
+    frontier = spark.createDataFrame(
+        [("http://a.com/1", 7), ("http://nowhere.org/2", 7)],
+        ["url", "priority"])
+    out = {x.url: x.priority for x in
+           K.with_host_rank_priority(frontier, ranks).collect()}
+    assert out["http://a.com/1"] == 500_000
+    assert out["http://nowhere.org/2"] == 0
