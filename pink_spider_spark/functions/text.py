@@ -391,3 +391,59 @@ def simhash_vectorized(df: DataFrame, text_col: str = "text",
     # (no-op at scale — fanout.fan_out)
     return fan_out(df.select(id_col, text_col)) \
         .mapInPandas(run, schema=out_schema)
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       n_blocks: int = 4,
+                       bits: int = HASH_BITS) -> DataFrame:
+    """SimHash Hamming near-duplicate pairs (Manku, Jain & Das Sarma,
+    WWW 2007 — the Google web-crawl near-dup detector) → (id_a, id_b,
+    hamming) with ``hamming ≤ max_hamming`` and ``id_a < id_b``.
+
+    The block trick: split each ``bits``-wide simhash into ``n_blocks``
+    contiguous blocks; any pair within Hamming distance ``max_hamming <
+    n_blocks`` differs in at most ``max_hamming`` blocks, so BY
+    PIGEONHOLE at least one block is identical — candidate generation is
+    an exact-recall (block_idx, block_value) equi-join, never an
+    all-pairs scan.  Verification is one in-row
+    ``bit_count(xor)`` per candidate.
+
+    Scale shape (100 TB): signatures come from the vectorized numpy
+    pass (zero shuffles); candidates are a bucket-keyed hash join —
+    identical shape to MinHash-LSH banding — with row amplification
+    exactly ``n_blocks``; the distinct and the Hamming filter are keyed
+    on the pair.  Skew surface: a block value shared by k docs yields
+    k² candidates in that bucket — the same exact-dup hot-bucket every
+    banded scheme has; run exact dedup first (as the reference pipeline
+    does) or raise n_blocks to narrow buckets.
+
+    Cross-engine determinism is structural: simhashes are exact longs
+    (< 2^60, so arithmetic vs logical shift is moot), blocks are
+    shift+mask integer ops, and Spark's ``bit_count``/``^`` match
+    DuckDB's ``bit_count``/``xor`` on two's-complement BIGINTs."""
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    sh = (simhash_vectorized(df, text_col, id_col)
+          # both join sides consume the signature frame — compute the
+          # (mapInPandas) signature pass once, not twice
+          .localCheckpoint(eager=False))
+    blocks = (sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"))
+        .withColumn("bv", F.expr(f"shiftright(simhash, blk * {block_bits})")
+                    .bitwiseAND(F.lit(mask))))
+    a = blocks.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "blk", "bv")
+    b = blocks.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "blk", "bv")
+    return (a.join(b, ["blk", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct()                      # a pair may share >1 block
+            .withColumn("hamming",
+                        F.bit_count(F.col("sh_a")
+                                    .bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", F.col("hamming").cast("long")
+                    .alias("hamming")))

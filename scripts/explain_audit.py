@@ -155,6 +155,11 @@ CHECKS = {
     # BroadcastNestedLoopJoin on 1-row frames — same annotated pattern
     # as the other scalar crossJoins.  No window, no cartesian.
     "graph_opic": ([], ["Window", "CartesianProduct"]),
+    # SimHash near-dup pairs: candidates from the (block, value)
+    # equi-join — hash join, never nested-loop/cartesian pairing, no
+    # window; verification is an in-row bit_count(xor)
+    "docs_simhash_near_pairs": ([], ["BroadcastNestedLoopJoin",
+                                     "CartesianProduct", "Window"]),
 }
 
 # builders audited outside the registered query surface

@@ -346,3 +346,40 @@ def test_banded_lsh_signatures_vectorized_bit_equal(spark):
     vec = {(r.vec_id, r.band): r.bucket
            for r in S.banded_lsh_signatures_vectorized(df, 16, 4).collect()}
     assert rel == vec and len(rel) > 0
+
+
+def test_simhash_near_pairs_exact_recall_vs_brute_force(spark):
+    """The Manku block-join candidate generation is EXACT for
+    Hamming <= 3 (pigeonhole over 4 blocks): its output must equal the
+    brute-force all-pairs Hamming filter over real corpus text."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = {r.doc_id: r.simhash
+          for r in X.simhash_vectorized(docs).collect()}
+    ids = sorted(sh)
+    brute = {(a, b): bin(sh[a] ^ sh[b]).count("1")
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sh[a] ^ sh[b]).count("1") <= 3}
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in X.simhash_near_pairs(docs).collect()}
+    assert got == brute
+    assert len(got) > 0          # the corpus actually has near-dups
+
+
+def test_simhash_near_pairs_identical_docs_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"),
+         Row(doc_id=2, text="alpha beta gamma delta"),
+         Row(doc_id=3, text="unrelated cooking words entirely")])
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in X.simhash_near_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert all(a < b for a, b in got)          # canonical pair order
+
+
+def test_simhash_near_pairs_multi_block_match_emitted_once(spark):
+    # identical docs share ALL 4 blocks — the pair must still appear
+    # exactly once (distinct before the Hamming verify)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z"), Row(doc_id=2, text="x y z")])
+    rows = X.simhash_near_pairs(df).collect()
+    assert len(rows) == 1 and rows[0].hamming == 0
