@@ -1071,3 +1071,63 @@ def zipf_stats(df: DataFrame, text_col: str = "text",
         F.col("top.token").alias("top_token"),
         (-F.col("top.nc")).cast("long").alias("top_freq"),
         (num.cast("double") / den.cast("double")).alias("zipf_slope"))
+
+
+# ------------------------------------------- Kneser-Ney bigram LM
+def kn_bigram_bits(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   discount: float = 0.75) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM quality score (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.2, absolute discounting d=0.75) →
+    (id, n_bigrams, kn_bits): the per-document bits-per-bigram under a
+    bigram model trained on the corpus itself — the smoothed upgrade of
+    ``unigram_logprob`` and the relational skeleton of the CCNet/KenLM
+    perplexity filter.  KN's continuation probability scores a word by
+    how many DISTINCT contexts it follows, not how often it occurs —
+    the canonical fix for high-frequency-but-context-bound tokens
+    (boilerplate soup scores worse than its raw token frequencies
+    suggest).
+
+        P(w2|w1) = (c(w1,w2) − d)/c(w1·) + (d·N1+(w1,·)/c(w1·)) · Pcont
+        Pcont(w2) = N1+(·,w2) / |bigram types|
+
+    Self-trained, every scored bigram has c ≥ 1 > d, so P > 0 with no
+    OOV branch.  Documents with fewer than 2 tokens emit no row.
+
+    Scale shape: bigrams derive in-row (arrays_zip of two slices —
+    native codegen, no interpreted lambda, no position self-join); the
+    model is three linear type-keyed aggs over the (w1,w2) count table
+    plus one 1-row total broadcast, assembled TYPE-level (vocab-sized,
+    sublinear in corpus) before the single occurrence-keyed scoring
+    join; per-doc reduction is one keyed avg.  Corpus scanned twice
+    (model + scoring), the same contract as unigram_logprob.
+
+    Determinism: every model input is an exact integer count; P is one
+    pinned-order double chain replayed verbatim by the SQL oracle, and
+    the per-doc −avg(log2 P) is rounded to 4 dp (the established
+    transcendental-absorption contract from unigram_logprob)."""
+    tk = X.tokens(F.lower(F.col(text_col)))
+    m = F.size(tk)
+    occ = (fan_out(df.select(id_col, text_col))
+           .select(F.col(id_col),
+                   F.explode(F.when(m >= 2, F.arrays_zip(
+                       F.slice(tk, 1, m - 1),
+                       F.slice(tk, 2, m - 1)))).alias("bg"))
+           .select(id_col, F.col("bg.0").alias("w1"),
+                   F.col("bg.1").alias("w2")))
+    c2 = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"),
+                              F.count("*").alias("n1f"))
+    nb = c2.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tt = c2.agg(F.count("*").cast("double").alias("t"))
+    d = F.lit(discount)
+    model = (c2.join(c1, "w1").join(nb, "w2")
+             .crossJoin(F.broadcast(tt))
+             .select("w1", "w2",
+                     ((F.col("c2").cast("double") - d) / F.col("c1")
+                      + (d * F.col("n1f") / F.col("c1"))
+                      * (F.col("n1b") / F.col("t"))).alias("p")))
+    return (occ.join(model, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(-F.avg(F.log2(F.col("p"))), 4).alias("kn_bits")))

@@ -1324,6 +1324,43 @@ def docs_unigram_logprob(spark, sf_dir):
     return W.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_kn_bigram_bits", """
+WITH tkv AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+') AS tk
+             FROM documents),
+occ AS (SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        FROM tkv, UNNEST(range(1, len(tk))) g(i)),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM occ GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS n1f
+       FROM c2 GROUP BY w1),
+nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM c2),
+model AS (SELECT c2.w1, c2.w2,
+                 ((CAST(c2.c2 AS DOUBLE) - 0.75) / c1.c1)
+                 + ((0.75 * c1.n1f / c1.c1) * (nb.n1b / tt.t)) AS p
+          FROM c2 JOIN c1 USING (w1) JOIN nb ON c2.w2 = nb.w2
+          CROSS JOIN tt)
+SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(log2(m.p)), 4) AS kn_bits
+FROM occ o JOIN model m ON o.w1 = m.w1 AND o.w2 = m.w2
+GROUP BY o.doc_id
+""")
+def docs_kn_bigram_bits(spark, sf_dir):
+    """Kneser-Ney-smoothed bigram LM quality score (Kneser & Ney 1995;
+    Chen & Goodman 1998, d=0.75): per-doc bits-per-bigram under a
+    corpus-trained bigram model with continuation-count smoothing —
+    the smoothed upgrade of docs_unigram_logprob and the relational
+    skeleton of the CCNet/KenLM perplexity filter
+    (functions/webtext.py kn_bigram_bits).  Bigrams derive in-row
+    (arrays_zip of slices, native codegen); the model is three linear
+    type-keyed aggs assembled vocab-level before one occurrence-keyed
+    scoring join.  All model inputs are exact integer counts; P is a
+    pinned-order double chain; 4-dp round after the per-doc avg."""
+    return W.kn_bigram_bits(_t(spark, sf_dir, "documents"))
+
+
 @q("docs_filter_pipeline", """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
            FROM documents),
@@ -2468,6 +2505,7 @@ _GATE_FIRST = [
     # round-4 additions (driver-unchecked in r1-r3)
     "events_distinct_users_hll", "docs_bm25_topk", "graph_hits",
     "events_recrawl_priority", "graph_opic", "docs_simhash_near_pairs",
+    "docs_kn_bigram_bits",
     # representative §2 core, one per operator family, incl. both flagships
     "orders_page3", "lineitem_top3_per_order",
     "customers_without_recent_orders", "part_search_red",
@@ -2476,14 +2514,15 @@ _GATE_FIRST = [
     "latest_order_per_customer", "events_page_after",
     "revenue_by_segment", "recent20_events_per_user",
     "docs_exact_dedup", "docs_fingerprint",
-    "docs_quality", "docs_langid", "docs_minhash_lsh_pairs",
+    "docs_quality", "docs_minhash_lsh_pairs",
     "docs_simhash", "emb_knn_of_vec0",
     "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
 ]
 # dropped from the gate window to make room for the round-4 additions
 # (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
 # events_after_jan15, orders_mget, docs_json_props,
-# signup_events_with_props, event_type_counters, docs_token_count
+# signup_events_with_props, event_type_counters, docs_token_count,
+# docs_langid
 
 
 def _reorder_registry() -> None:

@@ -160,6 +160,11 @@ CHECKS = {
     # window; verification is an in-row bit_count(xor)
     "docs_simhash_near_pairs": ([], ["BroadcastNestedLoopJoin",
                                      "CartesianProduct", "Window"]),
+    # KN bigram LM: in-row bigram derivation (arrays_zip of slices),
+    # three linear type-keyed aggs + keyed scoring join + one 1-row
+    # total broadcast — no window, no cartesian
+    "docs_kn_bigram_bits": (["HashAggregate"],
+                            ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

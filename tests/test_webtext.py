@@ -581,3 +581,77 @@ def test_contamination_vectorized_equals_relational(spark):
                                     vectorized=True).collect()}
     assert rel == vec and len(rel) > 100
     assert any(v[3] for v in rel.values())
+
+
+# ------------------------------------------- Kneser-Ney bigram LM
+def test_kn_bigram_hand_corpus(spark):
+    # doc1 = "a b a b": occ (a,b)x2 (b,a)x1 ; doc2 = "a b c"
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=(3,1) b=(2,2) ; n1b: a=b=c=1 ; T=3
+    # P(b|a) = 2.25/3 + (0.75/3)(1/3) = 5/6
+    # P(a|b) = P(c|b) = 0.25/2 + 0.75*(1/3) = 0.375
+    import math
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.kn_bigram_bits(df).collect()}
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 2
+    p_ab, p_ba = 5.0 / 6.0, 0.375
+    assert out[1].kn_bits == round(
+        -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 4)    # 0.647
+    assert out[2].kn_bits == round(
+        -(math.log2(p_ab) + math.log2(p_ba)) / 2, 4)        # 0.839
+
+
+def test_kn_bigram_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "two tokens")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.kn_bigram_bits(df).collect()}
+    assert set(out) == {4}
+    assert out[4].n_bigrams == 1 and out[4].kn_bits == 0.0  # P=1 exactly
+
+
+def test_kn_bigram_python_twin_on_corpus(spark):
+    """Spark == a pure-Python KN twin on real corpus text, doc by doc."""
+    import math
+    from collections import Counter
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    occ = []
+    for did, text in rows:
+        tk = text.lower().strip(" ").split()
+        tk = __import__("re").split(r"\s+", text.lower().strip(" "))
+        occ += [(did, tk[i], tk[i + 1]) for i in range(len(tk) - 1)]
+    c2 = Counter((w1, w2) for _, w1, w2 in occ)
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    t = float(len(c2))
+    exp = {}
+    for did in {d for d, _, _ in occ}:
+        ps = [((c2[(w1, w2)] - 0.75) / c1[w1])
+              + ((0.75 * n1f[w1] / c1[w1]) * (n1b[w2] / t))
+              for d, w1, w2 in occ if d == did]
+        exp[did] = round(-sum(math.log2(p) for p in ps) / len(ps), 4)
+    got = {r.doc_id: r.kn_bits for r in W.kn_bigram_bits(docs).collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The defining KN property: Pcont scores a word by DISTINCT left
+    contexts, not raw frequency — 'francisco' (frequent, one context)
+    must get a SMALLER continuation share than 'city' (same frequency,
+    many contexts)."""
+    text = ("san francisco san francisco san francisco san francisco "
+            "new city old city big city small city")
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    tk = text.split()
+    occ = [(tk[i], tk[i + 1]) for i in range(len(tk) - 1)]
+    from collections import Counter
+    c2 = Counter(occ)
+    n1b = Counter(w2 for (_, w2) in c2)
+    assert n1b["francisco"] == 1 and n1b["city"] == 4
+    # and the operator runs green over it
+    out = W.kn_bigram_bits(df).collect()
+    assert len(out) == 1 and out[0].n_bigrams == len(occ)
