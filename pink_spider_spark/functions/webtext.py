@@ -1131,3 +1131,59 @@ def kn_bigram_bits(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(-F.avg(F.log2(F.col("p"))), 4).alias("kn_bits")))
+
+
+# ------------------------------------------- source-mixture rebalance
+def rebalance_to_mixture(df: DataFrame, strata_col: str = "source",
+                         id_col: str = "doc_id",
+                         weights: dict | None = None) -> DataFrame:
+    """Deterministic source-mixture rebalancing (the data-mixing step of
+    a training pipeline, cf. DoReMi / The Pile's domain weights): keep
+    the LARGEST subsample whose stratum proportions match the target
+    ``weights`` (integer weight per stratum; default uniform).  Unlike
+    ``stratified_sample`` the per-stratum rates are not user inputs —
+    they are DERIVED from the measured counts: the bottleneck stratum
+    s* = argmin c_s/w_s is kept whole and every other stratum is
+    down-sampled by p_s = (c*·w_s)/(w*·c_s), so expected kept counts
+    are proportional to the weights with nothing wasted.
+
+    Scale shape: one stratum-keyed count agg (broadcast back — strata
+    are few by definition) + a 1-row bottleneck broadcast; the keep
+    decision is a pure in-row predicate, no second shuffle.
+
+    Determinism: acceptance is the hash gate h60('mix-'‖id) compared
+    against the EXACT rational threshold by integer cross-
+    multiplication — h·(w*·c_s) < (c*·w_s)·2^60 in DECIMAL(38,0)
+    (exact up to ~10^12-row strata × 10^6 weights; the SQL oracle uses
+    HUGEINT) — so no float boundary can flip a row between engines.
+    The bottleneck argmin's ratio compare is double, tie-broken by
+    stratum name."""
+    cnt = df.groupBy(strata_col).agg(F.count("*").alias("c"))
+    if weights:
+        w_expr = F.lit(None).cast("long")
+        for key, wv in sorted(weights.items()):
+            w_expr = F.when(F.col(strata_col) == key,
+                            F.lit(int(wv))).otherwise(w_expr)
+        cnt = cnt.withColumn("w", w_expr)
+        if cnt.filter(F.col("w").isNull()).limit(1).count():
+            raise ValueError("weights missing for some strata")
+    else:
+        cnt = cnt.withColumn("w", F.lit(1).cast("long"))
+    star = (cnt.select(F.col(strata_col).alias("s_star"),
+                       F.col("c").alias("c_star"),
+                       F.col("w").alias("w_star"),
+                       (F.col("c").cast("double") / F.col("w"))
+                       .alias("ratio"))
+            .orderBy("ratio", "s_star").limit(1)
+            .drop("ratio"))
+    h = X.h60(F.concat(F.lit("mix-"), F.col(id_col).cast("string")))
+    keep = (h.cast("decimal(38,0)")
+            * (F.col("w_star").cast("decimal(19,0)")
+               * F.col("c").cast("decimal(19,0)")).cast("decimal(38,0)")
+            < (F.col("c_star").cast("decimal(19,0)")
+               * F.col("w").cast("decimal(19,0)")).cast("decimal(38,0)")
+            * F.lit(2 ** 60).cast("decimal(38,0)"))
+    return (df.join(F.broadcast(cnt), strata_col)
+            .crossJoin(F.broadcast(star))
+            .filter(keep)
+            .select(id_col, strata_col))

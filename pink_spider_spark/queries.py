@@ -1276,6 +1276,35 @@ def docs_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang", "source"))
 
 
+@q("docs_source_rebalance", """
+WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c,
+                    CAST(1 + (CAST(substr(source, 4) AS INT) % 3)
+                         AS BIGINT) AS w
+             FROM documents GROUP BY source),
+star AS (SELECT c AS c_star, w AS w_star
+         FROM cnt ORDER BY CAST(c AS DOUBLE) / w, source LIMIT 1)
+SELECT d.doc_id, d.source
+FROM documents d JOIN cnt ON d.source = cnt.source CROSS JOIN star
+WHERE CAST(('0x' || substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)),
+                           1, 15))::BIGINT AS HUGEINT)
+      * (star.w_star * cnt.c)
+    < CAST(star.c_star * cnt.w AS HUGEINT) * 1152921504606846976
+""")
+def docs_source_rebalance(spark, sf_dir):
+    """Deterministic source-mixture rebalancing (data mixing, cf.
+    DoReMi / The Pile domain weights): derive per-source keep rates
+    from MEASURED counts so the kept corpus matches target weights
+    w(src_i) = 1 + i mod 3, bottleneck source kept whole
+    (functions/webtext.py rebalance_to_mixture).  Acceptance is the
+    h60 hash gate against the exact rational threshold by integer
+    cross-multiplication (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT) —
+    no float boundary can flip a row."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    weights = {s: 1 + int(s[3:]) % 3 for s in srcs}
+    return W.rebalance_to_mixture(docs, "source", "doc_id", weights)
+
+
 @q("docs_decontaminate", """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
            FROM documents),
@@ -2505,7 +2534,7 @@ _GATE_FIRST = [
     # round-4 additions (driver-unchecked in r1-r3)
     "events_distinct_users_hll", "docs_bm25_topk", "graph_hits",
     "events_recrawl_priority", "graph_opic", "docs_simhash_near_pairs",
-    "docs_kn_bigram_bits",
+    "docs_kn_bigram_bits", "docs_source_rebalance",
     # representative §2 core, one per operator family, incl. both flagships
     "orders_page3", "lineitem_top3_per_order",
     "customers_without_recent_orders", "part_search_red",
@@ -2514,7 +2543,7 @@ _GATE_FIRST = [
     "latest_order_per_customer", "events_page_after",
     "revenue_by_segment", "recent20_events_per_user",
     "docs_exact_dedup", "docs_fingerprint",
-    "docs_quality", "docs_minhash_lsh_pairs",
+    "docs_minhash_lsh_pairs",
     "docs_simhash", "emb_knn_of_vec0",
     "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
 ]
@@ -2522,7 +2551,7 @@ _GATE_FIRST = [
 # (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
 # events_after_jan15, orders_mget, docs_json_props,
 # signup_events_with_props, event_type_counters, docs_token_count,
-# docs_langid
+# docs_langid, docs_quality
 
 
 def _reorder_registry() -> None:

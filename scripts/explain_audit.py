@@ -165,6 +165,12 @@ CHECKS = {
     # total broadcast — no window, no cartesian
     "docs_kn_bigram_bits": (["HashAggregate"],
                             ["Window", "CartesianProduct"]),
+    # mixture rebalance: one stratum count agg broadcast back + a 1-row
+    # bottleneck broadcast; keep decision is in-row — no second
+    # shuffle, no window, no cartesian
+    "docs_source_rebalance": (["BroadcastHashJoin"],
+                              ["Window", "CartesianProduct",
+                               "SortMergeJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -655,3 +655,58 @@ def test_kn_continuation_beats_raw_frequency(spark):
     # and the operator runs green over it
     out = W.kn_bigram_bits(df).collect()
     assert len(out) == 1 and out[0].n_bigrams == len(occ)
+
+
+# ------------------------------------------- source-mixture rebalance
+def test_rebalance_uniform_balanced_corpus_keeps_everything(spark):
+    rows = [(i, f"s{i % 4}") for i in range(200)]   # 4 strata x 50
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = W.rebalance_to_mixture(df).collect()
+    assert len(kept) == 200        # p_s = 1 for every stratum
+
+
+def test_rebalance_python_twin_and_bottleneck_kept_whole(spark):
+    import hashlib
+    rows = ([(i, "big") for i in range(300)]
+            + [(1000 + i, "small") for i in range(60)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = {(r.doc_id, r.source)
+            for r in W.rebalance_to_mixture(df).collect()}
+    # twin: c*=60 (small), keep iff h60('mix-'||id) * c_s < 60 * 2^60
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exp = {(i, s) for i, s in rows
+           if h60(f"mix-{i}") * (300 if s == "big" else 60) < 60 * 2 ** 60}
+    assert kept == exp
+    assert {(i, s) for i, s in rows if s == "small"} <= kept  # whole
+    n_big = sum(1 for _, s in kept if s == "big")
+    assert 40 <= n_big <= 80       # ~60 expected, hash-deterministic
+
+
+def test_rebalance_weighted_targets(spark):
+    import hashlib
+    rows = ([(i, "a") for i in range(120)]
+            + [(500 + i, "b") for i in range(120)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = {(r.doc_id, r.source) for r in
+            W.rebalance_to_mixture(df, weights={"a": 3, "b": 1}).collect()}
+    # ratios c/w: a 40, b 120 -> bottleneck a (kept whole);
+    # p_b = (120*1)/(3*120) = 1/3
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exp = {(i, s) for i, s in rows
+           if s == "a"
+           or h60(f"mix-{i}") * 3 * 120 < 120 * 1 * 2 ** 60}
+    assert kept == exp
+    assert {(i, s) for i, s in rows if s == "a"} <= kept
+
+
+def test_rebalance_missing_weight_raises(spark):
+    import pytest
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        W.rebalance_to_mixture(df, weights={"a": 1}).collect()
