@@ -42,6 +42,10 @@ HEADLINE = [
     "docs_bm25_topk",
     "events_distinct_users_hll",
     "events_recrawl_priority",
+    "graph_opic",
+    "docs_simhash_near_pairs",
+    "docs_kn_bigram_bits",
+    "docs_source_rebalance",
 ]
 
 

@@ -171,6 +171,11 @@ CHECKS = {
     "docs_source_rebalance": (["BroadcastHashJoin"],
                               ["Window", "CartesianProduct",
                                "SortMergeJoin"]),
+    # composed simhash dedup: block-join pair generation + star-CC
+    # rounds — keyed joins and linear aggs only, no window, no
+    # cartesian, no nested-loop pairing
+    "docs_simhash_dedup_clusters": ([], ["Window", "CartesianProduct",
+                                         "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface
