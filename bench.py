@@ -46,6 +46,7 @@ HEADLINE = [
     "docs_simhash_near_pairs",
     "docs_kn_bigram_bits",
     "docs_source_rebalance",
+    "docs_simhash_dedup_clusters",
 ]
 
 
