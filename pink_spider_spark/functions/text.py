@@ -447,3 +447,71 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", F.col("hamming").cast("long")
                     .alias("hamming")))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      threshold: float = 0.8) -> DataFrame:
+    """Exact shingle CONTAINMENT pairs (Broder 1997, "On the resemblance
+    and containment of documents"): directed (contained_id,
+    container_id, containment) with C(A,B) = |S(A)∩S(B)|/|S(A)| ≥
+    ``threshold`` — the ASYMMETRIC near-dup relation every symmetric
+    measure misses: a short document quoted wholesale inside a long one
+    has high containment but low Jaccard/cosine, so jaccard-based dedup
+    keeps both copies.  Quote/subset detection is the production use.
+
+    Exact-recall prefix filter, containment-adapted from the PPJoin
+    argument (``ngram_jaccard_pairs_prefix``): overlap ≥ ceil(t·|A|)
+    forces A's ``|A| − ceil(t·|A|) + 1`` globally-rarest shingles to hit
+    S(B) at least once — so the candidate join keys A's PREFIX against
+    B's FULL shingle set (containment constrains only the contained
+    side, hence the asymmetric index: prefix probe → full inverted
+    list).  A size filter t·|A| ≤ |B| prunes impossible directions
+    before verification; verification touches candidate pairs only.
+
+    Scale note: the full-side posting lists are hot-shingle skewed
+    (unlike the jaccard form's prefix-to-prefix join) — but a hot
+    shingle enters the probe side only for documents where it ranks
+    among the RAREST, so bucket sizes are (probe-side-sparse ×
+    posting-list) rather than quadratic; raise ``threshold`` (shorter
+    prefixes) or pre-drop exact dups to shrink further.  All stages are
+    keyed hash joins + per-doc windows — no cartesian."""
+    sh = shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+    prefix = (
+        sh.join(freq, "shingle")
+        .join(sizes, id_col)
+        .withColumn("__rank", F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df_freq", "shingle")))
+        .filter(F.col("__rank") <=
+                F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select(id_col, "shingle", "n_sh")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .filter(F.lit(threshold) * F.col("n_a") <= F.col("n_b"))
+        .select("id_a", "id_b", "n_a")
+        .distinct()
+    )
+    inter = (
+        cand
+        .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"),
+              ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter
+        .withColumn("containment", F.round(
+            F.col("n_common") / F.col("n_a"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select(F.col("id_a").alias("contained_id"),
+                F.col("id_b").alias("container_id"), "containment")
+    )

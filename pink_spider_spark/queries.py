@@ -591,6 +591,46 @@ def docs_simhash_near_pairs(spark, sf_dir):
     return X.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_containment_pairs", """
+WITH sh AS (SELECT DISTINCT doc_id, substr(text, s.i, 12) AS shingle
+            FROM documents, UNNEST(range(1, length(text) - 10)) s(i)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+freq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df_freq
+         FROM sh GROUP BY shingle),
+prefix AS (SELECT doc_id, shingle, n_sh FROM (
+    SELECT s.doc_id, s.shingle, z.n_sh,
+           row_number() OVER (PARTITION BY s.doc_id
+                              ORDER BY f.df_freq, s.shingle) AS rk
+    FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id))
+  WHERE rk <= n_sh - ceil(0.8 * n_sh) + 1),
+cand AS (SELECT DISTINCT p.doc_id AS id_a, s.doc_id AS id_b,
+                p.n_sh AS n_a
+         FROM prefix p JOIN sh s USING (shingle)
+         JOIN sizes z ON s.doc_id = z.doc_id
+         WHERE p.doc_id <> s.doc_id AND 0.8 * p.n_sh <= z.n_sh),
+inter AS (SELECT c.id_a, c.id_b, c.n_a, count(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b, c.n_a)
+SELECT id_a AS contained_id, id_b AS container_id,
+       round(n_common / CAST(n_a AS DOUBLE), 4) AS containment
+FROM inter WHERE round(n_common / CAST(n_a AS DOUBLE), 4) >= 0.8
+""")
+def docs_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup detection — exact shingle CONTAINMENT pairs
+    (Broder 1997): C(A,B) = |S(A)∩S(B)|/|S(A)| ≥ 0.8 over 12-char
+    shingles, the relation symmetric jaccard/cosine dedup misses (a
+    short doc quoted wholesale inside a long one).  Exact-recall
+    containment-adapted prefix filter: A's rarest-shingle PREFIX probes
+    B's FULL inverted list, size filter t·|A| ≤ |B|, verification on
+    candidates only (functions/text.py containment_pairs — keyed hash
+    joins + per-doc windows, no cartesian)."""
+    return X.containment_pairs(_t(spark, sf_dir, "documents"),
+                               k=12, threshold=0.8)
+
+
 @q("docs_simhash_dedup_clusters", "WITH RECURSIVE " + _SIMHASH_PAIRS_CTES
    + """
 , edges AS (SELECT id_a AS src, id_b AS dst FROM sh_pairs
@@ -2580,7 +2620,7 @@ _GATE_FIRST = [
     "events_distinct_users_hll", "docs_bm25_topk", "graph_hits",
     "events_recrawl_priority", "graph_opic", "docs_simhash_near_pairs",
     "docs_kn_bigram_bits", "docs_source_rebalance",
-    "docs_simhash_dedup_clusters",
+    "docs_simhash_dedup_clusters", "docs_containment_pairs",
     # representative §2 core, one per operator family, incl. both flagships
     "orders_page3", "lineitem_top3_per_order",
     "customers_without_recent_orders", "part_search_red",
@@ -2588,7 +2628,6 @@ _GATE_FIRST = [
     "nation_customer_rollup",
     "latest_order_per_customer", "events_page_after",
     "revenue_by_segment", "recent20_events_per_user",
-    "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_simhash", "emb_knn_of_vec0",
     "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
@@ -2597,7 +2636,7 @@ _GATE_FIRST = [
 # (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
 # events_after_jan15, orders_mget, docs_json_props,
 # signup_events_with_props, event_type_counters, docs_token_count,
-# docs_langid, docs_quality, docs_fingerprint
+# docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup
 
 
 def _reorder_registry() -> None:

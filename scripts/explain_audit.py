@@ -176,6 +176,11 @@ CHECKS = {
     # cartesian, no nested-loop pairing
     "docs_simhash_dedup_clusters": ([], ["Window", "CartesianProduct",
                                          "BroadcastNestedLoopJoin"]),
+    # containment: per-doc prefix window + keyed shingle hash joins —
+    # the Window is the per-doc rank (partitioned, never global); no
+    # cartesian, no nested loop
+    "docs_containment_pairs": ([], ["CartesianProduct",
+                                    "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -383,3 +383,37 @@ def test_simhash_near_pairs_multi_block_match_emitted_once(spark):
         [Row(doc_id=1, text="x y z"), Row(doc_id=2, text="x y z")])
     rows = X.simhash_near_pairs(df).collect()
     assert len(rows) == 1 and rows[0].hamming == 0
+
+
+def test_containment_detects_quote_that_jaccard_misses(spark):
+    # B contains A wholesale but is much longer: containment(A,B) = 1.0
+    # while J(A,B) is far below threshold — the asymmetric case
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a + " " + "totally different continuation text " * 8
+    df = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    got = {(r.contained_id, r.container_id): r.containment
+           for r in X.containment_pairs(df, k=5, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}        # directed: only A-in-B, not B-in-A
+    jac = X.ngram_jaccard_pairs(df, k=5, threshold=0.9).collect()
+    assert jac == []                   # symmetric jaccard misses it
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """Prefix-filtered containment must equal the naive all-ordered-pairs
+    brute force on real corpus text (exact recall of the prefix probe)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = {r.doc_id: set() for r in docs.collect()}
+    for r in docs.collect():
+        t = r.text
+        sh[r.doc_id] = {t[i:i + 12] for i in range(len(t) - 11)}
+    brute = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and sa:
+                c = round(len(sa & sb) / len(sa), 4)
+                if c >= 0.8:
+                    brute[(a, b)] = c
+    got = {(r.contained_id, r.container_id): r.containment
+           for r in X.containment_pairs(docs, k=12,
+                                        threshold=0.8).collect()}
+    assert got == brute and len(got) > 0

@@ -35,7 +35,7 @@ def test_registry_and_oracles_aligned():
 
 def test_no_duplicate_names():
     assert len(_GATE_FIRST) == len(set(_GATE_FIRST))
-    assert len(QUERY_BUILDERS) == 83
+    assert len(QUERY_BUILDERS) == 84
 
 
 def test_gate_window_holds_round4_operators():
@@ -43,5 +43,6 @@ def test_gate_window_holds_round4_operators():
     for name in ("events_distinct_users_hll", "docs_bm25_topk",
                  "graph_hits", "events_recrawl_priority", "graph_opic",
                  "docs_simhash_near_pairs", "docs_kn_bigram_bits",
-                 "docs_source_rebalance", "docs_simhash_dedup_clusters"):
+                 "docs_source_rebalance", "docs_simhash_dedup_clusters",
+                 "docs_containment_pairs"):
         assert name in first50, f"round-4 operator outside the gate: {name}"
