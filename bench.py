@@ -47,6 +47,7 @@ HEADLINE = [
     "docs_kn_bigram_bits",
     "docs_source_rebalance",
     "docs_simhash_dedup_clusters",
+    "docs_containment_pairs",
 ]
 
 
