@@ -2142,6 +2142,131 @@ def frontier_url_filter(spark, sf_dir):
         "allowed")
 
 
+@q("frontier_robots_rep", """
+WITH ids AS (SELECT i AS id FROM generate_series(0, 3999) s(i)),
+u AS (SELECT id,
+             CASE WHEN id % 10 < 3 THEN 0 ELSE 1 + id % 19 END AS h
+      FROM ids),
+urls AS (SELECT id, h,
+  'host' || h || '.example.' ||
+  CASE h % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'net' ELSE 'org' END AS host,
+  CASE WHEN id % 11 = 0 THEN '/private/' || id
+       WHEN id % 7 = 0 THEN '/' || repeat('d' || (id % 10) || '/',
+                                          CAST(id % 12 AS INTEGER)) || 'p'
+       ELSE '/p/' || id END ||
+  CASE WHEN id % 13 = 0 THEN '?session=' || repeat('x',
+                                CAST(id % 80 AS INTEGER) + 1)
+       ELSE '' END AS pathq
+  FROM u),
+urls2 AS (SELECT id, host, 'https://' || host || pathq AS url, pathq
+          FROM urls),
+hosts AS (SELECT i AS h, 'host' || i || '.example.' ||
+  CASE i % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'net' ELSE 'org' END AS host
+  FROM generate_series(0, 17) s(i)),
+rules AS (
+  SELECT host, 'disallow' AS kind, '/private/' AS pattern FROM hosts
+  UNION ALL SELECT host, 'allow', '/private/*' FROM hosts WHERE h % 2 = 0
+  UNION ALL SELECT host, 'disallow', '/private/*0$' FROM hosts
+    WHERE h % 4 = 0
+  UNION ALL SELECT host, 'disallow', '*session=*' FROM hosts WHERE h % 5 = 0
+  UNION ALL SELECT host, 'disallow', '/d*' FROM hosts WHERE h % 4 = 2
+  UNION ALL SELECT host, 'allow', '/d1/*' FROM hosts WHERE h % 4 = 2
+  UNION ALL SELECT host, 'disallow', '/p/1_3' FROM hosts WHERE h % 7 = 0),
+rl AS (SELECT host, len(pattern) AS spec,
+              CASE WHEN kind = 'allow' THEN 1 ELSE 0 END AS is_allow,
+              CASE WHEN ends_with(pattern, '$')
+                   THEN replace(replace(replace(replace(
+                          substr(pattern, 1, len(pattern) - 1),
+                          '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                   ELSE replace(replace(replace(replace(pattern,
+                          '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                        || '%'
+              END AS like_pat
+       FROM rules),
+m AS (SELECT u.id, max(rl.spec * 2 + rl.is_allow) AS rep_rank
+      FROM urls2 u JOIN rl ON u.host = rl.host
+      WHERE u.pathq LIKE rl.like_pat ESCAPE '\\'
+      GROUP BY u.id)
+SELECT u.id, u.url, u.host,
+       CAST(m.rep_rank // 2 AS INTEGER) AS rep_spec,
+       CASE WHEN m.rep_rank IS NULL THEN NULL
+            WHEN m.rep_rank % 2 = 1 THEN 'allow' ELSE 'disallow'
+       END AS rep_kind,
+       (m.rep_rank IS NULL OR m.rep_rank % 2 = 1) AS allowed
+FROM urls2 u LEFT JOIN m ON u.id = m.id
+""")
+def frontier_robots_rep(spark, sf_dir):
+    """Full RFC 9309 robots-rule evaluation over a deterministic 4000-URL
+    frontier (the frontier_url_filter fixture formula): ``Allow:``
+    precedence, ``*`` wildcards, ``$`` end anchor, longest-match with
+    allow winning length ties — the matcher semantics of Google's
+    open-sourced REP reference, closing the documented prefix-model gap
+    of the scheduler contract (crawl/robots.py rep_decisions; cf. the
+    reference's robots handling being implicit in its HTTP client,
+    src/scraper.rs).  Hosts 0-17 carry rule groups exercising every
+    precedence path (allow-over-disallow by length, '$'-anchored
+    disallow beating a shorter allow, a leading-'*' query-string rule,
+    an exact length TIE where allow wins, and a '_'-bearing pattern that
+    pins LIKE metachar escaping); hosts 18-19 have no robots row —
+    default allow.  Scale shape: rules are the broadcast robots cache;
+    one broadcast equi-join on host + one per-URL integer MAX — no
+    window, no per-row Python."""
+    from .crawl.robots import rep_decisions
+
+    ids = spark.range(0, 4000).select(F.col("id").cast("long"))
+    h = (F.when(F.col("id") % 10 < 3, F.lit(0))
+         .otherwise(1 + F.col("id") % 19))
+    urls = ids.select("id", h.alias("h"))
+    tld = (F.when(F.col("h") % 3 == 0, F.lit("com"))
+           .when(F.col("h") % 3 == 1, F.lit("net")).otherwise(F.lit("org")))
+    path = (F.when(F.col("id") % 11 == 0,
+                   F.concat(F.lit("/private/"), F.col("id")))
+            .when(F.col("id") % 7 == 0,
+                  F.concat(F.lit("/"),
+                           F.repeat(F.concat(F.lit("d"), F.col("id") % 10,
+                                             F.lit("/")),
+                                    (F.col("id") % 12).cast("int")),
+                           F.lit("p")))
+            .otherwise(F.concat(F.lit("/p/"), F.col("id"))))
+    qs = (F.when(F.col("id") % 13 == 0,
+                 F.concat(F.lit("?session="),
+                          F.repeat(F.lit("x"),
+                                   ((F.col("id") % 80) + 1).cast("int"))))
+          .otherwise(F.lit("")))
+    urls = (urls
+            .withColumn("host", F.concat(F.lit("host"), F.col("h"),
+                                         F.lit(".example."), tld))
+            .withColumn("pathq", F.concat(path, qs))
+            .withColumn("url", F.concat(F.lit("https://"), F.col("host"),
+                                        F.col("pathq"))))
+
+    hosts = spark.range(0, 18).select(F.col("id").alias("h"))
+    htld = (F.when(F.col("h") % 3 == 0, F.lit("com"))
+            .when(F.col("h") % 3 == 1, F.lit("net")).otherwise(F.lit("org")))
+    hosts = hosts.select(
+        "h", F.concat(F.lit("host"), F.col("h"), F.lit(".example."),
+                      htld).alias("host"))
+
+    def rule(cond, kind, pattern):
+        return (hosts.where(cond)
+                .select("host", F.lit(kind).alias("kind"),
+                        F.lit(pattern).alias("pattern")))
+
+    rules = (rule(F.lit(True), "disallow", "/private/")
+             .unionByName(rule(F.col("h") % 2 == 0, "allow", "/private/*"))
+             .unionByName(rule(F.col("h") % 4 == 0, "disallow",
+                               "/private/*0$"))
+             .unionByName(rule(F.col("h") % 5 == 0, "disallow",
+                               "*session=*"))
+             .unionByName(rule(F.col("h") % 4 == 2, "disallow", "/d*"))
+             .unionByName(rule(F.col("h") % 4 == 2, "allow", "/d1/*"))
+             .unionByName(rule(F.col("h") % 7 == 0, "disallow", "/p/1_3")))
+
+    return rep_decisions(urls.select("id", "url", "host", "pathq"),
+                         rules).select(
+        "id", "url", "host", "rep_spec", "rep_kind", "allowed")
+
+
 @q("emb_pq_codes", """
 WITH e AS (SELECT vec_id, m.s AS sub, d.i AS pos,
                   CAST(embedding[m.s*16 + d.i] AS DOUBLE) AS val
@@ -2621,9 +2746,10 @@ _GATE_FIRST = [
     "events_recrawl_priority", "graph_opic", "docs_simhash_near_pairs",
     "docs_kn_bigram_bits", "docs_source_rebalance",
     "docs_simhash_dedup_clusters", "docs_containment_pairs",
+    "frontier_robots_rep",
     # representative §2 core, one per operator family, incl. both flagships
     "orders_page3", "lineitem_top3_per_order",
-    "customers_without_recent_orders", "part_search_red",
+    "customers_without_recent_orders",
     "active_suppliers",
     "nation_customer_rollup",
     "latest_order_per_customer", "events_page_after",
@@ -2636,7 +2762,8 @@ _GATE_FIRST = [
 # (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
 # events_after_jan15, orders_mget, docs_json_props,
 # signup_events_with_props, event_type_counters, docs_token_count,
-# docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup
+# docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
+# part_search_red
 
 
 def _reorder_registry() -> None:

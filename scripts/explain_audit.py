@@ -181,6 +181,12 @@ CHECKS = {
     # cartesian, no nested loop
     "docs_containment_pairs": ([], ["CartesianProduct",
                                     "BroadcastNestedLoopJoin"]),
+    # RFC 9309 matcher: rules (the robots cache) broadcast onto the
+    # frontier batch; precedence is one integer MAX agg — no window, no
+    # cartesian, no nested loop
+    "frontier_robots_rep": (["BroadcastHashJoin"],
+                            ["Window", "CartesianProduct",
+                             "BroadcastNestedLoopJoin", "SortMergeJoin"]),
 }
 
 # builders audited outside the registered query surface

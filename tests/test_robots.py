@@ -166,3 +166,103 @@ def test_crawl_with_parsed_robots_matches_simulator(spark):
         assert spark_seen == set(sim.seen)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------- RFC 9309 full-rule matcher
+from pink_spider_spark.crawl.robots import (  # noqa: E402
+    rep_allowed,
+    rep_match,
+    rep_rules_from_bodies,
+)
+
+
+def test_parse_collects_ordered_rules_including_allow():
+    r = parse_robots_txt(
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public*\n"
+        "Allow:\n"          # empty Allow: no-op
+        "Disallow:\n"       # empty Disallow: allow-all, dropped
+        "Disallow: /tmp$\n")
+    assert r["rules"] == [
+        {"kind": "disallow", "pattern": "/private/"},
+        {"kind": "allow", "pattern": "/private/public*"},
+        {"kind": "disallow", "pattern": "/tmp$"},
+    ]
+    # the scheduler's prefix view is unchanged by the new field
+    assert r["disallow_prefixes"] == ["/private/", "/tmp$"]
+
+
+def test_rep_match_wildcards_and_anchor():
+    assert rep_match("/p/*", "/p/123")
+    assert rep_match("*session=*", "/p/1?session=xx")
+    assert not rep_match("/q*", "/p/q")           # start-anchored
+    assert rep_match("/a*b$", "/axbyb")           # needs the FINAL 'b'
+    assert not rep_match("/a*b$", "/axbyc")
+    assert rep_match("/fish$", "/fish")
+    assert not rep_match("/fish$", "/fishing")    # RFC 9309 example
+    assert rep_match("/fish*$", "/fishing")       # trailing * before $
+    assert rep_match("/a*b*c$", "/a-b-b-c")       # greedy middles, last seg
+    assert not rep_match("/a*b*c$", "/a-c-b")
+
+
+def test_rep_allowed_longest_match_and_tie():
+    rules = [("disallow", "/private/"), ("allow", "/private/*")]
+    ok, kind, spec = rep_allowed(rules, "/private/44")
+    assert (ok, kind, spec) == (True, "allow", 10)  # longer allow wins
+    # exact length tie: allow wins per REP
+    rules = [("disallow", "/dir/page"), ("allow", "/dir/page")]
+    assert rep_allowed(rules, "/dir/page.html")[0] is True
+    # no matching rule -> allowed, no winner
+    assert rep_allowed([("disallow", "/x")], "/y") == (True, None, None)
+    # anchored longest disallow beats shorter allow
+    rules = [("allow", "/private/*"), ("disallow", "/private/*0$")]
+    assert rep_allowed(rules, "/private/40")[0] is False
+    assert rep_allowed(rules, "/private/44")[0] is True
+
+
+def test_rep_decisions_matches_sequential_twin(spark):
+    """Spark relational matcher vs the pure-Python twin, over every
+    (rule-set, path) combination of the driver-gated fixture shapes plus
+    LIKE-metachar traps ('_' and '%' in patterns and paths)."""
+    rule_rows = [
+        ("h.com", "disallow", "/private/"),
+        ("h.com", "allow", "/private/*"),
+        ("h.com", "disallow", "/private/*0$"),
+        ("h.com", "disallow", "*session=*"),
+        ("h.com", "disallow", "/p/1_3"),
+        ("h.com", "disallow", "/q/1%3*"),
+        ("i.net", "disallow", "/d*"),
+        ("i.net", "allow", "/d1/*"),
+        ("i.net", "disallow", "/exact$"),
+    ]
+    paths = ["/private/44", "/private/40", "/private/", "/priv",
+             "/p/123", "/p/1_3", "/p/1_34", "/q/123", "/q/1%3x",
+             "/p/9?session=xxx", "/d1/d1/p", "/d2/p", "/exact",
+             "/exactly", "/", "/no-match"]
+    urls = [(i * 100 + j, host, p)
+            for i, host in enumerate(["h.com", "i.net", "z.org"])
+            for j, p in enumerate(paths)]
+    urls_df = spark.createDataFrame(urls, ["id", "host", "pathq"])
+    rules_df = spark.createDataFrame(rule_rows, ["host", "kind", "pattern"])
+    from pink_spider_spark.crawl.robots import rep_decisions
+    got = {r["id"]: (r["allowed"], r["rep_kind"], r["rep_spec"])
+           for r in rep_decisions(urls_df, rules_df).collect()}
+    by_host = {}
+    for host, kind, pattern in rule_rows:
+        by_host.setdefault(host, []).append((kind, pattern))
+    for uid, host, p in urls:
+        want = rep_allowed(by_host.get(host, []), p)
+        assert got[uid] == want, (uid, host, p, got[uid], want)
+
+
+def test_rep_rules_from_bodies_long_form(spark):
+    bodies = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\nAllow: /x/pub*\n"),
+         ("b.com", "User-agent: other\nDisallow: /all\n")],
+        ["host", "body"])
+    rows = sorted((r["host"], r["kind"], r["pattern"])
+                  for r in rep_rules_from_bodies(bodies).collect())
+    # b.com's group is for a foreign agent -> no rules for us
+    assert rows == [("a.com", "allow", "/x/pub*"),
+                    ("a.com", "disallow", "/x")]
