@@ -1187,3 +1187,116 @@ def rebalance_to_mixture(df: DataFrame, strata_col: str = "source",
             .crossJoin(F.broadcast(star))
             .filter(keep)
             .select(id_col, strata_col))
+
+
+# ------------------------------------------------------------ C4 cleaning
+# Raffel et al. 2020, "Exploring the Limits of Transfer Learning with a
+# Unified Text-to-Text Transformer" §2.2 — the C4 cleaning rules, the
+# most-reproduced webtext pipeline.  Line level: keep only lines that end
+# in a terminal punctuation mark and have >= 5 words; drop lines with the
+# word "javascript".  Page level: drop pages containing "lorem ipsum" or
+# a curly brace "{", or with fewer than 3 retained sentences.  The
+# cross-document three-sentence-span dedup is ``c4_span_dedup`` below.
+C4_TERMINAL_CHARS = (".", "!", "?", "\"")
+C4_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words: int = C4_MIN_WORDS,
+             min_sentences: int = C4_MIN_SENTENCES) -> DataFrame:
+    """C4 line + page filters (Raffel et al. 2020 §2.2) over
+    newline-delimited documents.  Emits one row per input document with
+    line counts, the page-level ``keep`` verdict and the cleaned text
+    (NULL for dropped pages — C4 discards them whole).
+
+    Scale shape: every rule is an in-row JVM column expression (split /
+    filter / exists over the line array) — zero shuffle, pipelines
+    inside WholeStageCodegen with the parquet scan, same contract as
+    ``gopher_signals``.  Word counts use the single-space model of the
+    wrapped-line fixture; real pages with ragged whitespace normalize
+    upstream (``X.normalize_text``)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(line):
+        words = F.filter(F.split(F.trim(line), " "),
+                         lambda w: w != F.lit(""))
+        return (F.substring(line, -1, 1).isin(*C4_TERMINAL_CHARS)
+                & (F.size(words) >= min_words)
+                & ~F.contains(F.lower(line), F.lit("javascript")))
+
+    kept = F.filter(lines, line_ok)
+    bad_page = (F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+                | F.contains(F.col(text_col), F.lit("{")))
+    keep = ~bad_page & (F.size(kept) >= min_sentences)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        keep.alias("keep"),
+        F.when(keep, F.array_join(kept, "\n"))
+        .otherwise(F.lit(None)).alias("clean_text"))
+
+
+def c4_span_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", span: int = 3) -> DataFrame:
+    """C4 cross-document span dedup (Raffel et al. 2020 §2.2): "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set".  Sentences are newline-delimited lines; every
+    run of ``span`` consecutive sentences forms a span; the globally
+    first occurrence (min (doc_id, position)) survives, every other
+    occurrence has its covered sentences removed from its document.
+
+    Emits (doc_id, n_sentences, removed_sentences, clean_text) for every
+    document — a document whose every sentence is covered by duplicate
+    spans keeps the row with empty ``clean_text`` (C4 removes spans, not
+    pages).
+
+    Scale shape: span keys derive IN-ROW from the line array (md5 over
+    the joined window — no self-join to build windows); first occurrence
+    is a groupBy-min on the span hash with map-side combine (the
+    dedup_lines shape — a hot span never concentrates on one task's
+    sort); duplicate occurrences fan back out ×span through an exploded
+    position range (bounded by the span constant) and mark sentences via
+    one (doc, position)-keyed left join; one final doc-keyed agg
+    reassembles text.  No window function, no cartesian, all joins
+    keyed."""
+    df = fan_out(df)
+    base = df.select(F.col(id_col), F.split(F.col(text_col), "\n").alias("ls"))
+    # in-row span hashes; Spark's sequence(a, b) DESCENDS when a > b, so
+    # docs shorter than ``span`` must emit an explicit empty array
+    span_hashes = F.when(
+        F.size("ls") >= span,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ls") - F.lit(span)),
+            lambda i: F.md5(F.array_join(F.slice("ls", i + 1, span),
+                                         "\n")))
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select(
+        F.col(id_col), F.posexplode(span_hashes).alias("pos", "h"))
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("pos").alias("p"))).alias("keep"))
+    dup_positions = (
+        spans.join(firsts, "h")
+        .where((F.col(id_col) != F.col("keep.d"))
+               | (F.col("pos") != F.col("keep.p")))
+        .select(F.col(id_col),
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + span - 1)).alias("sp"))
+        .distinct()
+        .withColumn("rm", F.lit(True)))
+    sentences = base.select(
+        F.col(id_col), F.posexplode("ls").alias("sp", "line"))
+    marked = sentences.join(dup_positions, [id_col, "sp"], "left")
+    return (marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("long")
+        .alias("removed_sentences"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("rm").isNull(),
+                           F.struct("sp", "line")))),
+                lambda s: s["line"]),
+            "\n").alias("clean_text")))

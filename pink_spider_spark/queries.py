@@ -1211,6 +1211,143 @@ def docs_line_dedup(spark, sf_dir):
     return W.dedup_lines(_t(spark, sf_dir, "documents"))
 
 
+def _c4_lined_docs(spark, sf_dir, k: int, enrich: bool):
+    """Deterministic newline-delimited fixture for the C4 queries: the
+    single-line synthetic corpus wrapped into k-token lines; with
+    ``enrich``, lines carry a varied terminal (one of . ! ? ." or none,
+    by (doc_id+pos)%5), a 'javascript ' prefix on (doc_id*7+pos)%13==0
+    lines, and ~3% of docs gain a 'lorem ipsum' / '{' line — so every C4
+    rule fires on a known subset.  Mirrored verbatim by the oracle CTEs."""
+    d = _t(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    n_lines = F.ceil(F.size(tk) / F.lit(float(k))).cast("int")
+
+    def mk_line(i):
+        line = F.array_join(F.slice(tk, i * k + 1, k), " ")
+        if not enrich:
+            return line
+        punct = (F.when((F.col("doc_id") + i) % 5 == 0, F.lit(""))
+                 .when((F.col("doc_id") + i) % 5 == 1, F.lit("."))
+                 .when((F.col("doc_id") + i) % 5 == 2, F.lit("!"))
+                 .when((F.col("doc_id") + i) % 5 == 3, F.lit("?"))
+                 .otherwise(F.lit(".\"")))
+        line = F.concat(line, punct)
+        return F.when((F.col("doc_id") * 7 + i) % 13 == 0,
+                      F.concat(F.lit("javascript "), line)).otherwise(line)
+
+    lines = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0))), mk_line))
+    t = F.array_join(lines, "\n")
+    if enrich:
+        t = F.concat(
+            t,
+            F.when(F.col("doc_id") % 29 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 31 == 0,
+                   F.lit("\nfunction() { return x."))
+            .otherwise(F.lit("")))
+    return d.select("doc_id", t.alias("text"))
+
+
+#: oracle CTE prefix shared by the two C4 queries: the same lined fixture
+#: built in SQL (k parameterized by format)
+_C4_LINED_SQL = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         FROM documents),
+rawlines AS (
+  SELECT doc_id, s.i AS pos,
+         array_to_string(list_slice(tk, s.i*{k}+1, s.i*{k}+{k}), ' ') AS line0
+  FROM toks, generate_series(0, 63) s(i)
+  WHERE s.i*{k} < len(tk) AND array_to_string(tk, '') <> ''),
+lines AS (
+  SELECT doc_id, pos,
+         {enrich_expr} AS line
+  FROM rawlines),
+lined AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t0
+          FROM lines GROUP BY doc_id),
+alldocs AS (
+  SELECT d.doc_id,
+         coalesce(l.t0, '') {extra_expr} AS t
+  FROM documents d LEFT JOIN lined l USING (doc_id))
+"""
+
+_C4_ENRICH = """line0 ||
+           CASE (doc_id + pos) % 5 WHEN 0 THEN '' WHEN 1 THEN '.'
+                WHEN 2 THEN '!' WHEN 3 THEN '?' ELSE '."' END"""
+_C4_ENRICH_JS = ("CASE WHEN (doc_id*7 + pos) % 13 = 0 THEN 'javascript ' "
+                 "ELSE '' END || " + _C4_ENRICH)
+_C4_EXTRA = """
+         || CASE WHEN d.doc_id % 29 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+         || CASE WHEN d.doc_id % 31 = 0
+                 THEN chr(10) || 'function() { return x.' ELSE '' END"""
+
+
+@q("docs_c4_clean", "WITH " + _C4_LINED_SQL.format(
+    k=10, enrich_expr=_C4_ENRICH_JS, extra_expr=_C4_EXTRA) + """,
+ev AS (SELECT doc_id, string_split(t, chr(10)) AS ls,
+              list_filter(string_split(t, chr(10)), l ->
+                 right(l, 1) IN ('.', '!', '?', '"')
+                 AND len(list_filter(string_split(trim(l), ' '),
+                                     w -> w <> '')) >= 5
+                 AND NOT contains(lower(l), 'javascript')) AS kept,
+              (contains(lower(t), 'lorem ipsum') OR contains(t, '{'))
+                AS bad
+       FROM alldocs)
+SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       (NOT bad AND len(kept) >= 3) AS keep,
+       CASE WHEN NOT bad AND len(kept) >= 3
+            THEN array_to_string(kept, chr(10)) END AS clean_text
+FROM ev
+""")
+def docs_c4_clean(spark, sf_dir):
+    """C4 line + page cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation line filter, >=5-word line filter, 'javascript' line
+    drop, 'lorem ipsum' / '{' page drop, >=3-sentences page gate — over
+    the deterministic lined fixture whose injections make every rule
+    fire on a known subset.  All rules in-row JVM expressions, zero
+    shuffle past the fixture build (functions/webtext.py c4_clean)."""
+    return W.c4_clean(_c4_lined_docs(spark, sf_dir, k=10, enrich=True))
+
+
+@q("docs_c4_span_dedup", "WITH " + _C4_LINED_SQL.format(
+    k=5, enrich_expr="line0", extra_expr="") + """,
+ev AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM alldocs),
+sent AS (SELECT doc_id, s.i AS sp, ls[s.i+1] AS line
+         FROM ev, generate_series(0, 63) s(i) WHERE s.i < len(ls)),
+spans AS (SELECT doc_id, s.i AS pos,
+                 md5(ls[s.i+1] || chr(10) || ls[s.i+2] || chr(10)
+                     || ls[s.i+3]) AS h
+          FROM ev, generate_series(0, 63) s(i) WHERE s.i + 3 <= len(ls)),
+dups AS (SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+                  ROW_NUMBER() OVER (PARTITION BY h
+                                     ORDER BY doc_id, pos) AS rn
+           FROM spans) WHERE rn > 1),
+rmpos AS (SELECT DISTINCT doc_id, pos + s.i AS sp
+          FROM dups, generate_series(0, 2) s(i))
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(count(r.sp) AS BIGINT) AS removed_sentences,
+       coalesce(string_agg(CASE WHEN r.sp IS NULL THEN s.line END,
+                           chr(10) ORDER BY s.sp), '') AS clean_text
+FROM sent s LEFT JOIN rmpos r ON s.doc_id = r.doc_id AND s.sp = r.sp
+GROUP BY s.doc_id
+""")
+def docs_c4_span_dedup(spark, sf_dir):
+    """C4 cross-document three-sentence-span dedup (Raffel et al. 2020
+    §2.2: 'we discarded all but one of any three-sentence span occurring
+    more than once') over 5-token wrapped sentences — the span-level
+    sibling of line dedup.  First occurrence by global (doc_id, pos)
+    min; later occurrences lose their covered sentences.  groupBy-min on
+    in-row span hashes + keyed joins, no window, no cartesian
+    (functions/webtext.py c4_span_dedup)."""
+    return W.c4_span_dedup(_c4_lined_docs(spark, sf_dir, k=5, enrich=False))
+
+
 @q("docs_dedup_clusters", "WITH RECURSIVE " + _LSH_PAIRS_CTES + """
 , edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
             UNION SELECT id_b, id_a FROM lsh_pairs),
@@ -2746,11 +2883,10 @@ _GATE_FIRST = [
     "events_recrawl_priority", "graph_opic", "docs_simhash_near_pairs",
     "docs_kn_bigram_bits", "docs_source_rebalance",
     "docs_simhash_dedup_clusters", "docs_containment_pairs",
-    "frontier_robots_rep",
+    "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
     # representative §2 core, one per operator family, incl. both flagships
-    "orders_page3", "lineitem_top3_per_order",
+    "lineitem_top3_per_order",
     "customers_without_recent_orders",
-    "active_suppliers",
     "nation_customer_rollup",
     "latest_order_per_customer", "events_page_after",
     "revenue_by_segment", "recent20_events_per_user",
@@ -2763,7 +2899,7 @@ _GATE_FIRST = [
 # events_after_jan15, orders_mget, docs_json_props,
 # signup_events_with_props, event_type_counters, docs_token_count,
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
-# part_search_red
+# part_search_red, orders_page3, active_suppliers
 
 
 def _reorder_registry() -> None:

@@ -187,6 +187,15 @@ CHECKS = {
     "frontier_robots_rep": (["BroadcastHashJoin"],
                             ["Window", "CartesianProduct",
                              "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # C4 line/page filters: pure in-row expressions over the lined
+    # fixture — no shuffle anywhere in the plan
+    "docs_c4_clean": (["ReadSchema: struct<doc_id:bigint,text:string>"],
+                      ["Exchange", "Window", "CartesianProduct"]),
+    # C4 span dedup: groupBy-min first occurrence + keyed joins — never
+    # a window over the (hot) span key, no cartesian/nested-loop pairing
+    "docs_c4_span_dedup": (["HashAggregate"],
+                           ["Window", "CartesianProduct",
+                            "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -35,7 +35,7 @@ def test_registry_and_oracles_aligned():
 
 def test_no_duplicate_names():
     assert len(_GATE_FIRST) == len(set(_GATE_FIRST))
-    assert len(QUERY_BUILDERS) == 85
+    assert len(QUERY_BUILDERS) == 87
 
 
 def test_gate_window_holds_round4_operators():
@@ -44,5 +44,6 @@ def test_gate_window_holds_round4_operators():
                  "graph_hits", "events_recrawl_priority", "graph_opic",
                  "docs_simhash_near_pairs", "docs_kn_bigram_bits",
                  "docs_source_rebalance", "docs_simhash_dedup_clusters",
-                 "docs_containment_pairs", "frontier_robots_rep"):
+                 "docs_containment_pairs", "frontier_robots_rep",
+                 "docs_c4_clean", "docs_c4_span_dedup"):
         assert name in first50, f"round-4 operator outside the gate: {name}"

@@ -710,3 +710,104 @@ def test_rebalance_missing_weight_raises(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "source"])
     with pytest.raises(ValueError):
         W.rebalance_to_mixture(df, weights={"a": 1}).collect()
+
+
+# ------------------------------------------------------------- C4 cleaning
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_c4_clean_each_rule_fires(spark):
+    good = ("the quick brown fox jumps over dogs.\n"
+            "a second proper sentence with many words!\n"
+            "and a third full sentence right here?")
+    rows = [
+        (0, good),                                          # kept whole
+        (1, good + "\nno terminal punctuation here at all"),  # line drop
+        (2, good + "\ntoo few words."),                     # <5 words drop
+        (3, good + "\nthis line mentions JavaScript APIs today."),
+        (4, good + "\nlorem ipsum dolor sit amet."),        # page drop
+        (5, good + "\nvar f = function() { return. }"),     # page drop
+        (6, "only one good sentence with five words.\n"
+            "second good sentence with five words."),       # <3 sentences
+    ]
+    got = {r["doc_id"]: r for r in
+           W.c4_clean(_mk_docs(spark, rows)).collect()}
+    assert got[0]["keep"] and got[0]["clean_text"] == good
+    assert got[0]["n_lines"] == 3 and got[0]["kept_lines"] == 3
+    # the bad line is dropped but the page survives (3 good lines remain)
+    for d in (1, 2, 3):
+        assert got[d]["keep"], d
+        assert got[d]["kept_lines"] == 3, d
+        assert got[d]["clean_text"] == good, d
+    # page-level markers discard the page outright, clean_text NULL
+    for d in (4, 5):
+        assert not got[d]["keep"], d
+        assert got[d]["clean_text"] is None, d
+    assert not got[6]["keep"] and got[6]["kept_lines"] == 2
+
+
+def test_c4_clean_terminal_quote_counts(spark):
+    rows = [(0, 'he said the full quote ends now."\n'
+                "plain sentence with enough words here.\n"
+                "third full sentence with enough words.")]
+    got = W.c4_clean(_mk_docs(spark, rows)).collect()[0]
+    assert got["keep"] and got["kept_lines"] == 3
+
+
+def test_c4_span_dedup_quote_and_overlap(spark):
+    a = "\n".join(f"alpha sentence number {i} words" for i in range(5))
+    a_lines = a.split("\n")
+    # doc 1 embeds doc 0's sentences 1-3 verbatim as a span
+    b = "\n".join(["bravo opening line one", *a_lines[1:4],
+                   "bravo closing line two"])
+    c = "charlie unrelated one\ncharlie unrelated two\ncharlie three"
+    got = {r["doc_id"]: r for r in
+           W.c4_span_dedup(_mk_docs(spark, [(0, a), (1, b), (2, c)]))
+           .collect()}
+    assert got[0]["removed_sentences"] == 0
+    assert got[0]["clean_text"] == a
+    assert got[1]["n_sentences"] == 5
+    assert got[1]["removed_sentences"] == 3
+    assert got[1]["clean_text"] == ("bravo opening line one\n"
+                                    "bravo closing line two")
+    assert got[2]["removed_sentences"] == 0 and got[2]["clean_text"] == c
+
+
+def test_c4_span_dedup_overlapping_dup_spans_union_positions(spark):
+    # doc 1 repeats doc 0's sentences 0-4: dup spans at positions 0,1,2
+    # cover sentences 0-4 as a UNION (5 removals, not 9)
+    a = "\n".join(f"delta sentence number {i} here" for i in range(5))
+    b = a + "\nunique bravo tail sentence one"
+    got = {r["doc_id"]: r for r in
+           W.c4_span_dedup(_mk_docs(spark, [(0, a), (1, b)])).collect()}
+    assert got[0]["removed_sentences"] == 0
+    assert got[1]["removed_sentences"] == 5
+    assert got[1]["clean_text"] == "unique bravo tail sentence one"
+
+
+def test_c4_span_dedup_fully_duplicate_doc_keeps_empty_row(spark):
+    a = "\n".join(f"echo sentence number {i} text" for i in range(3))
+    got = {r["doc_id"]: r for r in
+           W.c4_span_dedup(_mk_docs(spark, [(0, a), (1, a)])).collect()}
+    assert got[1]["removed_sentences"] == 3
+    assert got[1]["clean_text"] == ""
+    assert got[0]["clean_text"] == a
+
+
+def test_c4_span_dedup_within_doc_repeat(spark):
+    reps = [f"fox sentence number {i} body" for i in range(3)]
+    a = "\n".join(reps + ["a separator sentence body here"] + reps)
+    got = W.c4_span_dedup(_mk_docs(spark, [(0, a)])).collect()[0]
+    assert got["n_sentences"] == 7
+    assert got["removed_sentences"] == 3
+    assert got["clean_text"] == "\n".join(
+        reps + ["a separator sentence body here"])
+
+
+def test_c4_span_dedup_short_docs_no_spans(spark):
+    got = W.c4_span_dedup(
+        _mk_docs(spark, [(0, "one line\ntwo line"), (1, "solo")])).collect()
+    by = {r["doc_id"]: r for r in got}
+    assert by[0]["n_sentences"] == 2 and by[0]["removed_sentences"] == 0
+    assert by[1]["clean_text"] == "solo"
