@@ -1300,3 +1300,36 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
                            F.struct("sp", "line")))),
                 lambda s: s["line"]),
             "\n").alias("clean_text")))
+
+
+# ------------------------------------------- weighted reservoir sampling
+def weighted_sample(df: DataFrame, weight_col: str, k: int = 100,
+                    id_col: str = "doc_id", salt: str = "ws") -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir",
+    algorithm A-Res): every item draws u_i ~ U(0,1] and the k largest
+    keys u_i^(1/w_i) form the sample — inclusion probability
+    proportional to weight, without replacement, in one pass.  The
+    sampling primitive a training pipeline uses to draw a quality- or
+    length-weighted subset.
+
+    Deterministic twin of the random draw: u_i = (h60(salt-id)+1)/2^60
+    ∈ (0,1] from the shared cross-engine 60-bit hash, and the ranking
+    key is ln(u_i)/w_i — the monotone log transform of u^(1/w) (same
+    top-k, no underflow for large weights).  Weights must be >= 1
+    (integer column); a weight of 0 would IEEE-divide to -inf and never
+    be sampled.
+
+    Scale shape: the key is one in-row expression; the sample is a
+    global top-k — TakeOrderedAndProject (per-partition heaps, merged
+    once; never a global sort).  ln is the single transcendental in the
+    chain; adjacent keys at the k boundary sit ~12 orders of magnitude
+    above a double ulp, the established pinned-chain contract
+    (cf. events_recrawl_priority)."""
+    u = ((X.h60(F.concat(F.lit(salt + "-"),
+                         F.col(id_col).cast("string"))) + F.lit(1))
+         .cast("double") / F.lit(float(2 ** 60)))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.withColumn("ws_key", key)
+            .orderBy(F.desc("ws_key"), F.asc(id_col))
+            .limit(k))

@@ -1527,6 +1527,35 @@ def docs_source_rebalance(spark, sf_dir):
     return W.rebalance_to_mixture(docs, "source", "doc_id", weights)
 
 
+@q("docs_weighted_sample", """
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS BIGINT) AS w
+           FROM documents),
+keyed AS (SELECT doc_id, w,
+                 ln((('0x' || substr(md5('ws-' || doc_id), 1, 15))::BIGINT
+                     + 1)::DOUBLE / 1152921504606846976.0)
+                 / CAST(w AS DOUBLE) AS key
+          FROM t)
+SELECT doc_id, w, round(key, 8) + 0 AS ws_key
+FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+""")
+def docs_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006, A-Res): top-100 documents by the deterministic key
+    ln(u)/w with u from the shared 60-bit hash and w = token count —
+    inclusion probability proportional to document length, the
+    length-weighted subset draw of a training pipeline.  Global top-k =
+    TakeOrderedAndProject, key in-row; no shuffle, no window
+    (functions/webtext.py weighted_sample)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("w"))
+    return (W.weighted_sample(d, "w", k=100)
+            .select("doc_id", "w",
+                    (F.round(F.col("ws_key"), 8) + F.lit(0.0))
+                    .alias("ws_key")))
+
+
 @q("docs_decontaminate", """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
            FROM documents),
@@ -2884,10 +2913,10 @@ _GATE_FIRST = [
     "docs_kn_bigram_bits", "docs_source_rebalance",
     "docs_simhash_dedup_clusters", "docs_containment_pairs",
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
+    "docs_weighted_sample",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "customers_without_recent_orders",
-    "nation_customer_rollup",
     "latest_order_per_customer", "events_page_after",
     "revenue_by_segment", "recent20_events_per_user",
     "docs_minhash_lsh_pairs",
@@ -2899,7 +2928,8 @@ _GATE_FIRST = [
 # events_after_jan15, orders_mget, docs_json_props,
 # signup_events_with_props, event_type_counters, docs_token_count,
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
-# part_search_red, orders_page3, active_suppliers
+# part_search_red, orders_page3, active_suppliers,
+# nation_customer_rollup
 
 
 def _reorder_registry() -> None:

@@ -196,6 +196,10 @@ CHECKS = {
     "docs_c4_span_dedup": (["HashAggregate"],
                            ["Window", "CartesianProduct",
                             "BroadcastNestedLoopJoin"]),
+    # A-Res weighted sample: in-row key + global top-k — per-partition
+    # heaps merged once, never a global sort or window
+    "docs_weighted_sample": (["TakeOrderedAndProject"],
+                             ["Window", "Exchange", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -811,3 +811,40 @@ def test_c4_span_dedup_short_docs_no_spans(spark):
     by = {r["doc_id"]: r for r in got}
     assert by[0]["n_sentences"] == 2 and by[0]["removed_sentences"] == 0
     assert by[1]["clean_text"] == "solo"
+
+
+# ----------------------------------------- weighted reservoir sampling
+def _es_key(salt, doc_id, w):
+    import hashlib
+    import math
+    h = int(hashlib.md5(f"{salt}-{doc_id}".encode()).hexdigest()[:15], 16)
+    return math.log((h + 1) / 2 ** 60) / w
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    rows = [(i, 1 + (i * 7) % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = W.weighted_sample(df, "w", k=10).collect()
+    want = sorted(rows, key=lambda r: (-_es_key("ws", r[0], r[1]), r[0]))[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r in got:
+        assert abs(r["ws_key"] - _es_key("ws", r["doc_id"], r["w"])) < 1e-12
+
+
+def test_weighted_sample_k_exceeds_n_returns_all(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["doc_id", "w"])
+    assert W.weighted_sample(df, "w", k=10).count() == 2
+
+
+def test_weighted_sample_inclusion_proportional_to_weight():
+    """A-Res k=1 property: P(item wins) = w_i / sum(w) exactly — over 600
+    independent salted draws the weight-3 item must win ~75%."""
+    wins = sum(
+        1 for s in range(600)
+        if _es_key(f"s{s}", 1, 3) > _es_key(f"s{s}", 2, 1))
+    assert 0.70 < wins / 600 < 0.80, wins
+
+
+def test_weighted_sample_heavier_weight_shrinks_key_magnitude():
+    # same u: ln(u)/w rises toward 0 as w grows — heavier items rank higher
+    assert _es_key("x", 7, 10) > _es_key("x", 7, 1)
