@@ -48,6 +48,7 @@ HEADLINE = [
     "docs_source_rebalance",
     "docs_simhash_dedup_clusters",
     "docs_containment_pairs",
+    "graph_lpa",
 ]
 
 

@@ -1333,3 +1333,75 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int = 100,
     return (df.withColumn("ws_key", key)
             .orderBy(F.desc("ws_key"), F.asc(id_col))
             .limit(k))
+
+
+# --------------------------------------------------- label propagation
+def label_propagation(nodes: DataFrame, edges: DataFrame, rounds: int = 3,
+                      node_col: str = "node", src: str = "src",
+                      dst: str = "dst",
+                      colors: tuple | None = None) -> DataFrame:
+    """Label-propagation community detection (Raghavan, Albert & Kumara
+    2007, "Near linear time algorithm to detect community structures in
+    large-scale networks"), deterministic distributed variant: fixed
+    round count, argmax of neighbor-label counts with ties broken by
+    MIN label — the asynchronous random-order original is
+    irreproducible; the fixed-tie-break synchronous twin is what a
+    Pregel-style engine runs (GraphFrames' LPA is the same shape).
+
+    ``colors``: optional update schedule (semi-synchronous LPA,
+    Cordasco & Gargano 2010): when given, ``nodes`` carries a ``color``
+    column and each round updates one color class at a time, reading
+    the labels already updated this round — provably convergent where
+    plain synchronous LPA oscillates (e.g. BIPARTITE graphs, which
+    2-color naturally).  ``colors=None`` is the classic synchronous
+    step.
+
+    Returns (node, label, community_size).
+
+    Scale shape: per half-step ONE src-keyed join + ONE (node,label)
+    count agg + ONE node-keyed argmin agg — all linear with map-side
+    combine; the argmin is ``min(struct(-count, label))`` so the
+    count-then-min-label tie-break is a single integer-lexicographic
+    aggregate, never a window.  Symmetrized edge list materialized once,
+    src-partitioned + lineage-truncated; labels re-pinned per round
+    (both the Pregel loop-invariant pins used by pagerank/opic).  Rounds
+    are a fixed constant — O(rounds) linear passes."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .union(edges.select(F.col(dst).alias("src"),
+                             F.col(src).alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
+    keep_cols = [node_col] + (["color"] if colors is not None else [])
+    base = nodes.select(*keep_cols).distinct().localCheckpoint(eager=False)
+    labels = base.select(*keep_cols, F.col(node_col).alias("lbl"))
+
+    def half_step(labels, color):
+        cand = labels if color is None else labels.where(
+            F.col("color") == color)
+        cnt = (e.join(labels.select(F.col(node_col).alias("src"), "lbl"),
+                      "src")
+               .join(cand.select(F.col(node_col).alias("dst")), "dst")
+               .groupBy("dst", "lbl")
+               .agg(F.count("*").alias("c")))
+        pick = cnt.groupBy("dst").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"),
+                           F.col("lbl").alias("l"))).alias("b"))
+        return (labels.join(pick.withColumnRenamed("dst", node_col),
+                            node_col, "left")
+                .select(*keep_cols,
+                        F.coalesce(F.col("b.l"), F.col("lbl")).alias("lbl")))
+
+    for _ in range(rounds):
+        if colors is None:
+            labels = half_step(labels, None).localCheckpoint(eager=False)
+        else:
+            for color in colors:
+                labels = half_step(labels, color).localCheckpoint(
+                    eager=False)
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
+    return (labels.join(sizes, "lbl")
+            .select(F.col(node_col).alias("node"),
+                    F.col("lbl").alias("label"),
+                    F.col("sz").alias("community_size")))

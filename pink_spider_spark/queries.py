@@ -1527,6 +1527,69 @@ def docs_source_rebalance(spark, sf_dir):
     return W.rebalance_to_mixture(docs, "source", "doc_id", weights)
 
 
+def _lpa_half_step_sql(step: int, color: int) -> str:
+    """One semi-synchronous LPA half-step as SQL CTEs: count neighbor
+    labels for the ``color`` class, argmax by (count DESC, label), update
+    only that class."""
+    return f""",
+c{step} AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       FROM sym e JOIN l{step - 1} l ON e.src = l.node
+       JOIN lpa_nodes n ON n.node = e.dst AND n.color = {color}
+       GROUP BY e.dst, l.lbl),
+p{step} AS (SELECT node, lbl FROM (
+       SELECT node, lbl,
+              ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY c DESC, lbl) AS rn
+       FROM c{step}) WHERE rn = 1),
+l{step} AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+       FROM l{step - 1} l LEFT JOIN p{step} p USING (node))"""
+
+
+_LPA_SQL = ("""
+WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+sym AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+lpa_nodes AS (SELECT node,
+                     CASE WHEN node LIKE 'c%' THEN 0 ELSE 1 END AS color
+              FROM (SELECT src AS node FROM ed UNION SELECT dst FROM ed)),
+l0 AS (SELECT node, node AS lbl FROM lpa_nodes)"""
+            + "".join(_lpa_half_step_sql(i + 1, i % 2) for i in range(4))
+            + """,
+sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+          FROM l4 GROUP BY lbl)
+SELECT l4.node, l4.lbl AS label, sizes.sz AS community_size
+FROM l4 JOIN sizes ON l4.lbl = sizes.lbl
+""")
+
+
+@q("graph_lpa", _LPA_SQL)
+def graph_lpa(spark, sf_dir):
+    """Label-propagation communities (Raghavan et al. 2007) over the
+    customer→supplier purchase graph, SEMI-SYNCHRONOUS schedule
+    (Cordasco & Gargano 2010): the graph is bipartite, where plain
+    synchronous LPA provably oscillates, and the two node prefixes give
+    the 2-coloring — each of 2 rounds updates customers then suppliers,
+    reading labels already updated this round.  Ties break to MIN label
+    (one integer-lexicographic min(struct(-count,label)) agg, never a
+    window).  Oracle = the identical 4 half-steps unrolled as CTEs with
+    ROW_NUMBER argmax (functions/webtext.py label_propagation)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst"))
+             .distinct())
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .withColumn("color",
+                         F.when(F.col("node").startswith("c"), F.lit(0))
+                         .otherwise(F.lit(1))))
+    return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
+
+
 @q("docs_weighted_sample", """
 WITH t AS (SELECT doc_id,
                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
@@ -2913,11 +2976,11 @@ _GATE_FIRST = [
     "docs_kn_bigram_bits", "docs_source_rebalance",
     "docs_simhash_dedup_clusters", "docs_containment_pairs",
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
-    "docs_weighted_sample",
+    "docs_weighted_sample", "graph_lpa",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "customers_without_recent_orders",
-    "latest_order_per_customer", "events_page_after",
+    "latest_order_per_customer",
     "revenue_by_segment", "recent20_events_per_user",
     "docs_minhash_lsh_pairs",
     "docs_simhash", "emb_knn_of_vec0",
@@ -2929,7 +2992,7 @@ _GATE_FIRST = [
 # signup_events_with_props, event_type_counters, docs_token_count,
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
 # part_search_red, orders_page3, active_suppliers,
-# nation_customer_rollup
+# nation_customer_rollup, events_page_after
 
 
 def _reorder_registry() -> None:

@@ -200,6 +200,12 @@ CHECKS = {
     # heaps merged once, never a global sort or window
     "docs_weighted_sample": (["TakeOrderedAndProject"],
                              ["Window", "Exchange", "CartesianProduct"]),
+    # LPA: per half-step keyed join + (node,label) count + node-keyed
+    # argmin agg — the count/min-label tie-break is min(struct(-c,l)),
+    # never a window; no cartesian/nested-loop anywhere
+    "graph_lpa": (["HashAggregate"],
+                  ["Window", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -848,3 +848,120 @@ def test_weighted_sample_inclusion_proportional_to_weight():
 def test_weighted_sample_heavier_weight_shrinks_key_magnitude():
     # same u: ln(u)/w rises toward 0 as w grows — heavier items rank higher
     assert _es_key("x", 7, 10) > _es_key("x", 7, 1)
+
+
+# --------------------------------------------------- label propagation
+def _lpa_twin(nodes, edges, rounds, colors=None):
+    """Pure-python semi-synchronous LPA twin (min-label tie-break)."""
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d)); sym.add((d, s))
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(d, []).append(s)
+    lbl = {n: n for n, _ in nodes}
+    color = dict(nodes)
+    for _ in range(rounds):
+        for c in (colors if colors is not None else [None]):
+            targets = [n for n in lbl
+                       if c is None or color[n] == c]
+            snapshot = dict(lbl)
+            src_lbl = snapshot if c is None else lbl  # semi-sync reads live
+            for n in targets:
+                if n not in nbrs:
+                    continue
+                counts = {}
+                for m in nbrs[n]:
+                    counts[lbl[m] if c is not None else snapshot[m]] = \
+                        counts.get(lbl[m] if c is not None
+                                   else snapshot[m], 0) + 1
+                best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                lbl[n] = best[0]
+    return lbl
+
+
+def test_lpa_two_cliques_find_their_communities(spark):
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b4", "b5"), ("b5", "b6"), ("b4", "b6"), ("a3", "b4")]
+    nodes = sorted({n for e in edges for n in e})
+    got = {r["node"]: (r["label"], r["community_size"]) for r in
+           W.label_propagation(
+               spark.createDataFrame([(n,) for n in nodes], ["node"]),
+               spark.createDataFrame(edges, ["src", "dst"]),
+               rounds=3).collect()}
+    labels_a = {got[n][0] for n in ("a1", "a2", "a3")}
+    labels_b = {got[n][0] for n in ("b4", "b5", "b6")}
+    assert len(labels_a) == 1 and len(labels_b) == 1
+    assert labels_a != labels_b
+    assert got["a1"][1] == 3 and got["b5"][1] == 3
+
+
+def test_lpa_matches_python_twin_synchronous(spark):
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)] + \
+            [(f"n{i}", f"n{(i + 5) % 17}") for i in range(0, 17, 2)]
+    nodes = sorted({n for e in edges for n in e})
+    got = {r["node"]: r["label"] for r in
+           W.label_propagation(
+               spark.createDataFrame([(n,) for n in nodes], ["node"]),
+               spark.createDataFrame(edges, ["src", "dst"]),
+               rounds=3).collect()}
+    want = _lpa_twin([(n, None) for n in nodes], edges, 3)
+    assert got == want
+
+
+def test_lpa_matches_python_twin_semi_synchronous(spark):
+    # bipartite: left li, right rj
+    edges = [(f"l{i}", f"r{(i * 5 + j) % 7}")
+             for i in range(6) for j in range(2)]
+    nodes = [(n, 0 if n.startswith("l") else 1)
+             for n in sorted({x for e in edges for x in e})]
+    got = {r["node"]: r["label"] for r in
+           W.label_propagation(
+               spark.createDataFrame(nodes, ["node", "color"]),
+               spark.createDataFrame(edges, ["src", "dst"]),
+               rounds=2, colors=(0, 1)).collect()}
+    want = _lpa_twin(nodes, edges, 2, colors=(0, 1))
+    assert got == want
+
+
+def test_lpa_semi_sync_converges_where_sync_oscillates(spark):
+    """K_{2,2}: synchronous LPA flips labels between sides forever;
+    the 2-colored schedule reaches a fixed point."""
+    edges = [("l0", "r0"), ("l0", "r1"), ("l1", "r0"), ("l1", "r1")]
+    nodes = [(n, 0 if n.startswith("l") else 1)
+             for n in ("l0", "l1", "r0", "r1")]
+    ndf = spark.createDataFrame(nodes, ["node", "color"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    two = {r["node"]: r["label"] for r in
+           W.label_propagation(ndf, edf, rounds=2,
+                               colors=(0, 1)).collect()}
+    three = {r["node"]: r["label"] for r in
+             W.label_propagation(ndf, edf, rounds=3,
+                                 colors=(0, 1)).collect()}
+    assert two == three  # fixed point
+    # color 0 (left) updates first: l* tie-break to min right label 'r0',
+    # the right side then adopts it — one community labeled r0
+    assert set(two.values()) == {"r0"}
+    # synchronous on the same graph oscillates: round counts of equal
+    # parity agree, adjacent ones differ
+    sync2 = {r["node"]: r["label"] for r in
+             W.label_propagation(ndf.drop("color"), edf,
+                                 rounds=2).collect()}
+    sync3 = {r["node"]: r["label"] for r in
+             W.label_propagation(ndf.drop("color"), edf,
+                                 rounds=3).collect()}
+    assert sync2 != sync3
+
+
+def test_lpa_isolated_node_keeps_own_label(spark):
+    nodes = [("x", 0), ("y", 1), ("z", 0)]
+    got = {r["node"]: (r["label"], r["community_size"]) for r in
+           W.label_propagation(
+               spark.createDataFrame(nodes, ["node", "color"]),
+               spark.createDataFrame([("x", "y")], ["src", "dst"]),
+               rounds=2, colors=(0, 1)).collect()}
+    assert got["z"] == ("z", 1)
+    # x (color 0) adopts y's label first, y then keeps it
+    assert got["x"][0] == got["y"][0] == "y"
+    assert got["x"][1] == 2
