@@ -1527,6 +1527,56 @@ def docs_source_rebalance(spark, sf_dir):
     return W.rebalance_to_mixture(docs, "source", "doc_id", weights)
 
 
+@q("graph_triangles", """
+WITH ids AS (SELECT i FROM generate_series(0, 2999) s(i)),
+raw AS (SELECT i AS a, (i + 1) % 3000 AS b FROM ids
+        UNION ALL SELECT i, (i + 2) % 3000 FROM ids
+        UNION ALL SELECT i, (i * 7) % 3000 FROM ids WHERE i % 3 = 0
+        UNION ALL SELECT 0, i FROM ids WHERE i % 5 = 0 AND i <> 0),
+und AS (SELECT DISTINCT a, b FROM
+          (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)
+        WHERE a <> b),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
+orient AS (SELECT u.a, u.b
+           FROM und u JOIN deg da ON u.a = da.a JOIN deg db ON u.b = db.a
+           WHERE da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)),
+wedges AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           FROM orient e1 JOIN orient e2
+             ON e1.a = e2.a AND e1.b < e2.b),
+closed AS (SELECT wg.u, wg.v, wg.w
+           FROM wedges wg
+           JOIN (SELECT a AS v, b AS w FROM orient
+                 UNION SELECT b, a FROM orient) c USING (v, w)),
+tri AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+          SELECT u AS node FROM closed
+          UNION ALL SELECT v FROM closed
+          UNION ALL SELECT w FROM closed) GROUP BY node)
+SELECT d.a AS node, d.deg AS degree,
+       coalesce(t.triangles, 0) AS triangles
+FROM deg d LEFT JOIN tri t ON d.a = t.node
+""")
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts via degree-ordered compact-forward
+    (Schank & Wagner 2005; Suri & Vassilvitskii WWW 2011 'curse of the
+    last reducer') over a deterministic 3000-node graph: a ring, +2
+    chords (one triangle per node), i→7i%n chords, and a degree-~600
+    hub at node 0 — the vertex whose unoriented wedge set would explode
+    and which the (degree, node) orientation reduces to zero wedge
+    emissions.  All integer; two keyed self-joins + one explode-count
+    agg, no window, no cartesian (functions/webtext.py
+    triangle_counts)."""
+    n = 3000
+    ids = spark.range(0, n).select(F.col("id").cast("long"))
+    edges = (ids.select(F.col("id").alias("src"),
+                        ((F.col("id") + 1) % n).alias("dst"))
+             .union(ids.select(F.col("id"), (F.col("id") + 2) % n))
+             .union(ids.where(F.col("id") % 3 == 0)
+                    .select(F.col("id"), (F.col("id") * 7) % n))
+             .union(ids.where((F.col("id") % 5 == 0) & (F.col("id") != 0))
+                    .select(F.lit(0).cast("long"), F.col("id"))))
+    return W.triangle_counts(edges)
+
+
 def _lpa_half_step_sql(step: int, color: int) -> str:
     """One semi-synchronous LPA half-step as SQL CTEs: count neighbor
     labels for the ``color`` class, argmax by (count DESC, label), update
@@ -2976,11 +3026,10 @@ _GATE_FIRST = [
     "docs_kn_bigram_bits", "docs_source_rebalance",
     "docs_simhash_dedup_clusters", "docs_containment_pairs",
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
-    "docs_weighted_sample", "graph_lpa",
+    "docs_weighted_sample", "graph_lpa", "graph_triangles",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "customers_without_recent_orders",
-    "latest_order_per_customer",
     "revenue_by_segment", "recent20_events_per_user",
     "docs_minhash_lsh_pairs",
     "docs_simhash", "emb_knn_of_vec0",
@@ -2992,7 +3041,7 @@ _GATE_FIRST = [
 # signup_events_with_props, event_type_counters, docs_token_count,
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
 # part_search_red, orders_page3, active_suppliers,
-# nation_customer_rollup, events_page_after
+# nation_customer_rollup, events_page_after, latest_order_per_customer
 
 
 def _reorder_registry() -> None:

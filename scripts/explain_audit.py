@@ -206,6 +206,12 @@ CHECKS = {
     "graph_lpa": (["HashAggregate"],
                   ["Window", "CartesianProduct",
                    "BroadcastNestedLoopJoin"]),
+    # compact-forward triangles: keyed self-joins of the ORIENTED edge
+    # list + explode-count — wedge generation bounded O(m^1.5) by the
+    # degree orientation; no window, no cartesian
+    "graph_triangles": (["HashAggregate"],
+                        ["Window", "CartesianProduct",
+                         "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -965,3 +965,56 @@ def test_lpa_isolated_node_keeps_own_label(spark):
     # x (color 0) adopts y's label first, y then keeps it
     assert got["x"][0] == got["y"][0] == "y"
     assert got["x"][1] == 2
+
+
+# ----------------------------------------------------- triangle counting
+def _tri_brute(edges):
+    import itertools
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    tri = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1; tri[y] += 1; tri[z] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def test_triangles_match_brute_force(spark):
+    # ring + chords + hub on 24 nodes, incl. duplicate and reversed edges
+    n = 24
+    edges = ([(i, (i + 1) % n) for i in range(n)]
+             + [(i, (i + 2) % n) for i in range(n)]
+             + [(0, i) for i in range(2, n, 5)]
+             + [((i + 1) % n, i) for i in range(0, n, 3)]   # reversed dups
+             + [(7, 7)])                                    # self-loop
+    got = {r["node"]: (r["degree"], r["triangles"]) for r in
+           W.triangle_counts(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got == _tri_brute(edges)
+
+
+def test_triangles_single_and_none(spark):
+    got = {r["node"]: r["triangles"] for r in W.triangle_counts(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"])).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_triangles_k4_counts_three_per_node(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r["node"]: (r["degree"], r["triangles"]) for r in
+           W.triangle_counts(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got == {i: (3, 3) for i in range(4)}
+
+
+def test_triangles_hub_star_has_none(spark):
+    # pure star: hub degree n-1, zero triangles — the orientation sends
+    # every edge INTO the hub, so the hub emits no wedges at all
+    edges = [(0, i) for i in range(1, 30)]
+    got = {r["node"]: r["triangles"] for r in W.triangle_counts(
+        spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert set(got.values()) == {0}
