@@ -49,6 +49,7 @@ HEADLINE = [
     "docs_simhash_dedup_clusters",
     "docs_containment_pairs",
     "graph_lpa",
+    "docs_textrank_keywords",
 ]
 
 

@@ -1470,3 +1470,84 @@ def triangle_counts(edges: DataFrame, src: str = "src",
             .select("node", F.col("deg").alias("degree"),
                     F.coalesce(F.col("triangles"), F.lit(0))
                     .alias("triangles")))
+
+
+# ------------------------------------------------------------- TextRank
+TEXTRANK_SCALE = 10 ** 8
+
+
+def textrank_keywords(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", iters: int = 3,
+                      k: int = 3) -> DataFrame:
+    """Per-document TextRank keyword extraction (Mihalcea & Tarau 2004,
+    "TextRank: Bringing Order into Text"): weighted PageRank over each
+    document's word-adjacency graph (window 2, undirected, edge weight =
+    adjacency count), top-k words per document.
+
+    EVERY document's graph iterates simultaneously — the doc id rides in
+    the join keys, so 10^9 documents are 10^9 independent small graphs
+    advanced by the same three (doc,word)-keyed linear passes per round;
+    there is no per-document loop anywhere.
+
+    Determinism is the HITS/OPIC integer contract, strictly stronger
+    than float pagerank's 8-dp rounds: ranks are exact 1e8-scaled longs,
+    per-edge shares are integer floor divisions (Spark ``div`` ≡ DuckDB
+    ``//`` on non-negative), damping is ×85 div 100, so the whole
+    trajectory is bit-identical cross-engine.  rank(v) = base_d +
+    0.85·Σ_u rank(u)·w(u,v) div W(u), base_d = 0.15/n_d.
+
+    The one Window is the per-document top-k rank (partitioned by doc,
+    never global — the J6/J7 capped-join contract).  Loop invariants
+    (edges, weighted degrees, node set, per-doc base) are pinned once,
+    (doc,src)-partitioned, lineage-truncated."""
+    tk = X.tokens(F.lower(F.col(text_col)))
+    m = F.size(tk)
+    d = fan_out(df.select(id_col, text_col))
+    pairs = (d.select(F.col(id_col),
+                      F.explode(F.when(m >= 2, F.arrays_zip(
+                          F.slice(tk, 1, m - 1),
+                          F.slice(tk, 2, m - 1)))).alias("bg"))
+             .select(id_col, F.col("bg.0").alias("src"),
+                     F.col("bg.1").alias("dst"))
+             .where(F.col("src") != F.col("dst")))
+    edges = (pairs
+             .union(pairs.select(id_col, F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+             .groupBy(id_col, "src", "dst")
+             .agg(F.count("*").cast("long").alias("w"))
+             .repartition(id_col, "src")
+             .localCheckpoint(eager=False))
+    nodes = (d.select(F.col(id_col), F.explode(tk).alias("word"))
+             .distinct()
+             .localCheckpoint(eager=False))
+    nd = nodes.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
+    base = (nd.select(
+        id_col,
+        F.expr(f"({15 * TEXTRANK_SCALE}) div (100 * n)").alias("base"),
+        F.expr(f"{TEXTRANK_SCALE} div n").alias("r0"))
+        .localCheckpoint(eager=False))
+    wsum = (edges.groupBy(id_col, "src")
+            .agg(F.sum("w").alias("wsum"))
+            .localCheckpoint(eager=False))
+    ranks = (nodes.join(base, id_col)
+             .select(id_col, F.col("word"), F.col("r0").alias("r8")))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(wsum, [id_col, "src"])
+                   .join(ranks.withColumnRenamed("word", "src"),
+                         [id_col, "src"])
+                   .groupBy(id_col, "dst")
+                   .agg(F.sum(F.expr("(r8 * w) div wsum")).alias("s")))
+        ranks = (nodes.join(base, id_col)
+                 .join(contrib.withColumnRenamed("dst", "word"),
+                       [id_col, "word"], "left")
+                 .select(id_col, "word",
+                         (F.col("base")
+                          + F.expr("(85 * coalesce(s, 0)) div 100"))
+                         .cast("long").alias("r8"))
+                 .localCheckpoint(eager=False))
+    win = Window.partitionBy(id_col).orderBy(F.desc("r8"), F.asc("word"))
+    return (ranks.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k)
+            .select(id_col, F.col("rk").cast("long").alias("rk"), "word",
+                    F.col("r8").alias("rank_scaled")))

@@ -1527,6 +1527,61 @@ def docs_source_rebalance(spark, sf_dir):
     return W.rebalance_to_mixture(docs, "source", "doc_id", weights)
 
 
+def _textrank_round_sql(i: int) -> str:
+    return f""",
+s{i} AS (SELECT e.doc_id, e.dst, sum((r.r8 * e.w) // w.wsum) AS s
+        FROM ed e JOIN ws w ON e.doc_id = w.doc_id AND e.src = w.src
+                  JOIN r{i - 1} r ON e.doc_id = r.doc_id AND e.src = r.word
+        GROUP BY e.doc_id, e.dst),
+r{i} AS (SELECT n.doc_id, n.word,
+                b.base + (85 * coalesce(s.s, 0)) // 100 AS r8
+        FROM trnodes n JOIN base b USING (doc_id)
+        LEFT JOIN s{i} s ON n.doc_id = s.doc_id AND n.word = s.dst)"""
+
+
+_TEXTRANK_SQL = ("""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+pr AS (SELECT doc_id, tk[s.i] AS src, tk[s.i + 1] AS dst
+       FROM t, UNNEST(range(1, len(tk))) s(i)
+       WHERE tk[s.i] <> tk[s.i + 1]),
+ed AS (SELECT doc_id, src, dst, CAST(count(*) AS BIGINT) AS w FROM
+         (SELECT doc_id, src, dst FROM pr
+          UNION ALL SELECT doc_id, dst, src FROM pr)
+       GROUP BY doc_id, src, dst),
+trnodes AS (SELECT DISTINCT doc_id, u.word
+            FROM t, UNNEST(tk) u(word)),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       FROM trnodes GROUP BY doc_id),
+base AS (SELECT doc_id, 1500000000 // (100 * n) AS base,
+                100000000 // n AS r0 FROM nd),
+ws AS (SELECT doc_id, src, sum(w) AS wsum FROM ed GROUP BY doc_id, src),
+r0 AS (SELECT n.doc_id, n.word, b.r0 AS r8
+       FROM trnodes n JOIN base b USING (doc_id))"""
+                 + "".join(_textrank_round_sql(i + 1) for i in range(3))
+                 + """
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, word,
+       CAST(r8 AS BIGINT) AS rank_scaled FROM (
+  SELECT doc_id, word, r8,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY r8 DESC, word) AS rk
+  FROM r3)
+WHERE rk <= 3
+""")
+
+
+@q("docs_textrank_keywords", _TEXTRANK_SQL)
+def docs_textrank_keywords(spark, sf_dir):
+    """Per-document TextRank keywords (Mihalcea & Tarau 2004): weighted
+    PageRank over each document's word-adjacency graph, top-3 words per
+    doc — all documents' graphs advanced simultaneously by (doc,word)-
+    keyed joins, integer-scaled trajectory (the HITS/OPIC bit-exact
+    contract), 3 rounds (functions/webtext.py textrank_keywords)."""
+    return W.textrank_keywords(_t(spark, sf_dir, "documents"),
+                               iters=3, k=3)
+
+
 @q("graph_triangles", """
 WITH ids AS (SELECT i FROM generate_series(0, 2999) s(i)),
 raw AS (SELECT i AS a, (i + 1) % 3000 AS b FROM ids
@@ -3027,9 +3082,9 @@ _GATE_FIRST = [
     "docs_simhash_dedup_clusters", "docs_containment_pairs",
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
+    "docs_textrank_keywords",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
-    "customers_without_recent_orders",
     "revenue_by_segment", "recent20_events_per_user",
     "docs_minhash_lsh_pairs",
     "docs_simhash", "emb_knn_of_vec0",
@@ -3041,7 +3096,8 @@ _GATE_FIRST = [
 # signup_events_with_props, event_type_counters, docs_token_count,
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
 # part_search_red, orders_page3, active_suppliers,
-# nation_customer_rollup, events_page_after, latest_order_per_customer
+# nation_customer_rollup, events_page_after, latest_order_per_customer,
+# customers_without_recent_orders
 
 
 def _reorder_registry() -> None:

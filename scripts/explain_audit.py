@@ -212,6 +212,11 @@ CHECKS = {
     "graph_triangles": (["HashAggregate"],
                         ["Window", "CartesianProduct",
                          "BroadcastNestedLoopJoin"]),
+    # per-doc TextRank: (doc,word)-keyed linear passes; the ONE Window
+    # is the per-document top-k (partitioned, never global)
+    "docs_textrank_keywords": (["Window"],
+                               ["CartesianProduct",
+                                "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

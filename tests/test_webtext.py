@@ -1018,3 +1018,59 @@ def test_triangles_hub_star_has_none(spark):
     got = {r["node"]: r["triangles"] for r in W.triangle_counts(
         spark.createDataFrame(edges, ["src", "dst"])).collect()}
     assert set(got.values()) == {0}
+
+
+# -------------------------------------------------------------- TextRank
+def _textrank_twin(text, iters=3):
+    """Integer-trajectory twin of textrank_keywords for one document."""
+    import re
+    tk = re.split(r"\s+", text.strip().lower())
+    S = 10 ** 8
+    pairs = [(a, b) for a, b in zip(tk, tk[1:]) if a != b]
+    ed = {}
+    for a, b in pairs:
+        ed[(a, b)] = ed.get((a, b), 0) + 1
+        ed[(b, a)] = ed.get((b, a), 0) + 1
+    nodes = sorted(set(tk))
+    n = len(nodes)
+    base = (15 * S) // (100 * n)
+    wsum = {}
+    for (a, _), w in ed.items():
+        wsum[a] = wsum.get(a, 0) + w
+    r = {v: S // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for (a, b), w in ed.items():
+            s[b] += (r[a] * w) // wsum[a]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_textrank_matches_integer_twin(spark):
+    docs = [(0, "a b a b c"), (1, "solo"), (2, "x y x y x z x"),
+            (3, ""), (4, "spark table scan spark table join spark")]
+    got = {}
+    for row in W.textrank_keywords(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            iters=3, k=100).collect():
+        got.setdefault(row["doc_id"], {})[row["word"]] = row["rank_scaled"]
+    for did, text in docs:
+        assert got[did] == _textrank_twin(text), (did, text)
+
+
+def test_textrank_topk_order_and_tiebreak(spark):
+    rows = W.textrank_keywords(
+        spark.createDataFrame([(0, "a b a b c")], ["doc_id", "text"]),
+        iters=3, k=3).collect()
+    assert [(r["rk"], r["word"]) for r in
+            sorted(rows, key=lambda r: r["rk"])] == \
+        [(1, "b"), (2, "a"), (3, "c")]  # b is the adjacency hub
+
+
+def test_textrank_single_token_doc_gets_base_rank(spark):
+    r = W.textrank_keywords(
+        spark.createDataFrame([(9, "alone")], ["doc_id", "text"]),
+        iters=2, k=3).collect()
+    assert len(r) == 1
+    assert (r[0]["word"], r[0]["rk"], r[0]["rank_scaled"]) == \
+        ("alone", 1, 15 * 10 ** 8 // 100)
