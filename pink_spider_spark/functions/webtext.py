@@ -1551,3 +1551,64 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
             .where(F.col("rk") <= k)
             .select(id_col, F.col("rk").cast("long").alias("rk"), "word",
                     F.col("r8").alias("rank_scaled")))
+
+
+# ---------------------------------------------- temperature rebalancing
+def temperature_rebalance(df: DataFrame, strata_col: str = "lang",
+                          id_col: str = "doc_id",
+                          alpha: tuple = (1, 2)) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual
+    alpha-smoothing of mBERT / XLM-R (Devlin et al. 2019's exponentiated
+    smoothing; Conneau & Lample 2019 §3.1): resample so stratum
+    proportions follow c_s^alpha instead of c_s, flattening head
+    languages and boosting the tail.  Like ``rebalance_to_mixture`` the
+    rates DERIVE from measured counts with nothing wasted: the SMALLEST
+    stratum is kept whole (for alpha < 1 it is the bottleneck) and every
+    other stratum downsamples by r_s = (c_min/c_s)^(1-alpha).
+
+    ``alpha`` is a rational (num, den) with 0 < num < den <= 3 — and the
+    root never gets evaluated: raising the acceptance inequality
+    u < (c_min/c_s)^((den-num)/den) to the den-th power clears it,
+
+        h_B^den · c_s^(den-num)  <  c_min^(den-num) · 2^(B·den)
+
+    which is EXACT integer arithmetic (Spark DECIMAL(38,0) ≡ DuckDB
+    HUGEINT).  h_B is the shared 60-bit hash floored to B bits, with B
+    chosen so both sides stay under 10^38 at strata up to 2^40 rows:
+    B = (126 - (den-num)·40) // den (43 bits at alpha=1/2 — acceptance
+    granularity 2^-43).  No float, no root, no boundary to flip.
+
+    Scale shape: one stratum-keyed count agg broadcast back + a 1-row
+    bottleneck broadcast; the keep decision is in-row — the
+    rebalance_to_mixture contract exactly."""
+    num, den = alpha
+    if not (0 < num < den <= 3):
+        raise ValueError("alpha must be a rational (num, den), "
+                         "0 < num < den <= 3")
+    e = den - num
+    B = (126 - e * 40) // den
+    cnt = df.groupBy(strata_col).agg(F.count("*").alias("c"))
+    cmin = (cnt.select(F.col("c").alias("c_min"),
+                       F.col(strata_col).alias("s_min"))
+            .orderBy("c_min", "s_min").limit(1)
+            .select("c_min"))
+    hb = F.expr(f"h60_tmp div {2 ** (60 - B)}")
+    dec = "decimal(38,0)"
+
+    def power(col, n):
+        out = col.cast(dec)
+        for _ in range(n - 1):
+            out = (out * col.cast(dec)).cast(dec)
+        return out
+
+    from decimal import Decimal  # 2^(B·den) exceeds a 64-bit lit
+    lhs = (power(hb, den) * power(F.col("c"), e)).cast(dec)
+    rhs = (power(F.col("c_min"), e)
+           * F.lit(Decimal(2 ** (B * den))).cast(dec)).cast(dec)
+    return (df
+            .withColumn("h60_tmp", X.h60(
+                F.concat(F.lit("temp-"), F.col(id_col).cast("string"))))
+            .join(F.broadcast(cnt), strata_col)
+            .crossJoin(F.broadcast(cmin))
+            .filter(lhs < rhs)
+            .select(id_col, strata_col))

@@ -1695,6 +1695,31 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+@q("docs_temperature_sample", """
+WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY lang),
+cmin AS (SELECT c AS c_min FROM cnt ORDER BY c, lang LIMIT 1),
+h AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('temp-' || doc_id), 1, 15))::BIGINT
+               // 131072 AS hb
+      FROM documents)
+SELECT doc_id, lang FROM h JOIN cnt USING (lang), cmin
+WHERE hb::HUGEINT * hb::HUGEINT * c::HUGEINT
+      < c_min::HUGEINT * 77371252455336267181195264::HUGEINT
+""")
+def docs_temperature_sample(spark, sf_dir):
+    """Temperature-based multilingual resampling, alpha = 1/2 (the
+    mBERT/XLM-R exponentiated smoothing) over the corpus languages —
+    the naturally skewed strata (en dominates ~3:1): smallest language
+    kept whole, head languages flattened by (c_min/c_s)^(1/2).  The
+    root never evaluates: acceptance is the squared integer inequality
+    h_43^2·c_s < c_min·2^86 in DECIMAL(38,0) ≡ HUGEINT
+    (functions/webtext.py temperature_rebalance).  hb = h60 div 2^17;
+    2^86 = 77371252455336267181195264."""
+    return W.temperature_rebalance(_t(spark, sf_dir, "documents"),
+                                   "lang", "doc_id", (1, 2))
+
+
 @q("docs_weighted_sample", """
 WITH t AS (SELECT doc_id,
                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
@@ -3082,10 +3107,10 @@ _GATE_FIRST = [
     "docs_simhash_dedup_clusters", "docs_containment_pairs",
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
-    "docs_textrank_keywords",
+    "docs_textrank_keywords", "docs_temperature_sample",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
-    "revenue_by_segment", "recent20_events_per_user",
+    "revenue_by_segment",
     "docs_minhash_lsh_pairs",
     "docs_simhash", "emb_knn_of_vec0",
     "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
@@ -3097,7 +3122,7 @@ _GATE_FIRST = [
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
 # part_search_red, orders_page3, active_suppliers,
 # nation_customer_rollup, events_page_after, latest_order_per_customer,
-# customers_without_recent_orders
+# customers_without_recent_orders, recent20_events_per_user
 
 
 def _reorder_registry() -> None:

@@ -217,6 +217,12 @@ CHECKS = {
     "docs_textrank_keywords": (["Window"],
                                ["CartesianProduct",
                                 "BroadcastNestedLoopJoin"]),
+    # temperature sampling: stratum counts broadcast back, keep decision
+    # in-row integer compare.  (The one BroadcastNestedLoopJoin is the
+    # deliberate 1-row bottleneck broadcast, the rebalance contract.)
+    "docs_temperature_sample": (["BroadcastHashJoin"],
+                                ["Window", "CartesianProduct",
+                                 "SortMergeJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -1074,3 +1074,58 @@ def test_textrank_single_token_doc_gets_base_rank(spark):
     assert len(r) == 1
     assert (r[0]["word"], r[0]["rk"], r[0]["rank_scaled"]) == \
         ("alone", 1, 15 * 10 ** 8 // 100)
+
+
+# ---------------------------------------------- temperature rebalancing
+def _temp_twin(rows, alpha):
+    import hashlib
+    num, den = alpha
+    e = den - num
+    B = (126 - e * 40) // den
+    cnt = {}
+    for _, s in rows:
+        cnt[s] = cnt.get(s, 0) + 1
+    c_min = min(cnt.values())
+    kept = set()
+    for i, s in rows:
+        h = int(hashlib.md5(f"temp-{i}".encode()).hexdigest()[:15], 16)
+        hb = h // 2 ** (60 - B)
+        if hb ** den * cnt[s] ** e < c_min ** e * 2 ** (B * den):
+            kept.add((i, s))
+    return kept
+
+
+def _skewed_rows():
+    return ([(i, "en") for i in range(400)]
+            + [(i + 1000, "de") for i in range(100)]
+            + [(i + 2000, "fr") for i in range(25)])
+
+
+def test_temperature_matches_python_twin_both_alphas(spark):
+    rows = _skewed_rows()
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    for alpha in ((1, 2), (2, 3), (1, 3)):
+        got = {(r["doc_id"], r["lang"]) for r in
+               W.temperature_rebalance(df, "lang", "doc_id",
+                                       alpha).collect()}
+        assert got == _temp_twin(rows, alpha), alpha
+
+
+def test_temperature_smallest_stratum_kept_whole(spark):
+    rows = _skewed_rows()
+    got = W.temperature_rebalance(
+        spark.createDataFrame(rows, ["doc_id", "lang"]), "lang",
+        "doc_id", (1, 2)).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert by["fr"] == 25  # c_min stratum: rate exactly 1
+    # expected kept: c_min^(1-a) * c_s^a = 5*sqrt(c_s)
+    assert abs(by["en"] - 5 * 400 ** 0.5) < 25
+    assert abs(by["de"] - 5 * 100 ** 0.5) < 15
+
+
+def test_temperature_alpha_validation():
+    import pytest
+    df = None
+    for bad in ((0, 2), (2, 2), (3, 2), (1, 4)):
+        with pytest.raises(ValueError):
+            W.temperature_rebalance(df, alpha=bad)
