@@ -1612,3 +1612,60 @@ def temperature_rebalance(df: DataFrame, strata_col: str = "lang",
             .crossJoin(F.broadcast(cmin))
             .filter(lhs < rhs)
             .select(id_col, strata_col))
+
+
+# ------------------------------------------------------ PMI collocations
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5,
+                     k: int = 20) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990, "Word Association Norms, Mutual Information, and
+    Lexicography"): PMI(x,y) = ln P(x,y)/(P(x)P(y)) over adjacent token
+    pairs, with the standard min-count cut (rare pairs have unreliable
+    PMI) and a corpus-level top-k.
+
+    Determinism: the RANKING never touches ln — PMI is monotone in the
+    exact integer ratio (c2·N·N)/(N2·c1x·c1y), and both sides of that
+    ratio are exact longs, so ordering by their single IEEE division is
+    bit-identical cross-engine (ties then break on the pair); ln appears
+    only in the displayed pmi, rounded 4 dp after the pinned chain (the
+    transcendental-absorption contract).  Products fit a long to ~10^5
+    vocab × 10^8 tokens; beyond that swap the ratio into DECIMAL(38,0)
+    — the comparison stays exact.
+
+    Scale shape: bigrams derive in-row (arrays_zip of slices), counts
+    are token-keyed linear aggs with map-side combine, the two unigram
+    joins are vocab-level (sublinear in corpus), totals are 1-row
+    broadcasts, and the top-k is TakeOrderedAndProject.  No window, no
+    cartesian."""
+    tk = X.tokens(F.lower(F.col(text_col)))
+    m = F.size(tk)
+    d = fan_out(df.select(id_col, text_col))
+    uni = (d.select(F.explode(tk).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1")))
+    bi = (d.select(F.explode(F.when(m >= 2, F.arrays_zip(
+        F.slice(tk, 1, m - 1), F.slice(tk, 2, m - 1)))).alias("bg"))
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= min_count))
+    n1 = uni.agg(F.sum("c1").alias("n"))
+    n2 = bi.agg(F.sum("c2").alias("n2"))
+    scored = (bi
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c1").alias("c1l")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c1").alias("c1r")), "w2")
+              .crossJoin(F.broadcast(n1))
+              .crossJoin(F.broadcast(n2))
+              .select("w1", "w2", "c2",
+                      (F.col("c2") * F.col("n") * F.col("n"))
+                      .alias("num"),
+                      (F.col("n2") * F.col("c1l") * F.col("c1r"))
+                      .alias("den")))
+    return (scored
+            .withColumn("ratio",
+                        F.col("num").cast("double") / F.col("den"))
+            .orderBy(F.desc("ratio"), F.asc("w1"), F.asc("w2"))
+            .limit(k)
+            .select("w1", "w2", F.col("c2").cast("long").alias("c2"),
+                    F.round(F.log(F.col("ratio")), 4).alias("pmi")))

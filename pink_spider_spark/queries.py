@@ -1695,6 +1695,36 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+@q("docs_pmi_collocations", """
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c1
+        FROM t, UNNEST(tk) u(w) GROUP BY u.w),
+bi AS (SELECT tk[s.i] AS w1, tk[s.i + 1] AS w2,
+              CAST(count(*) AS BIGINT) AS c2
+       FROM t, UNNEST(range(1, len(tk))) s(i)
+       GROUP BY tk[s.i], tk[s.i + 1]
+       HAVING count(*) >= 5),
+n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM bi),
+sc AS (SELECT w1, w2, c2,
+              c2 * n.n * n.n AS num, n2.n2 * ul.c1 * ur.c1 AS den
+       FROM bi JOIN uni ul ON bi.w1 = ul.w
+               JOIN uni ur ON bi.w2 = ur.w, n1 n, n2)
+SELECT w1, w2, c2, round(ln(num::DOUBLE / den), 4) AS pmi
+FROM sc ORDER BY num::DOUBLE / den DESC, w1, w2 LIMIT 20
+""")
+def docs_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990) over adjacent token pairs, min count 5.  The ranking
+    never touches ln: PMI is monotone in the exact integer ratio
+    (c2·N²)/(N2·c1·c1), and one IEEE division of exact longs orders
+    bit-identically cross-engine; ln only in the 4-dp display column
+    (functions/webtext.py pmi_collocations)."""
+    return W.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 @q("docs_temperature_sample", """
 WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
              FROM documents GROUP BY lang),
@@ -3108,11 +3138,12 @@ _GATE_FIRST = [
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
     "docs_textrank_keywords", "docs_temperature_sample",
+    "docs_pmi_collocations",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "revenue_by_segment",
     "docs_minhash_lsh_pairs",
-    "docs_simhash", "emb_knn_of_vec0",
+    "emb_knn_of_vec0",
     "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
 ]
 # dropped from the gate window to make room for the round-4 additions
@@ -3122,7 +3153,7 @@ _GATE_FIRST = [
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
 # part_search_red, orders_page3, active_suppliers,
 # nation_customer_rollup, events_page_after, latest_order_per_customer,
-# customers_without_recent_orders, recent20_events_per_user
+# customers_without_recent_orders, recent20_events_per_user, docs_simhash
 
 
 def _reorder_registry() -> None:

@@ -223,6 +223,10 @@ CHECKS = {
     "docs_temperature_sample": (["BroadcastHashJoin"],
                                 ["Window", "CartesianProduct",
                                  "SortMergeJoin"]),
+    # PMI: token-keyed linear aggs, vocab-level joins, 1-row total
+    # broadcasts, global top-k — no window, no cartesian
+    "docs_pmi_collocations": (["TakeOrderedAndProject"],
+                              ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -35,7 +35,7 @@ def test_registry_and_oracles_aligned():
 
 def test_no_duplicate_names():
     assert len(_GATE_FIRST) == len(set(_GATE_FIRST))
-    assert len(QUERY_BUILDERS) == 92
+    assert len(QUERY_BUILDERS) == 93
 
 
 def test_gate_window_holds_round4_operators():
@@ -47,5 +47,6 @@ def test_gate_window_holds_round4_operators():
                  "docs_containment_pairs", "frontier_robots_rep",
                  "docs_c4_clean", "docs_c4_span_dedup", "docs_weighted_sample",
                  "graph_lpa", "graph_triangles",
-                 "docs_textrank_keywords", "docs_temperature_sample"):
+                 "docs_textrank_keywords", "docs_temperature_sample",
+                 "docs_pmi_collocations"):
         assert name in first50, f"round-4 operator outside the gate: {name}"

@@ -1129,3 +1129,46 @@ def test_temperature_alpha_validation():
     for bad in ((0, 2), (2, 2), (3, 2), (1, 4)):
         with pytest.raises(ValueError):
             W.temperature_rebalance(df, alpha=bad)
+
+
+# ------------------------------------------------------ PMI collocations
+def test_pmi_hand_corpus(spark):
+    import math
+    # 'new york' always adjacent (c2=6); 'the the' frequent but expected
+    text = " ".join(["new york"] * 6 + ["the cat", "the dog", "the fish",
+                                        "a cat", "a dog", "a fish"])
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = W.pmi_collocations(df, min_count=2, k=5).collect()
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # exact expectation: N tokens, N2 bigrams, c-counts from the corpus
+    toks = text.split()
+    n = len(toks)
+    bigrams = list(zip(toks, toks[1:]))
+    n2 = sum(1 for bg in set(bigrams)
+             if bigrams.count(bg) >= 2 for _ in [0]
+             ) and sum(c for c in
+                       [bigrams.count(b) for b in set(bigrams)] if c >= 2)
+    c1 = {w: toks.count(w) for w in set(toks)}
+    want = round(math.log((6 * n * n) / (n2 * c1["new"] * c1["york"])), 4)
+    assert abs(top["pmi"] - want) < 1e-9
+    assert top["c2"] == 6
+
+
+def test_pmi_min_count_cut(spark):
+    df = spark.createDataFrame(
+        [(0, "rare pair rare pair unique singleton here")],
+        ["doc_id", "text"])
+    rows = W.pmi_collocations(df, min_count=2, k=10).collect()
+    pairs = {(r["w1"], r["w2"]) for r in rows}
+    assert ("unique", "singleton") not in pairs
+    assert ("rare", "pair") in pairs
+
+
+def test_pmi_ranking_is_ratio_not_count(spark):
+    # frequent-but-expected pair ranks below exclusive rare-ish pair
+    text = " ".join(["x y"] * 3 + ["q r q r q r q r"] * 1 + ["q q r r"])
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = W.pmi_collocations(df, min_count=2, k=10).collect()
+    order = [(r["w1"], r["w2"]) for r in rows]
+    assert order.index(("x", "y")) < order.index(("q", "r"))
