@@ -299,3 +299,54 @@ def banded_lsh_signatures_vectorized(df: DataFrame, bands: int = 16,
     # to the session parallelism so every slot gets Arrow batches
     # (no-op at scale — fanout.fan_out)
     return fan_out(df.select(id_col, vec_col)).mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------ JL random projection
+def jl_project(df: DataFrame, out_dim: int = 16, in_dim: int = DIM,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Johnson–Lindenstrauss random projection (Johnson & Lindenstrauss
+    1984; the ±1 database-friendly form is Achlioptas 2003, "Database-
+    friendly random projections"): y = (1/√d')·R·x with R ∈ {±1}^(d'×d),
+    preserving pairwise distances within (1±ε) for d' = O(ε⁻²·log n) —
+    the dimensionality-reduction front end of an ANN/clustering stack
+    (project once, run kNN/LSH/k-means in d' dims at d/d' the cost).
+
+    Determinism: R's entries are sign bits of the shared 60-bit hash
+    (h60('jl-j-i') parity), components are integerized at 1e-6 BEFORE
+    summation (the PQ/ADC contract) so every y is an exact integer sum —
+    order-free under any partitioning — and the output float divides by
+    4e6 exactly (out_dim=16 ⇒ 1/√d' = 1/4, chosen so the JL scale is a
+    power of two and the division is a single exact IEEE op).
+
+    Scale shape: one in-row explode (×d), one broadcast join against the
+    d·d' sign table, one (vec,j)-keyed linear agg with map-side combine.
+    No window, no cartesian beyond the broadcast constant table."""
+    if round(out_dim ** 0.5) ** 2 != out_dim:
+        raise ValueError("out_dim must be a perfect square so the "
+                         "1/sqrt(out_dim) scale is exact")
+    spark = df.sparkSession
+    root = int(round(out_dim ** 0.5))
+    signs = (spark.range(0, in_dim * out_dim)
+             .select((F.col("id") % in_dim).alias("pos"),
+                     (F.col("id") / in_dim).cast("long").alias("j"))
+             .select("pos", "j",
+                     (1 - 2 * (h60(F.concat(F.lit("jl-"), F.col("j"),
+                                            F.lit("-"), F.col("pos")))
+                               % 2)).cast("long").alias("sgn")))
+    e = (fan_out(df.select(id_col, vec_col))
+         .select(F.col(id_col),
+                 F.posexplode(F.col(vec_col).cast("array<double>"))
+                 .alias("pos", "val"))
+         .select(id_col, "pos",
+                 F.round(F.col("val") * 1e6).cast("long").alias("x6")))
+    # y is the RAW double of one IEEE division of exact operands —
+    # bit-identical cross-engine.  Rounding it would break: y6/4e6 sits
+    # exactly on a 6-dp half whenever y6 % 4 == 2, and HALF_UP (Spark)
+    # vs DuckDB tie behavior then disagree — measured, 30/8000 rows.
+    return (e.join(F.broadcast(signs), "pos")
+            .groupBy(id_col, "j")
+            .agg(F.sum(F.col("sgn") * F.col("x6")).cast("long")
+                 .alias("y6"))
+            .select(id_col, "j", "y6",
+                    (F.col("y6") / F.lit(float(root) * 1e6)).alias("y")))

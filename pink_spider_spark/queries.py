@@ -1695,6 +1695,30 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+@q("emb_jl_project", """
+WITH e AS (SELECT vec_id, s.i AS pos,
+                  CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS x6
+           FROM embeddings, UNNEST(range(0, 64)) s(i)),
+sg AS (SELECT jj.j, ii.i AS pos,
+              CASE WHEN ('0x' || substr(md5('jl-' || jj.j || '-' || ii.i),
+                                        1, 15))::BIGINT % 2 = 0
+                   THEN 1 ELSE -1 END AS sgn
+       FROM UNNEST(range(0, 16)) jj(j), UNNEST(range(0, 64)) ii(i))
+SELECT e.vec_id, sg.j, CAST(sum(sgn * x6) AS BIGINT) AS y6,
+       CAST(sum(sgn * x6) AS BIGINT) / 4000000.0 AS y
+FROM e JOIN sg ON e.pos = sg.pos
+GROUP BY e.vec_id, sg.j
+""")
+def emb_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003)
+    64→16 dims over the embeddings table: R from h60 sign bits,
+    components integerized at 1e-6 before the sum so every output is an
+    exact integer (order-free), scale 1/√16 = 1/4 exact by choice of
+    out_dim (functions/similarity.py jl_project)."""
+    return S.jl_project(_t(spark, sf_dir, "embeddings"))
+
+
 @q("docs_pmi_collocations", """
 WITH t AS (SELECT doc_id,
                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
@@ -3138,11 +3162,10 @@ _GATE_FIRST = [
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
     "docs_textrank_keywords", "docs_temperature_sample",
-    "docs_pmi_collocations",
+    "docs_pmi_collocations", "emb_jl_project",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "revenue_by_segment",
-    "docs_minhash_lsh_pairs",
     "emb_knn_of_vec0",
     "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
 ]
@@ -3153,7 +3176,8 @@ _GATE_FIRST = [
 # docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
 # part_search_red, orders_page3, active_suppliers,
 # nation_customer_rollup, events_page_after, latest_order_per_customer,
-# customers_without_recent_orders, recent20_events_per_user, docs_simhash
+# customers_without_recent_orders, recent20_events_per_user, docs_simhash,
+# docs_minhash_lsh_pairs
 
 
 def _reorder_registry() -> None:

@@ -227,6 +227,10 @@ CHECKS = {
     # broadcasts, global top-k — no window, no cartesian
     "docs_pmi_collocations": (["TakeOrderedAndProject"],
                               ["Window", "CartesianProduct"]),
+    # JL projection: in-row explode + broadcast sign table + keyed
+    # linear agg — no window, no cartesian
+    "emb_jl_project": (["BroadcastHashJoin"],
+                       ["Window", "CartesianProduct", "SortMergeJoin"]),
 }
 
 # builders audited outside the registered query surface

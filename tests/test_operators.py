@@ -417,3 +417,76 @@ def test_containment_prefix_filter_is_lossless(spark):
            for r in X.containment_pairs(docs, k=12,
                                         threshold=0.8).collect()}
     assert got == brute and len(got) > 0
+
+
+# ------------------------------------------------ JL random projection
+def _jl_twin(vec, out_dim=16, in_dim=64):
+    import hashlib
+    out = []
+    for j in range(out_dim):
+        y6 = 0
+        for i, x in enumerate(vec):
+            h = int(hashlib.md5(f"jl-{j}-{i}".encode())
+                    .hexdigest()[:15], 16)
+            sgn = 1 if h % 2 == 0 else -1
+            # replicate float->double widening + HALF_UP integerization
+            from decimal import Decimal, ROUND_HALF_UP
+            x6 = int(Decimal(float(x) * 1e6)
+                     .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+            y6 += sgn * x6
+        out.append((j, y6))
+    return dict(out)
+
+
+def test_jl_matches_python_twin(spark):
+    from pink_spider_spark.functions import similarity as S
+    vec = [((i * 37) % 100 - 50) / 40.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in vec])],
+        "vec_id long, embedding array<float>")
+    got = {r["j"]: r["y6"] for r in S.jl_project(df).collect()}
+    want = _jl_twin([__import__("struct").unpack(
+        "f", __import__("struct").pack("f", v))[0] for v in vec])
+    assert got == want
+    rows = S.jl_project(df).collect()
+    for r in rows:
+        assert r["y"] == r["y6"] / 4e6
+
+
+def test_jl_preserves_pairwise_distances(spark):
+    """JL property: squared distances preserved within the d'=16
+    epsilon band (loose) on deterministic pseudo-random vectors."""
+    import hashlib
+    import math
+
+    def vec(s):
+        out = []
+        for i in range(64):
+            h = int(hashlib.md5(f"v{s}-{i}".encode()).hexdigest()[:8], 16)
+            out.append((h % 2000) / 1000.0 - 1.0)
+        return out
+
+    from pink_spider_spark.functions import similarity as S
+    vecs = {s: vec(s) for s in range(12)}
+    df = spark.createDataFrame(
+        [(s, [float(x) for x in v]) for s, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    proj = {}
+    for r in S.jl_project(df).collect():
+        proj.setdefault(r["vec_id"], {})[r["j"]] = r["y"]
+    ratios = []
+    for a in range(12):
+        for b in range(a + 1, 12):
+            d_orig = math.dist(vecs[a], vecs[b])
+            d_proj = math.dist([proj[a][j] for j in range(16)],
+                               [proj[b][j] for j in range(16)])
+            ratios.append(d_proj / d_orig)
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.6 < med < 1.4, med           # centered near 1
+    assert all(0.3 < r < 1.9 for r in ratios), ratios
+
+
+def test_jl_out_dim_must_be_square(spark):
+    from pink_spider_spark.functions import similarity as S
+    with pytest.raises(ValueError):
+        S.jl_project(None, out_dim=12)
