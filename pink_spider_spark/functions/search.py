@@ -71,3 +71,38 @@ def bm25_topk(df: DataFrame, query_terms: list, text_col: str = "text",
                     .alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k))
+
+
+def phrase_search(df: DataFrame, phrase: list, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search over a positional index (the operator a
+    ranked-retrieval stack runs beside BM25 — Manning, Raghavan &
+    Schütze, IIR §2.4 positional postings): documents containing the
+    query tokens at CONSECUTIVE positions, with match count and first
+    match position per document.
+
+    Scale shape: the positional postings explode is pruned to the
+    phrase's terms BEFORE any shuffle (an IN filter the scan can push),
+    then the phrase intersects via (doc, position)-keyed equi-joins —
+    term i of the phrase must sit at pos + i — which is exactly the
+    positional-index intersection of a search engine, never a string
+    scan over full documents.  All integer; one final doc-keyed agg.
+    Returns (doc_id, n_matches, first_pos)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least two tokens")
+    phrase = [t.lower() for t in phrase]
+    tk = X.tokens(F.lower(F.col(text_col)))
+    post = (fan_out(df.select(id_col, text_col))
+            .select(F.col(id_col), F.posexplode(tk).alias("pos", "w"))
+            .where(F.col("w").isin(*set(phrase)))
+            .localCheckpoint(eager=False))
+    cur = (post.where(F.col("w") == phrase[0])
+           .select(id_col, F.col("pos").alias("p0")))
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = (post.where(F.col("w") == term)
+               .select(F.col(id_col),
+                       (F.col("pos") - i).alias("p0")))
+        cur = cur.join(nxt, [id_col, "p0"])
+    return (cur.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.min("p0").cast("long").alias("first_pos")))

@@ -1695,6 +1695,32 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+@q("docs_phrase_search", """
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+post AS (SELECT doc_id, s.i AS pos, tk[s.i + 1] AS w
+         FROM t, UNNEST(range(0, len(tk))) s(i)
+         WHERE tk[s.i + 1] IN ('part', 'filter', 'scan')),
+m AS (SELECT p0.doc_id, p0.pos AS p0
+      FROM post p0
+      JOIN post p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+      JOIN post p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+      WHERE p0.w = 'part' AND p1.w = 'filter' AND p2.w = 'scan')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p0) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+""")
+def docs_phrase_search(spark, sf_dir):
+    """Exact phrase search 'part filter scan' over a positional index
+    (IIR §2.4): postings pruned to the phrase terms before any shuffle,
+    (doc, position)-keyed equi-join intersection — term i must sit at
+    pos+i — never a string scan of full documents
+    (functions/search.py phrase_search)."""
+    return SE.phrase_search(_t(spark, sf_dir, "documents"),
+                            ["part", "filter", "scan"])
+
+
 @q("emb_jl_project", """
 WITH e AS (SELECT vec_id, s.i AS pos,
                   CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000)
@@ -3162,12 +3188,11 @@ _GATE_FIRST = [
     "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
     "docs_textrank_keywords", "docs_temperature_sample",
-    "docs_pmi_collocations", "emb_jl_project",
+    "docs_pmi_collocations", "emb_jl_project", "docs_phrase_search",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "revenue_by_segment",
-    "emb_knn_of_vec0",
-    "docs_feed_parse", "docs_extract_provider_counts", "crawl_two_waves",
+    "emb_knn_of_vec0", "docs_extract_provider_counts", "crawl_two_waves",
 ]
 # dropped from the gate window to make room for the round-4 additions
 # (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
@@ -3177,7 +3202,7 @@ _GATE_FIRST = [
 # part_search_red, orders_page3, active_suppliers,
 # nation_customer_rollup, events_page_after, latest_order_per_customer,
 # customers_without_recent_orders, recent20_events_per_user, docs_simhash,
-# docs_minhash_lsh_pairs
+# docs_minhash_lsh_pairs, docs_feed_parse
 
 
 def _reorder_registry() -> None:

@@ -231,6 +231,11 @@ CHECKS = {
     # linear agg — no window, no cartesian
     "emb_jl_project": (["BroadcastHashJoin"],
                        ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # phrase search: postings pruned to phrase terms pre-shuffle, then
+    # (doc,pos)-keyed equi-joins — no window, no cartesian
+    "docs_phrase_search": (["HashAggregate"],
+                           ["Window", "CartesianProduct",
+                            "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -69,3 +69,35 @@ def test_bm25_tf_saturation(spark):
     got = {r.doc_id: r.score for r in SE.bm25_topk(df, ["spark"]).collect()}
     assert got[1] > got[0]
     assert got[1] < 5 * got[0]
+
+
+# --------------------------------------------------------- phrase search
+def test_phrase_search_counts_and_positions(spark):
+    from pink_spider_spark.functions.search import phrase_search
+    docs = [
+        (0, "a b c x a b c"),        # two matches, first at 0
+        (1, "a b x b c"),            # terms present, never consecutive
+        (2, "A B C"),                # case-insensitive match at 0
+        (3, "c b a"),                # reversed: no match
+        (4, "a a b c"),              # match at 1
+    ]
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in
+           phrase_search(spark.createDataFrame(docs, ["doc_id", "text"]),
+                         ["a", "b", "c"]).collect()}
+    assert got == {0: (2, 0), 2: (1, 0), 4: (1, 1)}
+
+
+def test_phrase_search_overlapping_and_repeated_token_phrase(spark):
+    from pink_spider_spark.functions.search import phrase_search
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in
+           phrase_search(
+               spark.createDataFrame([(0, "x x x x")], ["doc_id", "text"]),
+               ["x", "x"]).collect()}
+    assert got == {0: (3, 0)}  # overlapping occurrences all count
+
+
+def test_phrase_search_requires_two_tokens(spark):
+    import pytest
+    from pink_spider_spark.functions.search import phrase_search
+    with pytest.raises(ValueError):
+        phrase_search(None, ["solo"])
