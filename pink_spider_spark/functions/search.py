@@ -106,3 +106,40 @@ def phrase_search(df: DataFrame, phrase: list, text_col: str = "text",
     return (cur.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_matches"),
                  F.min("p0").cast("long").alias("first_pos")))
+
+
+def rrf_fuse(ranked_lists: list, id_col: str = "doc_id", c: int = 60,
+             top_k: int = 10) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher SIGIR 2009,
+    "Reciprocal rank fusion outperforms Condorcet and individual rank
+    learning methods"): fuse N ranked lists by
+    RRF(d) = Σ_lists 1/(c + rank_i(d)), the standard hybrid-retrieval
+    combiner (BM25 list + embedding-kNN list).  Documents absent from a
+    list contribute 0 for it.
+
+    Each input frame carries (id_col, ``rank``) with rank 1-based.
+    Determinism: ranks are exact integers, each 1/(c+rank) is one IEEE
+    division, and the sum is a FIXED-ARITY left-to-right expression in
+    list order — identical doubles cross-engine, no rounding (rounding
+    is what breaks: see jl_project).  Ties (symmetric rank swaps give
+    equal sums) break on the id.
+
+    Scale shape: the lists are top-k results — bounded by construction —
+    so fusion is a chain of outer joins over tiny frames followed by a
+    global top-k; cost lives in the upstream rankers."""
+    if not ranked_lists:
+        raise ValueError("need at least one ranked list")
+    out = None
+    for i, df in enumerate(ranked_lists):
+        cur = df.select(F.col(id_col),
+                        F.col("rank").alias(f"rank_{i}"))
+        out = cur if out is None else out.join(cur, id_col, "full_outer")
+    expr = None
+    for i in range(len(ranked_lists)):
+        term = F.coalesce(F.lit(1.0) / (F.lit(float(c))
+                                        + F.col(f"rank_{i}")),
+                          F.lit(0.0))
+        expr = term if expr is None else expr + term
+    return (out.withColumn("rrf", expr)
+            .orderBy(F.desc("rrf"), F.asc(id_col))
+            .limit(top_k))

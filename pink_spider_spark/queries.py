@@ -1695,6 +1695,75 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+@q("docs_hybrid_rrf", """
+WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents),
+lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(dl) AS sum_dl
+          FROM lens),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(tk) AS term FROM base)
+       WHERE term IN ('spark', 'stream', 'merge', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT t.doc_id, CAST(round(
+         ln(((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+            / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+         * ((CAST(t.tf AS DOUBLE) * 2.2)
+            / (CAST(t.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+         * 1000000.0) AS BIGINT) AS micro
+       FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+       CROSS JOIN stats s),
+bmt AS (SELECT doc_id, round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 4)
+               AS score
+        FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+bm AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+       FROM bmt),
+knt AS (SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = 0)), 4) AS sim
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 20),
+kn AS (SELECT vec_id AS doc_id,
+              ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rk
+       FROM knt),
+f AS (SELECT coalesce(bm.doc_id, kn.doc_id) AS doc_id, bm.rb, kn.rk,
+             coalesce(1.0 / (60 + rb), 0.0)
+             + coalesce(1.0 / (60 + rk), 0.0) AS rrf
+      FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id)
+SELECT doc_id, CAST(rb AS BIGINT) AS bm25_rank,
+       CAST(rk AS BIGINT) AS knn_rank, rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+def docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher SIGIR 2009): the BM25 top-20 for the standing query terms
+    fused with the embedding-kNN top-20 of vec 0 (doc_id ≡ vec_id) via
+    RRF = Σ 1/(60+rank) — the standard lexical+dense combiner.  Ranks
+    are exact integers; rrf is a fixed two-term double chain, unrounded
+    (functions/search.py rrf_fuse; the two Windows are row_number over
+    the bounded top-20 lists, never over the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = SE.bm25_topk(docs, ["spark", "stream", "merge", "window"],
+                      top_k=20)
+    bm = bm.withColumn("rank", F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc_id"))))
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    kn = (S.knn_brute_force(emb.filter("vec_id <> 0"), qv, k=20)
+          .withColumn("rank", F.row_number().over(
+              Window.orderBy(F.desc("sim"), F.asc("vec_id"))))
+          .select(F.col("vec_id").alias("doc_id"), "rank"))
+    fused = SE.rrf_fuse([bm.select("doc_id", "rank"), kn])
+    return fused.select(
+        "doc_id", F.col("rank_0").cast("long").alias("bm25_rank"),
+        F.col("rank_1").cast("long").alias("knn_rank"), "rrf")
+
+
 @q("docs_phrase_search", """
 WITH t AS (SELECT doc_id,
                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
@@ -3189,6 +3258,7 @@ _GATE_FIRST = [
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
     "docs_textrank_keywords", "docs_temperature_sample",
     "docs_pmi_collocations", "emb_jl_project", "docs_phrase_search",
+    "docs_hybrid_rrf",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "revenue_by_segment",
@@ -3202,7 +3272,7 @@ _GATE_FIRST = [
 # part_search_red, orders_page3, active_suppliers,
 # nation_customer_rollup, events_page_after, latest_order_per_customer,
 # customers_without_recent_orders, recent20_events_per_user, docs_simhash,
-# docs_minhash_lsh_pairs, docs_feed_parse
+# docs_minhash_lsh_pairs, docs_feed_parse, emb_knn_of_vec0
 
 
 def _reorder_registry() -> None:

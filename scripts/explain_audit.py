@@ -236,6 +236,9 @@ CHECKS = {
     "docs_phrase_search": (["HashAggregate"],
                            ["Window", "CartesianProduct",
                             "BroadcastNestedLoopJoin"]),
+    # RRF: the two Windows are row_number over the BOUNDED top-20 lists
+    # (post-limit), never the corpus; fusion joins tiny frames
+    "docs_hybrid_rrf": (["Window"], ["CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -101,3 +101,36 @@ def test_phrase_search_requires_two_tokens(spark):
     from pink_spider_spark.functions.search import phrase_search
     with pytest.raises(ValueError):
         phrase_search(None, ["solo"])
+
+
+# ------------------------------------------------ reciprocal rank fusion
+def test_rrf_fuse_hand_computed(spark):
+    from pink_spider_spark.functions.search import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: (r["rank_0"], r["rank_1"], r["rrf"]) for r in
+           rrf_fuse([a, b], top_k=10).collect()}
+    assert got[3] == (3, 1, 1.0 / 63 + 1.0 / 61)   # in both lists
+    assert got[1] == (1, None, 1.0 / 61)           # bm25-only
+    assert got[4] == (None, 2, 1.0 / 62)           # knn-only
+    # doc 3 (two lists) outranks every single-list doc
+    order = [r["doc_id"] for r in sorted(
+        rrf_fuse([a, b], top_k=10).collect(),
+        key=lambda r: (-r["rrf"], r["doc_id"]))]
+    assert order[0] == 3
+
+
+def test_rrf_symmetric_rank_tie_breaks_on_id(spark):
+    from pink_spider_spark.functions.search import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (1, 2)], ["doc_id", "rank"])
+    rows = rrf_fuse([a, b], top_k=2).collect()
+    assert rows[0]["rrf"] == rows[1]["rrf"]        # symmetric swap ties
+    assert [r["doc_id"] for r in rows] == [1, 2]   # id breaks it
+
+
+def test_rrf_requires_lists():
+    import pytest
+    from pink_spider_spark.functions.search import rrf_fuse
+    with pytest.raises(ValueError):
+        rrf_fuse([])
