@@ -1695,6 +1695,43 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+def _zorder_sql_expr(xe: str, ye: str, bits: int = 11) -> str:
+    # NB: in DuckDB '+' binds TIGHTER than '<<', so every shift term
+    # must be fully parenthesized before joining with '+'
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@q("events_zorder_layout", f"""
+WITH b AS (SELECT user_id AS x,
+                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS y
+           FROM events),
+c AS (SELECT x, y, {_zorder_sql_expr('x', 'y')} AS code FROM b)
+SELECT code >> 10 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM c GROUP BY 1
+""")
+def events_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) data layout planning over events (Morton 1966;
+    the Delta/Iceberg OPTIMIZE ZORDER BY technique): interleave
+    user_id × day-index bits, assign rows to files by code prefix, and
+    report per-file min/max spans of BOTH dimensions — the scan-planner
+    metadata whose tight spans let a predicate on EITHER column prune
+    files, which no single-column sort gives.  In-row integer bit ops +
+    one linear keyed agg (operators/relational.py zorder_code /
+    zorder_file_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    y = F.datediff(F.col("ts").cast("date"),
+                   F.to_date(F.lit("2024-01-01"))).cast("long")
+    return R.zorder_file_stats(ev, F.col("user_id"), y,
+                               file_shift=10)
+
+
 @q("docs_hybrid_rrf", """
 WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
               FROM documents),
@@ -3258,10 +3295,9 @@ _GATE_FIRST = [
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
     "docs_textrank_keywords", "docs_temperature_sample",
     "docs_pmi_collocations", "emb_jl_project", "docs_phrase_search",
-    "docs_hybrid_rrf",
+    "docs_hybrid_rrf", "events_zorder_layout",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
-    "revenue_by_segment",
     "emb_knn_of_vec0", "docs_extract_provider_counts", "crawl_two_waves",
 ]
 # dropped from the gate window to make room for the round-4 additions
@@ -3272,7 +3308,8 @@ _GATE_FIRST = [
 # part_search_red, orders_page3, active_suppliers,
 # nation_customer_rollup, events_page_after, latest_order_per_customer,
 # customers_without_recent_orders, recent20_events_per_user, docs_simhash,
-# docs_minhash_lsh_pairs, docs_feed_parse, emb_knn_of_vec0
+# docs_minhash_lsh_pairs, docs_feed_parse, emb_knn_of_vec0,
+# revenue_by_segment
 
 
 def _reorder_registry() -> None:

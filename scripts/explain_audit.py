@@ -239,6 +239,10 @@ CHECKS = {
     # RRF: the two Windows are row_number over the BOUNDED top-20 lists
     # (post-limit), never the corpus; fusion joins tiny frames
     "docs_hybrid_rrf": (["Window"], ["CartesianProduct"]),
+    # z-order layout: in-row bit interleave + one keyed agg — no join,
+    # no window, no cartesian
+    "events_zorder_layout": (["HashAggregate"],
+                             ["Window", "CartesianProduct", "Join"]),
 }
 
 # builders audited outside the registered query surface

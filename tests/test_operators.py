@@ -490,3 +490,36 @@ def test_jl_out_dim_must_be_square(spark):
     from pink_spider_spark.functions import similarity as S
     with pytest.raises(ValueError):
         S.jl_project(None, out_dim=12)
+
+
+# ---------------------------------------------------------- z-order layout
+def test_zorder_code_hand_values(spark):
+    df = spark.createDataFrame([(5, 3), (0, 0), (7, 7), (1, 0), (0, 1)],
+                               ["x", "y"])
+    got = {(r["x"], r["y"]): r["code"] for r in df.select(
+        "x", "y", R.zorder_code(F.col("x"), F.col("y"), bits=3)
+        .alias("code")).collect()}
+    # morton(5,3): x bits -> even positions, y bits -> odd = 0b011011
+    assert got == {(5, 3): 27, (0, 0): 0, (7, 7): 63, (1, 0): 1,
+                   (0, 1): 2}
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    # dense 64x64 grid, shift 10: within a file only the low 10
+    # interleaved bits vary -> both dim spans <= 31
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    stats = R.zorder_file_stats(df, F.col("x"), F.col("y"),
+                                bits=6, file_shift=10).collect()
+    assert len(stats) == 4   # 12-bit codes, 4 files of 1024 cells
+    for r in stats:
+        assert r["max_x"] - r["min_x"] <= 31, r
+        assert r["max_y"] - r["min_y"] <= 31, r
+        assert r["n_rows"] == 1024
+    # a single-column sort into equal files CANNOT bound the other dim:
+    # sorting by x leaves full 0-63 y spans
+    assert all(r["max_y"] - r["min_y"] == 63 for r in
+               df.withColumn("file_id", F.floor(F.col("x") / 16))
+               .groupBy("file_id")
+               .agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+               .collect())
