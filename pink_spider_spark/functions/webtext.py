@@ -1669,3 +1669,63 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
             .limit(k)
             .select("w1", "w2", F.col("c2").cast("long").alias("c2"),
                     F.round(F.log(F.col("ratio")), 4).alias("pmi")))
+
+
+# ------------------------------------------- content-defined chunking
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", win: int = 8,
+               avg_mask: int = 63) -> DataFrame:
+    """Content-defined chunking dedup (Muthitacharoen, Chen & Mazières
+    SOSP 2001, LBFS — the original CDC; FastCDC, Xia et al. USENIX ATC
+    2016, is the gear-hash speedup of the same idea): a chunk boundary
+    falls after position p whenever the fingerprint of the last ``win``
+    characters has its low bits zero (avg chunk ≈ avg_mask+1 chars), so
+    an insertion early in a document shifts only the chunk it lands in —
+    unlike fixed-size blocks, where one inserted byte re-aligns (and
+    re-uploads) everything downstream.  Production CDC adds min/max
+    chunk clamps (a sequential suppression); this is the pure
+    content-defined form, documented as such.
+
+    The boundary decision at p depends ONLY on the window CONTENT at p —
+    the classic rolling hash is merely the O(1) incremental evaluation
+    trick — so boundaries compute in-row per position with no
+    recurrence: one transform over positions + filter, all JVM codegen.
+    Chunks then cut in-row from consecutive boundaries; corpus-level
+    dedup is the dedup_lines shape (groupBy-min first occurrence on
+    chunk content, map-side combined).  One shuffle total.
+
+    Returns (doc_id, n_chunks, dup_chunks): chunks whose content
+    appeared earlier (global (doc, start) order) count as duplicates —
+    the bytes a dedup store would NOT store again."""
+    n = F.length(F.col(text_col))
+    bpos = F.filter(
+        F.transform(F.sequence(F.lit(win), n),
+                    lambda p: F.when(
+                        X.h60(F.substring(F.col(text_col), p - win + 1,
+                                          win)) % (avg_mask + 1) == 0,
+                        p)),
+        lambda x: x.isNotNull())
+    bounds = F.array_distinct(F.concat(
+        F.array(F.lit(0)), bpos, F.array(n)))
+    chunks = F.transform(
+        F.slice(bounds, 1, F.size(bounds) - 1),
+        lambda st, i: F.struct(
+            st.alias("st"),
+            F.substring(F.col(text_col), st + 1,
+                        F.element_at(bounds, i + 2) - st).alias("chunk")))
+    d = fan_out(df.select(id_col, text_col)).where(n > 0)
+    ex = (d.select(F.col(id_col), F.explode(chunks).alias("c"))
+          .select(id_col, F.col("c.st").alias("st"),
+                  F.col("c.chunk").alias("chunk"))
+          .localCheckpoint(eager=False))
+    firsts = ex.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("st").alias("p"))).alias("keep"))
+    return (ex.join(firsts, "chunk")
+            .select(id_col, "st",
+                    ((F.col(id_col) != F.col("keep.d"))
+                     | (F.col("st") != F.col("keep.p")))
+                    .cast("long").alias("is_dup"))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum("is_dup").cast("long").alias("dup_chunks")))

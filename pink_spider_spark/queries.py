@@ -1695,6 +1695,43 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+@q("docs_cdc_dedup", """
+WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents
+           WHERE len(text) > 0),
+bp AS (SELECT doc_id, s.p AS p FROM t, UNNEST(range(8, n + 1)) s(p)
+       WHERE ('0x' || substr(md5(substr(text, CAST(s.p AS INTEGER) - 7,
+                                        8)), 1, 15))::BIGINT % 64 = 0),
+bl AS (SELECT doc_id, p FROM bp
+       UNION SELECT doc_id, 0 FROM t
+       UNION SELECT doc_id, n FROM t),
+ch0 AS (SELECT doc_id, p AS st,
+               LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS en
+        FROM bl),
+chunks AS (SELECT c.doc_id, c.st,
+                  substr(t.text, CAST(c.st AS INTEGER) + 1,
+                         CAST(c.en - c.st AS INTEGER)) AS chunk
+           FROM ch0 c JOIN t USING (doc_id) WHERE c.en IS NOT NULL),
+fr AS (SELECT doc_id, st,
+              ROW_NUMBER() OVER (PARTITION BY chunk
+                                 ORDER BY doc_id, st) AS rn
+       FROM chunks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks
+FROM fr GROUP BY doc_id
+""")
+def docs_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (LBFS, Muthitacharoen et al. SOSP
+    2001; FastCDC is the gear-hash speedup): boundaries where the
+    8-char window fingerprint has low 6 bits zero (avg ~64-char
+    chunks), chunks cut in-row from consecutive boundaries, corpus
+    first-occurrence dedup on chunk content (groupBy-min, the
+    dedup_lines shape) — per-doc chunk and duplicate-chunk counts, the
+    bytes a dedup store would not store twice
+    (functions/webtext.py cdc_chunks)."""
+    return W.cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
 def _zorder_sql_expr(xe: str, ye: str, bits: int = 11) -> str:
     # NB: in DuckDB '+' binds TIGHTER than '<<', so every shift term
     # must be fully parenthesized before joining with '+'
@@ -3295,7 +3332,7 @@ _GATE_FIRST = [
     "docs_weighted_sample", "graph_lpa", "graph_triangles",
     "docs_textrank_keywords", "docs_temperature_sample",
     "docs_pmi_collocations", "emb_jl_project", "docs_phrase_search",
-    "docs_hybrid_rrf", "events_zorder_layout",
+    "docs_hybrid_rrf", "events_zorder_layout", "docs_cdc_dedup",
     # representative §2 core, one per operator family, incl. both flagships
     "lineitem_top3_per_order",
     "emb_knn_of_vec0", "docs_extract_provider_counts", "crawl_two_waves",
@@ -3309,7 +3346,7 @@ _GATE_FIRST = [
 # nation_customer_rollup, events_page_after, latest_order_per_customer,
 # customers_without_recent_orders, recent20_events_per_user, docs_simhash,
 # docs_minhash_lsh_pairs, docs_feed_parse, emb_knn_of_vec0,
-# revenue_by_segment
+# revenue_by_segment, lineitem_top3_per_order
 
 
 def _reorder_registry() -> None:

@@ -243,6 +243,11 @@ CHECKS = {
     # no window, no cartesian
     "events_zorder_layout": (["HashAggregate"],
                              ["Window", "CartesianProduct", "Join"]),
+    # CDC dedup: in-row boundaries + groupBy-min first occurrence —
+    # never a window over the (hot) chunk key, no cartesian
+    "docs_cdc_dedup": (["HashAggregate"],
+                       ["Window", "CartesianProduct",
+                        "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -35,7 +35,7 @@ def test_registry_and_oracles_aligned():
 
 def test_no_duplicate_names():
     assert len(_GATE_FIRST) == len(set(_GATE_FIRST))
-    assert len(QUERY_BUILDERS) == 97
+    assert len(QUERY_BUILDERS) == 98
 
 
 def test_gate_window_holds_round4_operators():
@@ -50,5 +50,5 @@ def test_gate_window_holds_round4_operators():
                  "docs_textrank_keywords", "docs_temperature_sample",
                  "docs_pmi_collocations", "emb_jl_project",
                  "docs_phrase_search", "docs_hybrid_rrf",
-                 "events_zorder_layout"):
+                 "events_zorder_layout", "docs_cdc_dedup"):
         assert name in first50, f"round-4 operator outside the gate: {name}"

@@ -1172,3 +1172,70 @@ def test_pmi_ranking_is_ratio_not_count(spark):
     rows = W.pmi_collocations(df, min_count=2, k=10).collect()
     order = [(r["w1"], r["w2"]) for r in rows]
     assert order.index(("x", "y")) < order.index(("q", "r"))
+
+
+# ------------------------------------------- content-defined chunking
+def _pseudo_text(n, seed="t"):
+    import hashlib
+    out = []
+    while len(out) < n:
+        h = hashlib.md5(f"{seed}-{len(out)}".encode()).hexdigest()
+        out.extend(h)
+    return "".join(out[:n])
+
+
+def test_cdc_insertion_shifts_only_the_head(spark):
+    """THE content-defined property: prepending text re-chunks only the
+    prefix — every chunk after the first content boundary realigns and
+    dedups against the original.  A fixed-size blocker loses all
+    alignment (pinned inline)."""
+    a = _pseudo_text(600)
+    b = "inserted! " + a
+    got = {r["doc_id"]: (r["n_chunks"], r["dup_chunks"]) for r in
+           W.cdc_chunks(spark.createDataFrame(
+               [(0, a), (1, b)], ["doc_id", "text"])).collect()}
+    n_a, dup_a = got[0]
+    n_b, dup_b = got[1]
+    assert n_a >= 4            # corpus long enough to chunk
+    assert dup_a == 0
+    assert dup_b >= n_b - 2    # only the head chunk (maybe two) is new
+    # fixed-size 64-char blocking: the same insertion misaligns every
+    # block — at most the accidental tail block survives
+    fixed_a = {a[i:i + 64] for i in range(0, len(a), 64)}
+    fixed_b = [b[i:i + 64] for i in range(0, len(b), 64)]
+    assert sum(1 for c in fixed_b if c in fixed_a) <= 1
+
+
+def test_cdc_identical_docs_fully_dedup(spark):
+    a = _pseudo_text(400)
+    got = {r["doc_id"]: (r["n_chunks"], r["dup_chunks"]) for r in
+           W.cdc_chunks(spark.createDataFrame(
+               [(0, a), (1, a)], ["doc_id", "text"])).collect()}
+    assert got[0][1] == 0
+    assert got[1] == (got[0][0], got[0][0])  # every chunk a duplicate
+
+
+def test_cdc_short_and_empty_docs(spark):
+    got = {r["doc_id"]: (r["n_chunks"], r["dup_chunks"]) for r in
+           W.cdc_chunks(spark.createDataFrame(
+               [(0, "tiny"), (1, "")], ["doc_id", "text"])).collect()}
+    assert got == {0: (1, 0)}  # one whole-doc chunk; empty doc absent
+
+
+def test_cdc_chunks_reassemble_exactly(spark):
+    """Boundaries partition the document: chunk count and coverage are
+    consistent with a python twin of the window-fingerprint rule."""
+    import hashlib
+    a = _pseudo_text(500, seed="r")
+    got = W.cdc_chunks(spark.createDataFrame(
+        [(0, a)], ["doc_id", "text"])).collect()[0]
+
+    bounds = [0]
+    for p in range(8, len(a) + 1):
+        w = a[p - 8:p]
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        if h % 64 == 0:
+            bounds.append(p)
+    if bounds[-1] != len(a):
+        bounds.append(len(a))
+    assert got["n_chunks"] == len(bounds) - 1
