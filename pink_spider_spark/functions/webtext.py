@@ -1729,3 +1729,43 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_chunks"),
                  F.sum("is_dup").cast("long").alias("dup_chunks")))
+
+
+# --------------------------------------------------------- BFS distances
+def bfs_hops(nodes: DataFrame, edges: DataFrame, source,
+             rounds: int = 4, node_col: str = "node", src: str = "src",
+             dst: str = "dst") -> DataFrame:
+    """Breadth-first hop distances from a source over an undirected
+    graph — synchronous frontier relaxation (the Pregel SSSP kernel
+    with unit weights; cf. Malewicz et al. SIGMOD 2010 §5.2):
+    d_k(v) = min(d_{k-1}(v), 1 + min_u d_{k-1}(u)) over in-neighbors,
+    ``rounds`` fixed so the trajectory is reproducible; nodes beyond
+    ``rounds`` hops stay NULL.  All integer.  Per round one src-keyed
+    join + one dst-keyed MIN agg (map-side combined); the symmetrized
+    edge list is pinned once (the pagerank/opic loop-invariant
+    contract)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .union(edges.select(F.col(dst).alias("src"),
+                             F.col(src).alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
+    base = nodes.select(node_col).distinct().localCheckpoint(eager=False)
+    dist = base.select(
+        node_col,
+        F.when(F.col(node_col) == F.lit(source), F.lit(0))
+        .otherwise(F.lit(None)).cast("long").alias("d"))
+    for _ in range(rounds):
+        relax = (e.join(dist.select(F.col(node_col).alias("src"), "d"),
+                        "src")
+                 .where(F.col("d").isNotNull())
+                 .groupBy("dst")
+                 .agg(F.min(F.col("d") + 1).alias("nd")))
+        dist = (dist.join(relax.withColumnRenamed("dst", node_col),
+                          node_col, "left")
+                .select(node_col,
+                        F.least(F.col("d"), F.col("nd")).alias("d"))
+                .localCheckpoint(eager=False))
+    return dist.select(F.col(node_col).alias("node"),
+                       F.col("d").alias("hops"))

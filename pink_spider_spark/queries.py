@@ -1695,6 +1695,57 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+def _bfs_round_sql(k: int) -> str:
+    return f""",
+r{k} AS (SELECT e.dst, min(d.d + 1) AS nd
+        FROM sym e JOIN d{k - 1} d ON e.src = d.node
+        WHERE d.d IS NOT NULL GROUP BY e.dst),
+d{k} AS (SELECT d.node,
+                CASE WHEN d.d IS NULL THEN r.nd
+                     WHEN r.nd IS NULL THEN d.d
+                     WHEN r.nd < d.d THEN r.nd ELSE d.d END AS d
+        FROM d{k - 1} d LEFT JOIN r{k} r ON d.node = r.dst)"""
+
+
+_BFS_SQL = ("""
+WITH ids AS (SELECT i FROM generate_series(0, 2999) s(i)),
+raw AS (SELECT i AS a, (i + 1) % 3000 AS b FROM ids
+        UNION ALL SELECT i, (i + 2) % 3000 FROM ids
+        UNION ALL SELECT i, (i * 7) % 3000 FROM ids WHERE i % 3 = 0
+        UNION ALL SELECT 0, i FROM ids WHERE i % 5 = 0 AND i <> 0),
+sym AS (SELECT DISTINCT a AS src, b AS dst FROM
+          (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)
+        WHERE a <> b),
+bn AS (SELECT DISTINCT src AS node FROM sym),
+d0 AS (SELECT node, CASE WHEN node = 0 THEN CAST(0 AS BIGINT) END AS d
+       FROM bn)"""
+            + "".join(_bfs_round_sql(k + 1) for k in range(4))
+            + """
+SELECT node, d AS hops FROM d4
+""")
+
+
+@q("graph_bfs_hops", _BFS_SQL)
+def graph_bfs_hops(spark, sf_dir):
+    """BFS hop distances from node 0 over the 3000-node fixture graph
+    (the graph_triangles ring+chords+hub), 4 synchronous frontier
+    rounds (the Pregel SSSP kernel, Malewicz et al. SIGMOD 2010) —
+    unreached nodes NULL.  All integer; per round one keyed join + one
+    MIN agg (functions/webtext.py bfs_hops)."""
+    n = 3000
+    ids = spark.range(0, n).select(F.col("id").cast("long"))
+    edges = (ids.select(F.col("id").alias("src"),
+                        ((F.col("id") + 1) % n).alias("dst"))
+             .union(ids.select(F.col("id"), (F.col("id") + 2) % n))
+             .union(ids.where(F.col("id") % 3 == 0)
+                    .select(F.col("id"), (F.col("id") * 7) % n))
+             .union(ids.where((F.col("id") % 5 == 0) & (F.col("id") != 0))
+                    .select(F.lit(0).cast("long"), F.col("id"))))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    return W.bfs_hops(nodes, edges, source=0, rounds=4)
+
+
 @q("docs_cdc_dedup", """
 WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents
            WHERE len(text) > 0),

@@ -248,6 +248,12 @@ CHECKS = {
     "docs_cdc_dedup": (["HashAggregate"],
                        ["Window", "CartesianProduct",
                         "BroadcastNestedLoopJoin"]),
+    # BFS: per round keyed join + MIN agg — no window, no cartesian.
+    # (The per-round aggs hide behind the lazy localCheckpoint lineage
+    # truncation, so only the absence list is assertable here.)
+    "graph_bfs_hops": ([],
+                       ["Window", "CartesianProduct",
+                        "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -1239,3 +1239,49 @@ def test_cdc_chunks_reassemble_exactly(spark):
     if bounds[-1] != len(a):
         bounds.append(len(a))
     assert got["n_chunks"] == len(bounds) - 1
+
+
+# --------------------------------------------------------- BFS distances
+def test_bfs_hand_graph_and_unreached(spark):
+    # path 1-2-3-4-5 plus isolated 9: distances from 1, 2 rounds
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 4, 5, 9)],
+                                  ["node"])
+    got = {r["node"]: r["hops"] for r in
+           W.bfs_hops(nodes, spark.createDataFrame(edges, ["src", "dst"]),
+                      source=1, rounds=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: None, 5: None, 9: None}
+    # more rounds reach the tail; distances are stable once assigned
+    got4 = {r["node"]: r["hops"] for r in
+            W.bfs_hops(nodes, spark.createDataFrame(edges,
+                                                    ["src", "dst"]),
+                       source=1, rounds=4).collect()}
+    assert got4 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 9: None}
+
+
+def test_bfs_matches_python_twin_on_fixture_slice(spark):
+    import collections
+    n = 60
+    edges = ([(i, (i + 1) % n) for i in range(n)]
+             + [(i, (i + 2) % n) for i in range(n)]
+             + [(0, i) for i in range(5, n, 5)])
+    nodes = sorted({x for e in edges for x in e})
+    got = {r["node"]: r["hops"] for r in
+           W.bfs_hops(spark.createDataFrame([(x,) for x in nodes],
+                                            ["node"]),
+                      spark.createDataFrame(edges, ["src", "dst"]),
+                      source=0, rounds=3).collect()}
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d); adj[d].add(s)
+    dist = {0: 0}
+    frontier = [0]
+    for hop in (1, 2, 3):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    assert got == {x: dist.get(x) for x in nodes}
