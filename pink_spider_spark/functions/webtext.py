@@ -1769,3 +1769,49 @@ def bfs_hops(nodes: DataFrame, edges: DataFrame, source,
                 .localCheckpoint(eager=False))
     return dist.select(F.col(node_col).alias("node"),
                        F.col("d").alias("hops"))
+
+
+# -------------------------------------------------------- entropy signals
+def entropy_signals(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the character and token
+    distributions (Shannon 1948) — the information-theoretic quality
+    signals a webtext filter uses beside Gopher's ratios: binary blobs
+    and base64 runs read as near-uniform high-entropy characters,
+    keyboard-mash and boilerplate as low-entropy tokens.
+
+    H = log2(n) − (Σ c·log2 c)/n over symbol counts — computed from one
+    (doc, symbol)-keyed count agg per granularity (map-side combined)
+    plus a doc-keyed fold; rounded 4 dp after the chain (the
+    transcendental-absorption contract; the Σ over a doc's distinct
+    symbols is a group sum, same precedent as unigram_logprob).
+    Empty documents are absent.  Returns (doc_id, n_chars,
+    char_entropy, n_tokens, token_entropy)."""
+    chars = (fan_out(df.select(id_col, text_col))
+             .where(F.length(text_col) > 0)
+             .select(F.col(id_col),
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.length(text_col)),
+                         lambda i: F.substring(F.col(text_col), i, 1)))
+                     .alias("ch")))
+
+    def ent(counts, sym):
+        return (counts.groupBy(id_col, sym).agg(F.count("*").alias("c"))
+                .groupBy(id_col)
+                .agg(F.sum("c").alias("n"),
+                     F.sum(F.col("c").cast("double")
+                           * F.log2(F.col("c").cast("double")))
+                     .alias("s"))
+                .select(id_col, F.col("n").cast("long"),
+                        F.round(F.log2(F.col("n").cast("double"))
+                                - F.col("s") / F.col("n").cast("double"),
+                                4).alias(f"{sym}_entropy")))
+
+    ce = ent(chars, "ch").withColumnRenamed("n", "n_chars") \
+        .withColumnRenamed("ch_entropy", "char_entropy")
+    toks = (df.select(F.col(id_col),
+                      F.explode(X.tokens(F.col(text_col))).alias("tok"))
+            .where(F.col("tok") != ""))
+    te = ent(toks, "tok").withColumnRenamed("n", "n_tokens") \
+        .withColumnRenamed("tok_entropy", "token_entropy")
+    return ce.join(te, id_col, "left")

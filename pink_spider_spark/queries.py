@@ -1695,6 +1695,43 @@ def graph_lpa(spark, sf_dir):
     return W.label_propagation(nodes, edges, rounds=2, colors=(0, 1))
 
 
+@q("docs_entropy_signals", """
+WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents
+           WHERE len(text) > 0),
+ch AS (SELECT doc_id, substr(text, CAST(s.i AS INTEGER), 1) AS ch
+       FROM t, UNNEST(range(1, n + 1)) s(i)),
+cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+       FROM ch GROUP BY doc_id, ch),
+ce AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+              round(log2(CAST(sum(c) AS DOUBLE))
+                    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                      / CAST(sum(c) AS DOUBLE), 4) AS char_entropy
+       FROM cc GROUP BY doc_id),
+tk AS (SELECT doc_id, u.tok
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                    AS tka FROM t), UNNEST(tka) u(tok)
+       WHERE u.tok <> ''),
+tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tk GROUP BY doc_id, tok),
+te AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              round(log2(CAST(sum(c) AS DOUBLE))
+                    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                      / CAST(sum(c) AS DOUBLE), 4) AS token_entropy
+       FROM tc GROUP BY doc_id)
+SELECT ce.doc_id, ce.n_chars, ce.char_entropy,
+       te.n_tokens, te.token_entropy
+FROM ce LEFT JOIN te USING (doc_id)
+""")
+def docs_entropy_signals(spark, sf_dir):
+    """Per-document Shannon character and token entropy (Shannon 1948)
+    — the information-theoretic quality signals beside Gopher's ratios
+    (binary/base64 reads high-entropy chars, boilerplate low-entropy
+    tokens).  One (doc,symbol)-keyed count agg per granularity + a
+    doc-keyed fold, 4-dp round after the chain
+    (functions/webtext.py entropy_signals)."""
+    return W.entropy_signals(_t(spark, sf_dir, "documents"))
+
+
 def _bfs_round_sql(k: int) -> str:
     return f""",
 r{k} AS (SELECT e.dst, min(d.d + 1) AS nd

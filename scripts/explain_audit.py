@@ -254,6 +254,11 @@ CHECKS = {
     "graph_bfs_hops": ([],
                        ["Window", "CartesianProduct",
                         "BroadcastNestedLoopJoin"]),
+    # entropy: (doc,symbol)-keyed count aggs + doc-keyed fold — no
+    # window, no cartesian
+    "docs_entropy_signals": (["HashAggregate"],
+                             ["Window", "CartesianProduct",
+                              "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

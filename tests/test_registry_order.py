@@ -35,7 +35,7 @@ def test_registry_and_oracles_aligned():
 
 def test_no_duplicate_names():
     assert len(_GATE_FIRST) == len(set(_GATE_FIRST))
-    assert len(QUERY_BUILDERS) == 99
+    assert len(QUERY_BUILDERS) == 100
 
 
 def test_gate_window_holds_round4_operators():

@@ -1285,3 +1285,27 @@ def test_bfs_matches_python_twin_on_fixture_slice(spark):
                     nxt.append(v)
         frontier = nxt
     assert got == {x: dist.get(x) for x in nodes}
+
+
+# -------------------------------------------------------- entropy signals
+def test_entropy_hand_values(spark):
+    import math
+    got = {r["doc_id"]: r for r in W.entropy_signals(
+        spark.createDataFrame([(0, "aa bb"), (1, "aaaa"), (2, "abcd")],
+                              ["doc_id", "text"])).collect()}
+    want0 = round(math.log2(5) - (2 * 1 + 2 * 1 + 1 * 0) / 5, 4)
+    assert got[0]["n_chars"] == 5
+    assert abs(got[0]["char_entropy"] - want0) < 1e-9
+    assert got[0]["n_tokens"] == 2 and got[0]["token_entropy"] == 1.0
+    assert got[1]["char_entropy"] == 0.0    # single symbol
+    assert got[2]["char_entropy"] == 2.0    # uniform over 4
+
+
+def test_entropy_orders_quality(spark):
+    noisy = "kj3H9x2Qz8vR4mT7nW1pL5cY6bD0gF"   # base64-ish
+    boiler = "click here click here click here click here"
+    got = {r["doc_id"]: r for r in W.entropy_signals(
+        spark.createDataFrame([(0, noisy), (1, boiler)],
+                              ["doc_id", "text"])).collect()}
+    assert got[0]["char_entropy"] > got[1]["char_entropy"]
+    assert got[1]["token_entropy"] == 1.0   # two distinct tokens, even
