@@ -1815,3 +1815,62 @@ def entropy_signals(df: DataFrame, text_col: str = "text",
     te = ent(toks, "tok").withColumnRenamed("n", "n_tokens") \
         .withColumnRenamed("tok_entropy", "token_entropy")
     return ce.join(te, id_col, "left")
+
+
+# ------------------------------------------------- winnowing fingerprints
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism-detection algorithm): hash every
+    k-gram, slide a window of ``w`` consecutive hashes, and in each
+    window select the MINIMUM hash (ties broken RIGHTMOST); the distinct
+    selected hashes are the document's fingerprints.  The paper's
+    guarantee: any shared substring of length ≥ k + w − 1 yields at
+    least one shared fingerprint, at expected density 2/(w+1) — the
+    local-selection property that position-modulo sampling (0 mod p)
+    lacks, because winnowing's choice depends only on CONTENT in a
+    bounded window, never on absolute position.
+
+    Plan shape: the hash array materializes once per row in its own
+    projection (CollapseProject keeps multi-referenced non-cheap
+    expressions separate), window minima are an in-row O(n·w)
+    higher-order fold — no shuffle until the fingerprints explode.
+    Corpus stage: one hash-keyed groupBy for document frequency + one
+    hash-keyed join back + one doc-keyed agg.  At 100 TB the
+    fingerprint stream is a bounded 2/(w+1) sample of the char stream
+    and every shuffle is keyed — no all-pairs anywhere.
+
+    Returns (doc_id, n_fp, shared_fp): distinct fingerprints, and how
+    many of them occur in at least one OTHER document — the
+    plagiarism-screen overlap signal.  Documents shorter than
+    k + w − 1 chars have no full window and are absent (documented;
+    MOSS reports them as unmatchable)."""
+    n = F.length(F.col(text_col))
+    d = (fan_out(df.select(id_col, text_col))
+         .where(n >= k + w - 1)
+         .withColumn("hs", F.transform(
+             F.sequence(F.lit(1), n - k + 1),
+             lambda p: X.h60(F.substring(F.col(text_col), p, k)))))
+    hs = F.col("hs")
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(hs) - w + 1),
+        lambda s: F.aggregate(
+            F.sequence(s, s + w - 1),
+            F.struct(F.lit((1 << 62)).cast("long").alias("mn"),
+                     F.lit(0).alias("p")),
+            # <= keeps the LATER position on ties: the rightmost-min rule
+            lambda acc, j: F.when(
+                F.element_at(hs, j) <= acc.getField("mn"),
+                F.struct(F.element_at(hs, j).alias("mn"),
+                         j.alias("p"))).otherwise(acc)).getField("p")))
+    fp = (d.select(F.col(id_col), F.col("hs"), F.explode(sel).alias("p"))
+          .select(F.col(id_col),
+                  F.element_at(F.col("hs"), F.col("p")).alias("h"))
+          .distinct())
+    share = fp.groupBy("h").agg(F.count("*").alias("nd"))
+    return (fp.join(share, "h")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_fp"),
+                 F.sum((F.col("nd") > 1).cast("long"))
+                 .cast("long").alias("shared_fp")))

@@ -1820,6 +1820,42 @@ def docs_cdc_dedup(spark, sf_dir):
     return W.cdc_chunks(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_winnow_fingerprints", """
+WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents
+           WHERE len(text) >= 11),
+hs AS (SELECT doc_id, n, CAST(s.p AS BIGINT) AS p,
+              ('0x' || substr(md5(substr(text, CAST(s.p AS INTEGER), 8)),
+                              1, 15))::BIGINT AS h
+       FROM t, UNNEST(range(1, n - 6)) s(p)),
+pw AS (SELECT doc_id, p, h, p - o.i AS ws
+       FROM hs, UNNEST(range(0, 4)) o(i)
+       WHERE p - o.i >= 1 AND p - o.i <= n - 10),
+wm AS (SELECT doc_id, ws, min(h) AS mn FROM pw GROUP BY doc_id, ws),
+selp AS (SELECT pw.doc_id, pw.ws, max(pw.p) AS p
+         FROM pw JOIN wm USING (doc_id, ws) WHERE pw.h = wm.mn
+         GROUP BY pw.doc_id, pw.ws),
+fp AS (SELECT DISTINCT s.doc_id, h.h
+       FROM (SELECT DISTINCT doc_id, p FROM selp) s
+       JOIN hs h USING (doc_id, p)),
+sh AS (SELECT h, count(*) AS nd FROM fp GROUP BY h)
+SELECT fp.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(CASE WHEN sh.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_fp
+FROM fp JOIN sh USING (h) GROUP BY fp.doc_id
+""")
+def docs_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken SIGMOD
+    2003 — the MOSS algorithm): hash every 8-gram, select the minimum
+    hash in each window of 4 consecutive hashes (rightmost on ties),
+    distinct selected hashes are the document's fingerprints — any
+    shared substring of length ≥ 11 chars yields a shared fingerprint
+    at expected density 2/(w+1).  Per-doc fingerprint count + how many
+    occur in another document (the plagiarism-screen overlap signal).
+    In-row O(n·w) fold, then one hash-keyed groupBy + join back
+    (functions/webtext.py winnow_fingerprints)."""
+    return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _zorder_sql_expr(xe: str, ye: str, bits: int = 11) -> str:
     # NB: in DuckDB '+' binds TIGHTER than '<<', so every shift term
     # must be fully parenthesized before joining with '+'

@@ -259,6 +259,11 @@ CHECKS = {
     "docs_entropy_signals": (["HashAggregate"],
                              ["Window", "CartesianProduct",
                               "BroadcastNestedLoopJoin"]),
+    # winnowing: in-row O(n·w) fold, then hash-keyed groupBy + join
+    # back — no window operator, no cartesian
+    "docs_winnow_fingerprints": (["HashAggregate"],
+                                 ["Window", "CartesianProduct",
+                                  "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

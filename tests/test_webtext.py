@@ -1309,3 +1309,57 @@ def test_entropy_orders_quality(spark):
                               ["doc_id", "text"])).collect()}
     assert got[0]["char_entropy"] > got[1]["char_entropy"]
     assert got[1]["token_entropy"] == 1.0   # two distinct tokens, even
+
+
+# ------------------------------------------------ winnowing fingerprints
+def _winnow_py(text, k=8, w=4):
+    """Sequential twin of the MOSS winnowing spec (rightmost-min)."""
+    import hashlib
+    n = len(text)
+    if n < k + w - 1:
+        return set()
+    hs = [int(hashlib.md5(text[p:p + k].encode()).hexdigest()[:15], 16)
+          for p in range(n - k + 1)]
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        best, bp = None, None
+        for j in range(s, s + w):
+            if best is None or hs[j] <= best:
+                best, bp = hs[j], j
+        sel.add(bp)
+    return {hs[p] for p in sel}
+
+
+def test_winnow_matches_python_twin(spark):
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+            (3, "the quick brown fox naps under the shady tree")]
+    tw = {i: _winnow_py(t) for i, t in docs}
+    out = {r.doc_id: r for r in
+           W.winnow_fingerprints(
+               spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    for i, t in docs:
+        assert out[i].n_fp == len(tw[i])
+        others = set().union(*(tw[j] for j, _ in docs if j != i))
+        assert out[i].shared_fp == len(tw[i] & others)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # the paper's guarantee: a shared substring of length >= k+w-1 (11)
+    # yields at least one shared fingerprint
+    shared = "XYZABCDEFGHIJKLMNOP"  # 19 chars embedded in both
+    df = spark.createDataFrame(
+        [(1, "aaaa " + shared + " bbbb bbbb bbbb"),
+         (2, "cccc cccc " + shared + " dddd")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.winnow_fingerprints(df).collect()}
+    assert out[1].shared_fp >= 1 and out[2].shared_fp >= 1
+
+
+def test_winnow_identical_docs_fully_shared_and_short_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "identical winnowing corpus text sample"),
+         (2, "identical winnowing corpus text sample"),
+         (3, "tiny")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in W.winnow_fingerprints(df).collect()}
+    assert 3 not in rows  # < k+w-1 chars: no full window, absent
+    assert rows[1].n_fp == rows[2].n_fp == rows[1].shared_fp
