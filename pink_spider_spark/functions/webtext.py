@@ -1874,3 +1874,90 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             .agg(F.count("*").cast("long").alias("n_fp"),
                  F.sum((F.col("nd") > 1).cast("long"))
                  .cast("long").alias("shared_fp")))
+
+
+# ------------------------------------------- multinomial Naive Bayes
+def nb_classify(df: DataFrame, label_col: str = "lang",
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Multinomial Naive Bayes text classifier (the event model of
+    McCallum & Nigam, AAAI-98 workshop — the classic fastText-era
+    baseline for language-ID / quality gating): train token-given-class
+    multinomials with Laplace (add-one) smoothing over the corpus's own
+    labels, then score every document and predict argmax —
+    train-and-apply in one dataflow, the shape a bootstrap quality
+    classifier takes in a webtext pipeline (label a seed set, classify
+    the crawl).
+
+    Exactness contract: every log-probability is integerized per
+    (token, class) — lam = round(ln((n_tc+1)/(n_c+V))·1e6) as BIGINT —
+    so document scores are pure integer sums (order-free under any
+    partitioning); argmax ties break toward the lexicographically
+    smallest class.  The SQL oracle replays identical arithmetic.
+
+    Plan shape: one (doc,token) count agg, one (token,class) count agg
+    (both map-side combined), the k-class table and the two scalar
+    totals broadcast; the score join is token-keyed (tf ⨝ lambda) —
+    never doc×doc, never all-pairs.  At 100 TB the lambda table is
+    vocab×k (sublinear in corpus), the tf stream shuffles once.
+
+    Returns (doc_id, lang, pred_lang, score_micro): actual label,
+    predicted label, and the winning class's integer score."""
+    docs = df.select(id_col, label_col, text_col).localCheckpoint(
+        eager=False)
+    tf = (fan_out(docs)
+          .select(F.col(id_col),
+                  F.explode(X.tokens(F.col(text_col))).alias("tok"))
+          .where(F.col("tok") != "")
+          .groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))
+    # class priors: ln(docs_c / n_docs), micro-integerized
+    cls = (docs.groupBy(label_col).agg(F.count("*").alias("dc"))
+           .crossJoin(F.broadcast(
+               docs.agg(F.count("*").alias("nd"))))
+           .select(F.col(label_col).alias("cls"),
+                   F.round(F.log(F.col("dc").cast("double")
+                                 / F.col("nd").cast("double")) * 1e6)
+                   .cast("long").alias("prior6"))
+           .localCheckpoint(eager=False))
+    # (token, class) occurrence counts n_tc and class totals n_c
+    ntc = (tf.join(docs.select(id_col, label_col), id_col)
+           .groupBy("tok", label_col).agg(F.sum("tf").alias("ntc"))
+           .withColumnRenamed(label_col, "cls")
+           .localCheckpoint(eager=False))
+    nc = ntc.groupBy("cls").agg(F.sum("ntc").alias("nc"))
+    vocab = tf.select("tok").distinct().agg(F.count("*").alias("v"))
+    denom = (nc.crossJoin(F.broadcast(vocab))
+             .select("cls", (F.col("nc") + F.col("v"))
+                     .cast("double").alias("den"))
+             .localCheckpoint(eager=False))
+    lam = (ntc.join(denom, "cls")
+           .select("tok", "cls",
+                   F.round(F.log((F.col("ntc") + 1).cast("double")
+                                 / F.col("den")) * 1e6)
+                   .cast("long").alias("lam6")))
+    lam0 = denom.select("cls", F.round(F.log(F.lit(1.0) / F.col("den"))
+                                       * 1e6).cast("long").alias("lam06"))
+    # score every (doc, class): token-keyed join, absent (t,c) pairs
+    # fall back to the class's smoothing floor lam0
+    scored = (tf.crossJoin(F.broadcast(cls.select("cls")))
+              .join(lam, ["tok", "cls"], "left")
+              .join(F.broadcast(lam0), "cls")
+              .groupBy(id_col, "cls")
+              .agg(F.sum(F.col("tf")
+                         * F.coalesce(F.col("lam6"), F.col("lam06")))
+                   .alias("tok6")))
+    # token-less docs still score: base = doc × class with prior only
+    base = (docs.select(id_col, label_col)
+            .crossJoin(F.broadcast(cls))
+            .join(scored, [id_col, "cls"], "left")
+            .select(F.col(id_col), F.col(label_col), F.col("cls"),
+                    (F.col("prior6")
+                     + F.coalesce(F.col("tok6"), F.lit(0)))
+                    .alias("sc6")))
+    return (base.groupBy(id_col, label_col)
+            .agg(F.min(F.struct((-F.col("sc6")).alias("neg"),
+                                F.col("cls").alias("cls"))).alias("w"))
+            .select(F.col(id_col), F.col(label_col),
+                    F.col("w.cls").alias("pred_lang"),
+                    (-F.col("w.neg")).cast("long").alias("score_micro")))

@@ -1856,6 +1856,56 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_nb_langid", """
+WITH docs AS (SELECT doc_id, lang, text FROM documents),
+tf AS (SELECT doc_id, u.tok AS tok, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                    AS tka FROM docs), UNNEST(tka) u(tok)
+       WHERE u.tok <> ''
+       GROUP BY doc_id, u.tok),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM docs),
+cls AS (SELECT lang AS cls,
+               CAST(round(ln(count(*) / nd.nd) * 1e6) AS BIGINT) AS prior6
+        FROM docs, nd GROUP BY lang, nd.nd),
+ntc AS (SELECT tf.tok, d.lang AS cls, CAST(sum(tf.tf) AS BIGINT) AS ntc
+        FROM tf JOIN docs d USING (doc_id) GROUP BY tf.tok, d.lang),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tf),
+den AS (SELECT cls, CAST(sum(ntc) AS DOUBLE) + v.v AS den
+        FROM ntc, v GROUP BY cls, v.v),
+lam AS (SELECT ntc.tok, ntc.cls,
+               CAST(round(ln((ntc + 1) / den.den) * 1e6) AS BIGINT)
+                 AS lam6
+        FROM ntc JOIN den USING (cls)),
+lam0 AS (SELECT cls, CAST(round(ln(1.0 / den) * 1e6) AS BIGINT) AS lam06
+         FROM den),
+sc AS (SELECT tf.doc_id, c.cls,
+              CAST(sum(tf.tf * COALESCE(lam.lam6, l0.lam06)) AS BIGINT)
+                AS tok6
+       FROM tf CROSS JOIN (SELECT cls FROM cls) c
+       LEFT JOIN lam ON lam.tok = tf.tok AND lam.cls = c.cls
+       JOIN lam0 l0 ON l0.cls = c.cls
+       GROUP BY tf.doc_id, c.cls),
+base AS (SELECT d.doc_id, d.lang, c.cls,
+                c.prior6 + COALESCE(sc.tok6, 0) AS sc6
+         FROM docs d CROSS JOIN cls c
+         LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = c.cls)
+SELECT doc_id, lang, cls AS pred_lang, CAST(sc6 AS BIGINT) AS score_micro
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY sc6 DESC, cls) AS rn
+      FROM base)
+WHERE rn = 1
+""")
+def docs_nb_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier (McCallum & Nigam
+    AAAI-98): train token|class multinomials with Laplace smoothing on
+    the corpus's own labels, score and predict every document —
+    train-and-apply in one dataflow, the bootstrap-quality-classifier
+    shape.  All log-probs micro-integerized per (token,class) so doc
+    scores are order-free integer sums; argmax ties break to the
+    smallest class (functions/webtext.py nb_classify)."""
+    return W.nb_classify(_t(spark, sf_dir, "documents"))
+
+
 def _zorder_sql_expr(xe: str, ye: str, bits: int = 11) -> str:
     # NB: in DuckDB '+' binds TIGHTER than '<<', so every shift term
     # must be fully parenthesized before joining with '+'

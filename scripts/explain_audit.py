@@ -264,6 +264,12 @@ CHECKS = {
     "docs_winnow_fingerprints": (["HashAggregate"],
                                  ["Window", "CartesianProduct",
                                   "BroadcastNestedLoopJoin"]),
+    # Naive Bayes: keyed count aggs, broadcast k-class/scalar sides,
+    # token-keyed score join — never doc×doc, no window, no sort-merge
+    # on the token key (lambda side broadcasts at this scale; the
+    # deliberate k-row crossJoins are broadcast)
+    "docs_nb_langid": (["HashAggregate", "BroadcastHashJoin"],
+                       ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -1363,3 +1363,42 @@ def test_winnow_identical_docs_fully_shared_and_short_absent(spark):
     rows = {r.doc_id: r for r in W.winnow_fingerprints(df).collect()}
     assert 3 not in rows  # < k+w-1 chars: no full window, absent
     assert rows[1].n_fp == rows[2].n_fp == rows[1].shared_fp
+
+
+# ------------------------------------------------ multinomial Naive Bayes
+def test_nb_hand_computed_scores_and_predictions(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "z z")], ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in W.nb_classify(df).collect()}
+    # V=3; den_a = 3+3 = 6, den_b = 2+3 = 5; priors ln(1/2)
+    pr = round(math.log(0.5) * 1e6)
+    sc1 = (pr + 2 * round(math.log(2 / 6) * 1e6)
+           + round(math.log(2 / 6) * 1e6))  # x:ntc=2 -> (2+1)/6; y -> 2/6
+    # doc1: x appears twice (tf=2, ntc(x,a)=2 -> lam=ln(3/6)), y once
+    sc1 = (pr + 2 * round(math.log(3 / 6) * 1e6)
+           + round(math.log(2 / 6) * 1e6))
+    assert out[1].pred_lang == "a" and out[1].score_micro == sc1
+    sc2 = pr + 2 * round(math.log(3 / 5) * 1e6)
+    assert out[2].pred_lang == "b" and out[2].score_micro == sc2
+
+
+def test_nb_disjoint_vocab_perfect_self_classification(spark):
+    rows = [(i, "en", "alpha beta gamma delta") for i in range(10)]
+    rows += [(i + 10, "fr", "un deux trois quatre") for i in range(10)]
+    out = W.nb_classify(
+        spark.createDataFrame(rows, ["doc_id", "lang", "text"])).collect()
+    assert all(r.pred_lang == r.lang for r in out)
+
+
+def test_nb_empty_doc_scores_prior_and_tie_breaks_smallest(spark):
+    # equal priors (2 docs per class); the empty doc has no tokens so
+    # its score is the prior alone in both classes -> exact tie ->
+    # the lexicographically smallest class wins
+    import math
+    df = spark.createDataFrame(
+        [(1, "a", "qq qq"), (2, "b", "zz zz"), (3, "a", ""),
+         (4, "b", "ww")], ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in W.nb_classify(df).collect()}
+    assert out[3].pred_lang == "a"
+    assert out[3].score_micro == round(math.log(2 / 4) * 1e6)
