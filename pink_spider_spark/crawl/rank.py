@@ -89,6 +89,62 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     return ranks
 
 
+def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 3,
+              damping: float = 0.85, src: str = "src", dst: str = "dst",
+              decimals: int = 8) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — the
+    spam-demotion companion to PageRank a production frontier needs:
+    identical propagation, but the teleport vector is concentrated on a
+    hand-vetted TRUSTED seed set instead of uniform, so trust flows
+    outward from good pages and link-farm clusters that manufacture
+    rank among themselves receive (almost) none.  Pages with high
+    PageRank but low TrustRank are the paper's spam-mass signal.
+
+    rank_0(v) = s(v);  rank_k(v) = (1−d)·s(v) + d·Σ rank(u)/outdeg(u),
+    where s(v) = 1/|S| on seeds, 0 elsewhere (the paper's normalized
+    trust vector as both init and teleport).  A node unreachable from
+    every seed scores exactly 0.0 — the demotion property.
+
+    Scale/determinism contract identical to ``pagerank`` above: edges
+    pinned once src-partitioned, per round one keyed join + one
+    dst-keyed linear agg, the seed vector is a broadcast-sized join
+    side (|S| ≪ n by construction), trajectory rounded to ``decimals``
+    every round so the SQL oracle replays it exactly."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    ns = sd.agg(F.count("*").cast("double").alias("ns"))
+    base = (nodes.join(F.broadcast(sd.withColumn("is_seed", F.lit(True))),
+                       "node", "left")
+            .crossJoin(F.broadcast(ns))
+            .select("node",
+                    F.when(F.col("is_seed"), F.lit(1.0) / F.col("ns"))
+                    .otherwise(F.lit(0.0)).alias("s"))
+            .localCheckpoint(eager=False))
+    outdeg = (e.groupBy("src").agg(F.count("*").cast("double")
+                                   .alias("outdeg"))
+              .localCheckpoint(eager=False))
+    ranks = base.select("node", F.round(F.col("s"), decimals).alias("rank"))
+    for _ in range(iters):
+        contribs = (e.join(outdeg, "src")
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c")))
+        ranks = (base.join(contribs.withColumnRenamed("dst", "node"),
+                           "node", "left")
+                 .select("node", F.round(
+                     F.lit(1.0 - damping) * F.col("s")
+                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)),
+                     decimals).alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks
+
+
 def hits(edges: DataFrame, iters: int = 2,
          src: str = "src", dst: str = "dst") -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over distinct (src, dst)

@@ -2441,6 +2441,64 @@ def graph_pagerank(spark, sf_dir):
     return K.pagerank(edges, iters=3, damping=0.85)
 
 
+@q("graph_trustrank", """
+WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+sd AS (SELECT node FROM nodes WHERE node LIKE 'c%'
+       AND CAST(substr(node, 2) AS BIGINT) % 10 = 0),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
+sv AS (SELECT n.node,
+              CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.ns END AS s
+       FROM nodes n CROSS JOIN ns LEFT JOIN sd s ON n.node = s.node),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM ed GROUP BY src),
+r0 AS (SELECT node, round(s, 8) AS rank FROM sv),
+p1 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r0 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r1 AS (SELECT sv.node, round(0.15 * sv.s + 0.85 * coalesce(p1.c, 0), 8)
+              AS rank
+       FROM sv LEFT JOIN p1 ON sv.node = p1.node),
+p2 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r1 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r2 AS (SELECT sv.node, round(0.15 * sv.s + 0.85 * coalesce(p2.c, 0), 8)
+              AS rank
+       FROM sv LEFT JOIN p2 ON sv.node = p2.node),
+p3 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r2 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r3 AS (SELECT sv.node, round(0.15 * sv.s + 0.85 * coalesce(p3.c, 0), 8)
+              AS rank
+       FROM sv LEFT JOIN p3 ON sv.node = p3.node)
+SELECT node, rank AS trust FROM r3
+""")
+def graph_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen VLDB 2004): biased
+    PageRank whose teleport vector concentrates on a trusted seed set
+    (every 10th customer node), so trust flows outward from vetted
+    pages and link-farms that manufacture rank among themselves get
+    none — the spam-demotion score a production frontier pairs with
+    PageRank.  Same purchase graph, 3 rounds, d=0.85, 8-dp-pinned
+    trajectory (crawl/rank.py trustrank)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst")))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    seeds = nodes.where(F.col("node").startswith("c")
+                        & (F.substring("node", 2, 18).cast("long")
+                           % 10 == 0))
+    return (K.trustrank(edges, seeds, iters=3, damping=0.85)
+            .select("node", F.col("rank").alias("trust")))
+
+
 @q("events_asof_last_signup", """
 SELECT l.event_id, l.user_id, l.ts,
        r.ts AS ts_asof, r.value AS value_asof

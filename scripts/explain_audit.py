@@ -270,6 +270,12 @@ CHECKS = {
     # deliberate k-row crossJoins are broadcast)
     "docs_nb_langid": (["HashAggregate", "BroadcastHashJoin"],
                        ["Window", "CartesianProduct"]),
+    # trustrank: per round one keyed join + dst-keyed linear agg, seed
+    # vector broadcast — no window, no cartesian (per-round plans hide
+    # behind the lazy localCheckpoint lineage truncation)
+    "graph_trustrank": ([],
+                        ["Window", "CartesianProduct",
+                         "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

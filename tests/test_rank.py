@@ -179,3 +179,54 @@ def test_host_opic_plugs_into_priority_join(spark):
            K.with_host_rank_priority(frontier, ranks).collect()}
     assert out["http://a.com/1"] == 500_000
     assert out["http://nowhere.org/2"] == 0
+
+
+# ------------------------------------------------------------ trustrank
+def test_trustrank_unreachable_from_seeds_scores_zero(spark):
+    # seed -> a -> b chain plus a disconnected spam 2-cycle: the spam
+    # cluster manufactures rank among itself under PageRank but gets
+    # EXACTLY 0.0 trust (the demotion property)
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b"), ("spam1", "spam2"),
+         ("spam2", "spam1")], ["src", "dst"])
+    seeds = spark.createDataFrame([("seed",)], ["node"])
+    r = {x.node: x.rank for x in K.trustrank(edges, seeds).collect()}
+    assert r["spam1"] == 0.0 and r["spam2"] == 0.0
+    assert r["seed"] > 0 and r["a"] > 0 and r["b"] > 0
+    pr = {x.node: x.rank for x in K.pagerank(edges).collect()}
+    assert pr["spam1"] > 0  # the contrast: PageRank can't tell
+
+
+def test_trustrank_hand_graph_one_round(spark):
+    # seed -> x, seed -> y; s = (1, 0, 0); one round:
+    # seed: 0.15*1 + 0; x,y: 0 + 0.85 * (1.0 / 2)
+    edges = spark.createDataFrame([("seed", "x"), ("seed", "y")],
+                                  ["src", "dst"])
+    seeds = spark.createDataFrame([("seed",)], ["node"])
+    r = {x.node: x.rank for x in
+         K.trustrank(edges, seeds, iters=1).collect()}
+    assert r["seed"] == 0.15
+    assert r["x"] == r["y"] == round(0.85 * 0.5, 8)
+
+
+def test_trustrank_matches_python_twin(spark):
+    # exact trajectory equality (8-dp rounds) vs a sequential twin on a
+    # small graph with fan-out, convergence and a sink
+    E = [("s0", "a"), ("s0", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("d", "a"), ("s1", "d"), ("s1", "a")]
+    seeds_l = ["s0", "s1"]
+    nodes = sorted({u for e in E for u in e})
+    out = {n: [v for u, v in E if u == n] for n in nodes}
+    s = {n: (1.0 / len(seeds_l) if n in seeds_l else 0.0) for n in nodes}
+    r = {n: round(s[n], 8) for n in nodes}
+    for _ in range(3):
+        c = {n: 0.0 for n in nodes}
+        for u in nodes:
+            for v in out[u]:
+                c[v] += r[u] / len(out[u])
+        r = {n: round(0.15 * s[n] + 0.85 * c[n], 8) for n in nodes}
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    seeds = spark.createDataFrame([(x,) for x in seeds_l], ["node"])
+    got = {x.node: x.rank for x in
+           K.trustrank(edges, seeds, iters=3).collect()}
+    assert got == r
