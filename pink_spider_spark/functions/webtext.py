@@ -1961,3 +1961,64 @@ def nb_classify(df: DataFrame, label_col: str = "lang",
             .select(F.col(id_col), F.col(label_col),
                     F.col("w.cls").alias("pred_lang"),
                     (-F.col("w.neg")).cast("long").alias("score_micro")))
+
+
+# --------------------------------------------------------- k-core coreness
+def coreness(nodes: DataFrame, edges: DataFrame, rounds: int = 4,
+             node_col: str = "node", src: str = "src",
+             dst: str = "dst") -> DataFrame:
+    """Distributed k-core decomposition via iterative h-index updates
+    (Montresor, De Pellegrini & Miorandi, "Distributed k-core
+    decomposition", IEEE TPDS 2013): init est(v) = degree(v); each
+    round est(v) = min(est(v), H({est(u) : u ~ v})) where H is the
+    h-index — the largest h such that at least h neighbors currently
+    estimate ≥ h.  Estimates decrease monotonically to the true
+    coreness (Seidman 1983's k-core number) — the web-graph density
+    signal that separates link-farm cores from sparse periphery
+    without any global peeling order.  A fixed ``rounds`` keeps the
+    trajectory reproducible; on converged graphs the output IS the
+    coreness (units pin equality with a sequential peeling twin).
+
+    All integer, order-free.  Per round: one dst-keyed join + one
+    src-keyed collect+fold agg (the h-index is an in-row count over
+    the sorted neighbor-estimate array — estimates bounded by max
+    degree, arrays bounded by degree); symmetrized edges pinned once
+    src-partitioned (the Pregel loop-invariant contract)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .union(edges.select(F.col(dst).alias("src"),
+                             F.col(src).alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
+    est = (e.groupBy("src").agg(F.count("*").alias("est"))
+           .withColumnRenamed("src", node_col)
+           .localCheckpoint(eager=False))
+    for _ in range(rounds):
+        # neighbor estimates arrive over the dst side; h-index in-row:
+        # with the array sorted DESC, h = #positions i (1-based) with
+        # arr[i] >= i
+        nb = (e.join(est.select(F.col(node_col).alias("dst"),
+                                F.col("est").alias("nest")), "dst")
+              .groupBy("src")
+              .agg(F.sort_array(F.collect_list("nest"),
+                                asc=False).alias("arr")))
+        h = nb.select(
+            F.col("src").alias(node_col),
+            F.size(F.filter(
+                F.transform(F.col("arr"),
+                            lambda x, i: (x >= i + 1).cast("int")),
+                lambda b: b == 1)).cast("long").alias("h"))
+        est = (est.join(h, node_col)
+               .select(node_col,
+                       F.least(F.col("est").cast("long"),
+                               F.col("h")).alias("est"))
+               .localCheckpoint(eager=False))
+    out = est.select(F.col(node_col).alias("node"),
+                     F.col("est").cast("long").alias("coreness"))
+    if nodes is not None:
+        allnodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        out = (allnodes.join(out, "node", "left")
+               .select("node", F.coalesce(F.col("coreness"),
+                                          F.lit(0)).alias("coreness")))
+    return out

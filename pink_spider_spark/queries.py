@@ -1762,6 +1762,58 @@ SELECT node, d AS hops FROM d4
 """)
 
 
+def _kcore_round_sql(r: int) -> str:
+    return f""",
+n{r} AS (SELECT e.src AS node, d.est AS nest,
+                ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY d.est DESC) AS rn
+         FROM sym e JOIN e{r - 1} d ON e.dst = d.node),
+h{r} AS (SELECT node, CAST(count(*) FILTER (WHERE nest >= rn) AS BIGINT)
+                AS h
+         FROM n{r} GROUP BY node),
+e{r} AS (SELECT e.node, CASE WHEN h.h < e.est THEN h.h ELSE e.est END
+                AS est
+         FROM e{r - 1} e JOIN h{r} h USING (node))"""
+
+
+_KCORE_SQL = ("""
+WITH ids AS (SELECT i FROM generate_series(0, 2999) s(i)),
+raw AS (SELECT i AS a, (i + 1) % 3000 AS b FROM ids
+        UNION ALL SELECT i, (i + 2) % 3000 FROM ids
+        UNION ALL SELECT i, (i * 7) % 3000 FROM ids WHERE i % 3 = 0
+        UNION ALL SELECT 0, i FROM ids WHERE i % 5 = 0 AND i <> 0),
+sym AS (SELECT DISTINCT a AS src, b AS dst FROM
+          (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)
+        WHERE a <> b),
+e0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS est
+       FROM sym GROUP BY src)"""
+              + "".join(_kcore_round_sql(r + 1) for r in range(4))
+              + """
+SELECT node, est AS coreness FROM e4
+""")
+
+
+@q("graph_kcore", _KCORE_SQL)
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition via distributed h-index rounds (Montresor
+    et al. IEEE TPDS 2013; Seidman 1983's coreness): est init =
+    degree, each round est = min(est, h-index of neighbor estimates) —
+    monotonically decreasing to true coreness, the density signal
+    separating link-farm cores from sparse periphery with no global
+    peeling order.  4 fixed rounds over the 3000-node fixture graph;
+    all integer (functions/webtext.py coreness)."""
+    n = 3000
+    ids = spark.range(0, n).select(F.col("id").cast("long"))
+    edges = (ids.select(F.col("id").alias("src"),
+                        ((F.col("id") + 1) % n).alias("dst"))
+             .union(ids.select(F.col("id"), (F.col("id") + 2) % n))
+             .union(ids.where(F.col("id") % 3 == 0)
+                    .select(F.col("id"), (F.col("id") * 7) % n))
+             .union(ids.where((F.col("id") % 5 == 0) & (F.col("id") != 0))
+                    .select(F.lit(0).cast("long"), F.col("id"))))
+    return W.coreness(None, edges, rounds=4)
+
+
 @q("graph_bfs_hops", _BFS_SQL)
 def graph_bfs_hops(spark, sf_dir):
     """BFS hop distances from node 0 over the 3000-node fixture graph

@@ -276,6 +276,10 @@ CHECKS = {
     "graph_trustrank": ([],
                         ["Window", "CartesianProduct",
                          "BroadcastNestedLoopJoin"]),
+    # k-core h-index rounds: keyed join + collect/fold agg per round,
+    # in-row h-index — no cartesian, no nested-loop
+    "graph_kcore": ([],
+                    ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

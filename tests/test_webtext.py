@@ -1402,3 +1402,68 @@ def test_nb_empty_doc_scores_prior_and_tie_breaks_smallest(spark):
     out = {r.doc_id: r for r in W.nb_classify(df).collect()}
     assert out[3].pred_lang == "a"
     assert out[3].score_micro == round(math.log(2 / 4) * 1e6)
+
+
+# ---------------------------------------------------------------- k-core
+def _coreness_py(edges):
+    """Sequential peeling twin (Batagelj-Zaversnik semantics)."""
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    res = {}
+    remaining = set(adj)
+    deg = {v: len(adj[v]) for v in adj}
+    while remaining:
+        k = min(deg[v] for v in remaining)
+        peel = {v for v in remaining if deg[v] <= k}
+        while peel:
+            v = peel.pop()
+            res[v] = k
+            remaining.discard(v)
+            for u in adj[v]:
+                if u in remaining:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.add(u)
+    return res
+
+
+def test_coreness_clique_plus_pendant(spark):
+    # K4 (coreness 3 each) with a pendant hanging off node 0 (coreness 1)
+    E = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 9)]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    out = {r.node: r.coreness for r in
+           W.coreness(None, edges, rounds=4).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 1}
+
+
+def test_coreness_matches_peeling_twin_after_convergence(spark):
+    # ring of 12 + chords + a K5 attached: run enough rounds to converge
+    E = [(i, (i + 1) % 12) for i in range(12)]
+    E += [(i, (i + 3) % 12) for i in range(0, 12, 2)]
+    E += [(20 + a, 20 + b) for a in range(5) for b in range(a + 1, 5)]
+    E += [(0, 20)]
+    truth = _coreness_py(E)
+    out = {r.node: r.coreness for r in
+           W.coreness(None, spark.createDataFrame(E, ["src", "dst"]),
+                      rounds=8).collect()}
+    assert out == truth
+
+
+def test_coreness_monotone_nonincreasing_rounds(spark):
+    E = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (2, 7)]
+    df = spark.createDataFrame(E, ["src", "dst"])
+    r1 = {r.node: r.coreness for r in W.coreness(None, df, rounds=1).collect()}
+    r3 = {r.node: r.coreness for r in W.coreness(None, df, rounds=3).collect()}
+    assert all(r3[n] <= r1[n] for n in r1)
+
+
+def test_coreness_isolated_node_zero_via_nodes_frame(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], ["node"])
+    out = {r.node: r.coreness for r in
+           W.coreness(nodes, edges, rounds=2).collect()}
+    assert out == {1: 1, 2: 1, 99: 0}
