@@ -112,3 +112,42 @@ def filter_urls(links: DataFrame, url_col: str = "url",
     cols = links.columns
     return (url_signals(links, url_col, blocklist, max_digit_frac)
             .filter(F.col("allowed")).select(*cols))
+
+
+# ---------------------------------------------------------------- SURT
+def surt(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform (Heritrix / Internet
+    Archive; the key form of every CDX index and of Heritrix
+    SurtPrefixScope crawl scoping): lowercase, drop the scheme, reverse
+    the host labels comma-joined, append ``,:port`` when present, close
+    with ``)`` and the path+query verbatim —
+    ``http://www.Example.COM:8080/A?q`` →
+    ``com,example,www,:8080)/a?q``.  Reversed-host ordering makes one
+    DOMAIN a contiguous key RANGE: every subdomain and path under
+    example.com sorts inside the prefix ``com,example``, so crawl
+    scoping, per-domain budgeting and CDX lookup are all prefix scans —
+    the property plain URLs lack because subdomains sort apart.  Pure
+    JVM column expressions (regexp + split/reverse/join), mirrored
+    byte-for-byte by the SQL oracle."""
+    u = F.lower(url)
+    hostport = F.regexp_extract(u, _HOST_RE, 1)
+    hostname = F.regexp_extract(hostport, r"^([^:]+)", 1)
+    port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+    rest = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    rev = F.array_join(F.reverse(F.split(hostname, r"\.")), ",")
+    return F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(","), port)),
+        F.lit(")"),
+        F.when(rest == "", F.lit("/")).otherwise(rest))
+
+
+def surt_domain_key(url: Column, labels: int = 2) -> Column:
+    """The first ``labels`` reversed host labels (``com,example``) —
+    the per-domain prefix under which every subdomain's SURT sorts;
+    the grouping key for per-domain crawl budgets over a CDX-shaped
+    frontier."""
+    hostname = F.regexp_extract(
+        F.regexp_extract(F.lower(url), _HOST_RE, 1), r"^([^:]+)", 1)
+    return F.array_join(
+        F.slice(F.reverse(F.split(hostname, r"\.")), 1, labels), ",")

@@ -2551,6 +2551,69 @@ def graph_trustrank(spark, sf_dir):
             .select("node", F.col("rank").alias("trust")))
 
 
+@q("frontier_surt_keys", """
+WITH ids AS (SELECT i AS id FROM generate_series(0, 3999) s(i)),
+urls AS (SELECT id,
+  'https://' ||
+  CASE id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'cdn.eu.' ELSE '' END ||
+  'Site' || (id % 23) || '.Example.' ||
+  CASE id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'net' ELSE 'org' END ||
+  CASE WHEN id % 17 = 0 THEN ':8080' ELSE '' END ||
+  CASE WHEN id % 5 = 0 THEN ''
+       ELSE '/Page/' || id ||
+            CASE WHEN id % 9 = 0 THEN '?Ref=X' || id ELSE '' END END
+  AS url FROM ids),
+parts AS (SELECT id, url,
+  regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+    AS hostport,
+  regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1)
+    AS rest
+  FROM urls),
+hp AS (SELECT id, url, rest,
+  regexp_extract(hostport, '^([^:]+)', 1) AS hostname,
+  regexp_extract(hostport, '(:[0-9]+)$', 1) AS port
+  FROM parts)
+SELECT id, url,
+  array_to_string(list_reverse(string_split(hostname, '.')), ',')
+  || CASE WHEN port = '' THEN '' ELSE ',' || port END
+  || ')' || CASE WHEN rest = '' THEN '/' ELSE rest END AS surt,
+  array_to_string(list_reverse(string_split(hostname, '.'))[1:2], ',')
+    AS domain_key
+FROM hp
+""")
+def frontier_surt_keys(spark, sf_dir):
+    """SURT canonicalization (Heritrix / Internet Archive — the key
+    form of CDX indexes and SurtPrefixScope crawl scoping): lowercase,
+    scheme dropped, host labels reversed comma-joined (+ ,:port),
+    ')' + path — making one DOMAIN a contiguous key range so scoping,
+    per-domain budgets and CDX lookups become prefix scans.  Over a
+    deterministic 4000-URL fixture with www/multi-label subdomains,
+    ports, empty paths and mixed case (crawl/urlfilter.py surt /
+    surt_domain_key)."""
+    from .crawl.urlfilter import surt, surt_domain_key
+
+    ids = spark.range(0, 4000).select(F.col("id").cast("long"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("id") % 4 == 0, F.lit("WWW."))
+        .when(F.col("id") % 4 == 1, F.lit("cdn.eu."))
+        .otherwise(F.lit("")),
+        F.lit("Site"), (F.col("id") % 23).cast("string"),
+        F.lit(".Example."),
+        F.when(F.col("id") % 3 == 0, F.lit("com"))
+        .when(F.col("id") % 3 == 1, F.lit("net"))
+        .otherwise(F.lit("org")),
+        F.when(F.col("id") % 17 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(F.col("id") % 5 == 0, F.lit("")).otherwise(F.concat(
+            F.lit("/Page/"), F.col("id").cast("string"),
+            F.when(F.col("id") % 9 == 0,
+                   F.concat(F.lit("?Ref=X"), F.col("id").cast("string")))
+            .otherwise(F.lit("")))))
+    return (ids.select("id", url.alias("url"))
+            .select("id", "url", surt(F.col("url")).alias("surt"),
+                    surt_domain_key(F.col("url")).alias("domain_key")))
+
+
 @q("events_asof_last_signup", """
 SELECT l.event_id, l.user_id, l.ts,
        r.ts AS ts_asof, r.value AS value_asof

@@ -280,6 +280,10 @@ CHECKS = {
     # in-row h-index — no cartesian, no nested-loop
     "graph_kcore": ([],
                     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # SURT: pure in-row string expressions over a generated range —
+    # no shuffle at all, no join, no window
+    "frontier_surt_keys": ([], ["Exchange", "Window", "Join",
+                                "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -143,3 +143,46 @@ def test_crawl_url_filter_parity(spark, flag):
         assert (blocked_url in urls) == (not flag)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ SURT
+def test_surt_canonical_forms(spark):
+    from pink_spider_spark.crawl.urlfilter import surt, surt_domain_key
+    from pyspark.sql import functions as F
+    cases = {
+        "http://www.Example.COM:8080/A?q": "com,example,www,:8080)/a?q",
+        "https://example.com": "com,example)/",
+        "https://a.b.example.net/x/y": "net,example,b,a)/x/y",
+        "http://example.org/": "org,example)/",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    out = {r.url: r.s for r in
+           df.select("url", surt(F.col("url")).alias("s")).collect()}
+    assert out == cases
+    dk = {r.url: r.d for r in
+          df.select("url",
+                    surt_domain_key(F.col("url")).alias("d")).collect()}
+    assert dk["https://a.b.example.net/x/y"] == "net,example"
+    assert dk["http://www.Example.COM:8080/A?q"] == "com,example"
+
+
+def test_surt_domain_prefix_property(spark):
+    # the point of SURT: every subdomain/path of one domain sorts inside
+    # a contiguous prefix range, where plain URLs scatter
+    from pink_spider_spark.crawl.urlfilter import surt
+    from pyspark.sql import functions as F
+    urls = ["https://www.shop.example.com/a", "https://example.com/z",
+            "https://cdn.example.com/img", "https://examplezzz.com/x",
+            "https://aaa.org/q"]
+    rows = (spark.createDataFrame([(u,) for u in urls], ["url"])
+            .select(surt(F.col("url")).alias("s")).collect())
+    surts = sorted(r.s for r in rows)
+    in_domain = [s for s in surts
+                 if s.startswith("com,example,") or
+                 s.startswith("com,example)")]
+    # contiguous: the in-domain keys occupy consecutive sorted slots
+    idx = [surts.index(s) for s in in_domain]
+    assert idx == list(range(min(idx), min(idx) + len(in_domain)))
+    # and the lookalike domain examplezzz is NOT inside the range
+    assert not any(s.startswith("com,example,") or s.startswith("com,example)")
+                   for s in surts if "examplezzz" in s)
