@@ -197,3 +197,83 @@ def zorder_file_stats(df: DataFrame, x_col: Column, y_col: Column,
                  F.max("__x").cast("long").alias("max_x"),
                  F.min("__y").cast("long").alias("min_y"),
                  F.max("__y").cast("long").alias("max_y")))
+
+
+def funnel(events: DataFrame, stages: list, user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis (the classic product-analytics operator;
+    cf. the windowFunnel aggregate in ClickHouse and Amplitude-style
+    event funnels): a user reaches stage i only with an event of type
+    stages[i] STRICTLY AFTER their stage-(i−1) arrival — each stage
+    anchors at the user's EARLIEST qualifying event (min-ts, so a later
+    out-of-order conversion can't hide an earlier valid one).
+
+    Returns (stage_idx, stage, users, conversion) — absolute reach per
+    stage and the fraction of stage-1 users surviving, rounded 4 dp.
+
+    Shape: per stage one filtered user-keyed MIN agg + one user-keyed
+    join against the previous anchor — k stages = k linear passes, no
+    window, no sort; at 100 TB each pass is one keyed shuffle with
+    map-side combine and the stage filter is pushed to the scan."""
+    cur = None
+    reached = []
+    for s in stages:
+        ev = events.where(F.col(type_col) == s)
+        if cur is None:
+            cur = (ev.groupBy(user_col)
+                   .agg(F.min(ts_col).alias("__t")))
+        else:
+            cur = (ev.join(cur.select(user_col,
+                                      F.col("__t").alias("__prev")),
+                           user_col)
+                   .where(F.col(ts_col) > F.col("__prev"))
+                   .groupBy(user_col)
+                   .agg(F.min(ts_col).alias("__t")))
+        reached.append(cur)
+    counts = None
+    for i, (s, df) in enumerate(zip(stages, reached)):
+        c = df.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit(i + 1).cast("long").alias("stage_idx"),
+            F.lit(s).alias("stage"), "users")
+        counts = c if counts is None else counts.unionByName(c)
+    first = counts.where(F.col("stage_idx") == 1).select(
+        F.col("users").alias("__first"))
+    return (counts.crossJoin(F.broadcast(first))
+            .select("stage_idx", "stage", "users",
+                    F.round(F.col("users") / F.col("__first"), 4)
+                    .alias("conversion")))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention cohorts (the standard growth-analytics
+    triangle): cohort = the DATE of a user's first event; a user is
+    retained in week k of their cohort if any event falls in day range
+    [7k, 7k+7) after that date.  Day arithmetic only — no calendar
+    week-truncation semantics to disagree on cross-engine.
+
+    Returns (cohort_date, week_offset, users, retention): distinct
+    active users per (cohort, offset) and the fraction of the cohort
+    (its week-0 size, which is the cohort size by construction).
+
+    Shape: one user-keyed MIN agg (first event), one user-keyed join
+    back, one (cohort, offset) count-distinct agg, cohort sizes joined
+    back cohort-keyed — all linear keyed passes."""
+    firsts = (events.groupBy(user_col)
+              .agg(F.min(ts_col).alias("__ft")))
+    joined = (events.select(user_col, ts_col)
+              .join(firsts, user_col)
+              .select(F.col(user_col),
+                      F.col("__ft").cast("date").alias("cohort_date"),
+                      F.floor(F.datediff(F.col(ts_col).cast("date"),
+                                         F.col("__ft").cast("date")) / 7)
+                      .cast("long").alias("week_offset")))
+    cells = (joined.distinct()
+             .groupBy("cohort_date", "week_offset")
+             .agg(F.count("*").cast("long").alias("users")))
+    sizes = (cells.where(F.col("week_offset") == 0)
+             .select("cohort_date", F.col("users").alias("__size")))
+    return (cells.join(sizes, "cohort_date")
+            .select("cohort_date", "week_offset", "users",
+                    F.round(F.col("users") / F.col("__size"), 4)
+                    .alias("retention")))

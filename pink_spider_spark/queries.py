@@ -2551,6 +2551,60 @@ def graph_trustrank(spark, sf_dir):
             .select("node", F.col("rank").alias("trust")))
 
 
+@q("events_funnel", """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+n AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+             CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+SELECT stage_idx, stage, users,
+       round(CAST(users AS DOUBLE)
+             / (SELECT users FROM n WHERE stage_idx = 1), 4) AS conversion
+FROM n
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase, the windowFunnel /
+    Amplitude product-analytics operator): a user reaches stage i only
+    via an event strictly after their stage-(i−1) anchor (earliest
+    qualifying event).  Per stage one filtered user-keyed MIN agg +
+    one user-keyed join — k linear passes, no window
+    (operators/relational.py funnel)."""
+    return R.funnel(_t(spark, sf_dir, "events"),
+                    ["view", "click", "purchase"])
+
+
+@q("events_retention_cohorts", """
+WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+           FROM events GROUP BY user_id),
+j AS (SELECT DISTINCT e.user_id, f.cohort_date,
+             date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) // 7
+               AS week_offset
+      FROM events e JOIN f ON e.user_id = f.user_id),
+cells AS (SELECT cohort_date, week_offset,
+                 CAST(count(*) AS BIGINT) AS users
+          FROM j GROUP BY cohort_date, week_offset),
+sz AS (SELECT cohort_date, users AS size FROM cells WHERE week_offset = 0)
+SELECT c.cohort_date, c.week_offset, c.users,
+       round(CAST(c.users AS DOUBLE) / sz.size, 4) AS retention
+FROM cells c JOIN sz USING (cohort_date)
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts (the growth-analytics triangle):
+    cohort = date of a user's first event; retained in week k if any
+    event falls in days [7k, 7k+7) after it — day arithmetic only, no
+    cross-engine calendar-week semantics.  One user-keyed MIN agg +
+    join back + (cohort, offset) agg, cohort sizes joined cohort-keyed
+    (operators/relational.py retention_cohorts)."""
+    return R.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 @q("frontier_surt_keys", """
 WITH ids AS (SELECT i AS id FROM generate_series(0, 3999) s(i)),
 urls AS (SELECT id,

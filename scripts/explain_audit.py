@@ -284,6 +284,18 @@ CHECKS = {
     # no shuffle at all, no join, no window
     "frontier_surt_keys": ([], ["Exchange", "Window", "Join",
                                 "CartesianProduct"]),
+    # funnel: k filtered user-keyed MIN aggs + user-keyed joins, stage
+    # filters pushed to the scan — no window, no sort.  (The one
+    # BroadcastNestedLoopJoin is the deliberate 1-row stage-1-count
+    # broadcast for the conversion denominator, bounded by design —
+    # same precedent as docs_ccnet_buckets' totals.)
+    "events_funnel": (["PushedFilters"],
+                      ["Window", "CartesianProduct"]),
+    # retention: user-keyed MIN + join back + (cohort,offset) agg —
+    # all linear keyed passes, no window
+    "events_retention_cohorts": (["HashAggregate"],
+                                 ["Window", "CartesianProduct",
+                                  "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

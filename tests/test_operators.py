@@ -523,3 +523,60 @@ def test_zorder_files_bound_both_dimensions(spark):
                .groupBy("file_id")
                .agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
                .collect())
+
+
+# ------------------------------------------------------------- funnel
+def test_funnel_strict_order_and_min_anchor(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1 completes in order
+        (1, T, "view"), (1, T + 2 * s, "click"), (1, T + 3 * s, "purchase"),
+        # u2: click BEFORE view -> never reaches click stage
+        (2, T, "click"), (2, T + s, "view"),
+        # u3: view then purchase but no click -> stops at view
+        (3, T, "view"), (3, T + s, "purchase"),
+        # u4: two views; the EARLIEST anchors, so the click after the
+        # first view counts even though it precedes the second view
+        (4, T, "view"), (4, T + 5 * s, "view"), (4, T + 2 * s, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in rows], ["user_id", "ts", "event_type"])
+    out = {r.stage: r for r in
+           R.funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"].users == 4
+    assert out["click"].users == 2           # u1 and u4
+    assert out["purchase"].users == 1        # u1
+    assert out["view"].conversion == 1.0
+    assert out["purchase"].conversion == 0.25
+
+
+def test_funnel_equal_timestamp_not_counted(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    ev = spark.createDataFrame(
+        [(1, T, "view"), (1, T, "click")], ["user_id", "ts", "event_type"])
+    out = {r.stage: r.users for r in R.funnel(ev, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 0}  # strictly-after contract
+
+
+# -------------------------------------------------------- retention
+def test_retention_cohort_day_windows(spark):
+    import datetime as dt
+    D = dt.datetime(2024, 1, 1, 12)
+    day = dt.timedelta(days=1)
+    ev = spark.createDataFrame(
+        [(1, D), (1, D + 6 * day),          # u1: week 0 twice
+         (1, D + 7 * day),                   # u1: week 1 (day 7 -> 7//7)
+         (2, D), (2, D + 20 * day),          # u2: week 0 and week 2
+         (3, D + day)],                      # u3: its own cohort, week 0
+        ["user_id", "ts"])
+    out = {(str(r.cohort_date), r.week_offset): r for r in
+           R.retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)].users == 2
+    assert out[("2024-01-01", 1)].users == 1
+    assert out[("2024-01-01", 2)].users == 1
+    assert out[("2024-01-02", 0)].users == 1
+    assert out[("2024-01-01", 1)].retention == 0.5
+    assert out[("2024-01-01", 0)].retention == 1.0
