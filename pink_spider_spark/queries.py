@@ -1814,6 +1814,110 @@ def graph_kcore(spark, sf_dir):
     return W.coreness(None, edges, rounds=4)
 
 
+_HB_FIXTURE_SQL = """
+WITH ids AS (SELECT i FROM generate_series(0, 999) s(i)),
+raw AS (SELECT i AS a, (i + 1) % 1000 AS b FROM ids
+        UNION ALL SELECT i, (i + 2) % 1000 FROM ids
+        UNION ALL SELECT i, (i * 7) % 1000 FROM ids WHERE i % 3 = 0
+        UNION ALL SELECT 0, i FROM ids WHERE i % 5 = 0 AND i <> 0),
+sym AS (SELECT DISTINCT a AS src, b AS dst FROM
+          (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)
+        WHERE a <> b),
+bn AS (SELECT DISTINCT src AS v FROM sym)"""
+
+
+def _hb_fixture_edges(spark):
+    n = 1000
+    ids = spark.range(0, n).select(F.col("id").cast("long"))
+    return (ids.select(F.col("id").alias("src"),
+                       ((F.col("id") + 1) % n).alias("dst"))
+            .union(ids.select(F.col("id"), (F.col("id") + 2) % n))
+            .union(ids.where(F.col("id") % 3 == 0)
+                   .select(F.col("id"), (F.col("id") * 7) % n))
+            .union(ids.where((F.col("id") % 5 == 0) & (F.col("id") != 0))
+                   .select(F.lit(0).cast("long"), F.col("id"))))
+
+
+_HARMONIC_SQL = (_HB_FIXTURE_SQL + """,
+b0 AS (SELECT v, v AS u FROM bn)"""
+                 + "".join(f""",
+b{t} AS (SELECT DISTINCT v, u FROM (
+           SELECT b.v, e.dst AS u FROM b{t - 1} b JOIN sym e ON b.u = e.src
+           UNION ALL SELECT v, u FROM b{t - 1})),
+s{t} AS (SELECT v, CAST(count(*) AS BIGINT) AS s FROM b{t} GROUP BY v)"""
+                           for t in (1, 2, 3))
+                 + """
+SELECT s1.v AS node, s3.s AS reachable,
+       6 * (s1.s - 1) + 3 * (s2.s - s1.s) + 2 * (s3.s - s2.s)
+         AS harmonic_num
+FROM s1 JOIN s2 ON s1.v = s2.v JOIN s3 ON s1.v = s3.v
+""")
+
+
+@q("graph_harmonic_exact", _HARMONIC_SQL)
+def graph_harmonic_exact(spark, sf_dir):
+    """Exact bounded-radius harmonic centrality (Boldi & Vigna 2014 —
+    the metric behind Common Crawl's official host ranking):
+    H(v) = Σ 1/d(v,u) within 3 hops from exact ball sizes, integerized
+    exactly as Σ ΔB_t·(6/t).  SCALE MARKER: O(n·|B|) pair
+    materialization — the verifier for graph_hyperball's bounded
+    register state (functions/webtext.py harmonic_exact)."""
+    return W.harmonic_exact(None, _hb_fixture_edges(spark), rounds=3)
+
+
+def _hb_est_sql(k: int) -> str:
+    return f""",
+a{k} AS (SELECT node, count(*) AS np,
+                sum(CAST(1::BIGINT << (61 - rho) AS DECIMAL(38,0))) AS sp
+         FROM r{k} GROUP BY node),
+f{k} AS (SELECT node, round(CASE WHEN raw <= 2560.0 AND v > 0
+                THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE)) ELSE raw END,
+                4) AS e
+         FROM (SELECT node, 1024 - np AS v,
+                      1.742160653640441e+24 / CAST(sp
+                        + CAST(1024 - np AS DECIMAL(38,0))
+                        * CAST(2305843009213693952 AS DECIMAL(38,0))
+                        AS DOUBLE) AS raw
+               FROM a{k}))"""
+
+
+_HYPERBALL_SQL = (_HB_FIXTURE_SQL + """,
+h0 AS (SELECT v AS node,
+              ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+                AS hv FROM bn),
+r0 AS (SELECT node, hv % 1024 AS reg,
+              CASE WHEN hv // 1024 = 0 THEN 51
+                   ELSE 51 - length(bin(hv // 1024)) END AS rho
+       FROM h0)"""
+                  + "".join(f""",
+u{t} AS (SELECT e.src AS node, r.reg, r.rho
+         FROM sym e JOIN r{t - 1} r ON e.dst = r.node
+         UNION ALL SELECT node, reg, rho FROM r{t - 1}),
+r{t} AS (SELECT node, reg, max(rho) AS rho FROM u{t} GROUP BY 1, 2)"""
+                            for t in (1, 2, 3))
+                  + "".join(_hb_est_sql(k) for k in (0, 1, 2, 3))
+                  + """
+SELECT f0.node, f3.e AS ball_est,
+       round(greatest(0.0, f1.e - f0.e) / 1
+             + greatest(0.0, f2.e - f1.e) / 2
+             + greatest(0.0, f3.e - f2.e) / 3, 4) AS harmonic_est
+FROM f0 JOIN f1 USING (node) JOIN f2 USING (node) JOIN f3 USING (node)
+""")
+
+
+@q("graph_hyperball", _HYPERBALL_SQL)
+def graph_hyperball(spark, sf_dir):
+    """HyperBall (Boldi, Rosa & Vigna WWW 2011/2013) — Common Crawl's
+    harmonic-centrality algorithm: per-node HLL counters of the t-hop
+    ball, each round absorbing neighbor counters by register-wise MAX
+    (HLL union is exact); harmonic centrality accumulates estimated
+    ΔB_t/t.  The 10^9-node scale path pinning graph_harmonic_exact:
+    bounded O(n·m) register state, one dst-keyed join + one
+    (node,reg)-keyed MAX agg per round, registers bit-identical
+    cross-engine (functions/sketches.py hyperball)."""
+    return SK.hyperball(None, _hb_fixture_edges(spark), rounds=3)
+
+
 @q("graph_bfs_hops", _BFS_SQL)
 def graph_bfs_hops(spark, sf_dir):
     """BFS hop distances from node 0 over the 3000-node fixture graph

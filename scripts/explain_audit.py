@@ -296,6 +296,16 @@ CHECKS = {
     "events_retention_cohorts": (["HashAggregate"],
                                  ["Window", "CartesianProduct",
                                   "BroadcastNestedLoopJoin"]),
+    # exact harmonic: per-round keyed join + distinct + count agg —
+    # the documented small-graph VERIFIER (O(n·ball) pairs)
+    "graph_harmonic_exact": ([],
+                             ["Window", "CartesianProduct",
+                              "BroadcastNestedLoopJoin"]),
+    # hyperball: one dst-keyed join + (node,reg)-keyed MAX agg per
+    # round over the bounded register table — the scale path
+    "graph_hyperball": ([],
+                        ["Window", "CartesianProduct",
+                         "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface
