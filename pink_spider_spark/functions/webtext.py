@@ -2079,3 +2079,62 @@ def harmonic_exact(nodes: DataFrame, edges: DataFrame, rounds: int = 3,
     return out.select(F.col("v").alias("node"),
                       F.col(f"s{rounds}").alias("reachable"),
                       expr.alias("harmonic_num"))
+
+
+# ------------------------------------------- BPE pre-tokenizer fertility
+#: GPT-2's pre-tokenizer regex (Radford et al. 2019, the contraction /
+#: letter-run / digit-run / punct-run grouping every byte-BPE tokenizer
+#: applies before merges), in its RE2-COMPATIBLE form: the original's
+#: `\s+(?!\S)` negative-lookahead branch (hold back the space before a
+#: following token) is folded into the trailing `\s+` because RE2 — and
+#: therefore the DuckDB oracle — has no lookahead.  Documented
+#: deviation: interior runs of 2+ spaces tokenize as one whitespace run
+#: instead of run-minus-one + attached space; letter/digit/punct
+#: grouping (what fertility measures) is unaffected.
+BPE_PRETOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+                   r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_pretoken_stats(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-fertility signals from GPT-2-style pre-tokenization:
+    n_pretokens, distinct pretokens, and chars-per-pretoken — the
+    compression-rate proxy data pipelines use to price a corpus in
+    tokens and to flag pathological segments (digit soup and punct
+    runs pre-tokenize short; CJK runs group long).  Pure in-row
+    regexp_extract_all + array ops — zero shuffle, pipelines with the
+    scan."""
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    return (df.select(
+        F.col(id_col), F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).alias("__n"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_pretokens"))
+        .where(F.col("__n") > 0)
+        .select(id_col, "n_chars",
+                F.col("__n").cast("long").alias("n_pretokens"),
+                F.col("n_distinct_pretokens").cast("long")
+                .alias("n_distinct_pretokens"),
+                F.round(F.col("n_chars") / F.col("__n"), 4)
+                .alias("chars_per_pretoken")))
+
+
+# --------------------------------------------------- rendezvous hashing
+def rendezvous_shard(key: Column, n_shards: int,
+                     salt: str = "hrw") -> Column:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1996 — the consistent-placement scheme behind cache
+    rings and shard maps): shard(key) = argmax over s of
+    h60('<salt>-<s>-<key>').  THE property (vs key % n): growing the
+    fleet from n to n+1 shards moves only the keys whose NEW shard
+    wins the argmax — an expected 1/(n+1) of them — instead of
+    rehashing nearly everything; every mover lands on the new shard.
+    In-row argmax over an n-element hash array: zero shuffle, no
+    coordination state anywhere."""
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            X.h60(F.concat(F.lit(salt + "-"), s.cast("string"),
+                           F.lit("-"), key.cast("string"))).alias("h"),
+            s.cast("long").alias("s")))
+    return F.array_max(arr).getField("s")

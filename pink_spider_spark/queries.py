@@ -2012,6 +2012,64 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+_BPE_RE_SQL = ("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+"
+               "| ?[^\\s\\p{L}\\p{N}]+|\\s+").replace("'", "''")
+
+
+@q("docs_bpe_pretokens", f"""
+WITH t AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+                  regexp_extract_all(text, '{_BPE_RE_SQL}', 0) AS tks
+           FROM documents)
+SELECT doc_id, n_chars,
+       CAST(len(tks) AS BIGINT) AS n_pretokens,
+       CAST(len(list_distinct(tks)) AS BIGINT) AS n_distinct_pretokens,
+       round(CAST(n_chars AS DOUBLE) / len(tks), 4) AS chars_per_pretoken
+FROM t WHERE len(tks) > 0
+""")
+def docs_bpe_pretokens(spark, sf_dir):
+    """Tokenizer-fertility signals from GPT-2-style pre-tokenization
+    (Radford et al. 2019's regex in its RE2-compatible form —
+    lookahead branch folded, deviation documented at the pattern):
+    pretoken/distinct counts + chars-per-pretoken, the
+    compression-rate proxy that prices a corpus in tokens and flags
+    digit-soup/punct-run segments.  Pure in-row regexp + array ops,
+    zero shuffle (functions/webtext.py bpe_pretoken_stats)."""
+    return W.bpe_pretoken_stats(_t(spark, sf_dir, "documents"))
+
+
+@q("docs_rendezvous_shards", """
+WITH a AS (SELECT doc_id, s.i AS s,
+                  ('0x' || substr(md5('hrw-' || s.i || '-' || doc_id),
+                                  1, 15))::BIGINT AS h
+           FROM documents, UNNEST(range(0, 10)) s(i)),
+s10 AS (SELECT doc_id, arg_max(s, h) AS shard10 FROM a GROUP BY doc_id),
+b AS (SELECT doc_id, s.i AS s,
+             ('0x' || substr(md5('hrw-' || s.i || '-' || doc_id),
+                             1, 15))::BIGINT AS h
+      FROM documents, UNNEST(range(0, 11)) s(i)),
+s11 AS (SELECT doc_id, arg_max(s, h) AS shard11 FROM b GROUP BY doc_id)
+SELECT s10.doc_id, CAST(shard10 AS BIGINT) AS shard10,
+       CAST(shard11 AS BIGINT) AS shard11,
+       (shard10 <> shard11) AS moved
+FROM s10 JOIN s11 ON s10.doc_id = s11.doc_id
+""")
+def docs_rendezvous_shards(spark, sf_dir):
+    """Rendezvous / highest-random-weight sharding (Thaler &
+    Ravishankar 1996): shard = argmax over s of h60('hrw-<s>-<key>')
+    — growing 10 → 11 shards moves ONLY keys whose new shard wins
+    (expected 1/11, every mover lands on shard 10), vs key%n
+    rehashing nearly all.  In-row argmax over the hash array, zero
+    shuffle; the emitted moved flag exhibits the minimal-movement
+    property in the hash-checked result itself
+    (functions/webtext.py rendezvous_shard)."""
+    docs = _t(spark, sf_dir, "documents")
+    s10 = W.rendezvous_shard(F.col("doc_id"), 10)
+    s11 = W.rendezvous_shard(F.col("doc_id"), 11)
+    return docs.select("doc_id", s10.alias("shard10"),
+                       s11.alias("shard11"),
+                       (s10 != s11).alias("moved"))
+
+
 @q("docs_nb_langid", """
 WITH docs AS (SELECT doc_id, lang, text FROM documents),
 tf AS (SELECT doc_id, u.tok AS tok, CAST(count(*) AS BIGINT) AS tf

@@ -306,6 +306,15 @@ CHECKS = {
     "graph_hyperball": ([],
                         ["Window", "CartesianProduct",
                          "BroadcastNestedLoopJoin"]),
+    # BPE pretokens: in-row regexp + array ops — zero shuffle
+    "docs_bpe_pretokens": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Window", "Join", "CartesianProduct"]),
+    # rendezvous: in-row argmax over the per-key hash array — zero
+    # shuffle, no join
+    "docs_rendezvous_shards": (
+        ["ReadSchema: struct<doc_id:bigint>"],
+        ["Exchange", "Window", "Join", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -1467,3 +1467,64 @@ def test_coreness_isolated_node_zero_via_nodes_frame(spark):
     out = {r.node: r.coreness for r in
            W.coreness(nodes, edges, rounds=2).collect()}
     assert out == {1: 1, 2: 1, 99: 0}
+
+
+# --------------------------------------------- BPE pre-tokenizer stats
+def test_bpe_pretokens_hand_segmentation(spark):
+    # contractions split, letter runs keep their leading space, digit
+    # and punct runs separate
+    df = spark.createDataFrame(
+        [(1, "I'll see 42 cats... now")], ["doc_id", "text"])
+    r = W.bpe_pretoken_stats(df).collect()[0]
+    # ["I", "'ll", " see", " 42", " cats", "...", " now"] = 7
+    assert r.n_pretokens == 7
+    assert r.n_distinct_pretokens == 7
+    assert r.n_chars == 23
+    assert r.chars_per_pretoken == round(23 / 7, 4)
+
+
+def test_bpe_pretokens_digit_soup_tokenizes_short(spark):
+    df = spark.createDataFrame(
+        [(1, "the quiet mornings drift slowly onward"),
+         (2, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.bpe_pretoken_stats(df).collect()}
+    # digit-interleaved text fragments into many short pretokens
+    assert out[2].chars_per_pretoken < out[1].chars_per_pretoken
+
+
+def test_bpe_pretokens_empty_doc_absent(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    assert W.bpe_pretoken_stats(df).count() == 0
+
+
+# ------------------------------------------------- rendezvous hashing
+def test_rendezvous_minimal_movement_property(spark):
+    from pyspark.sql import functions as F
+    df = spark.range(0, 2000).select(F.col("id"))
+    out = (df.select(
+        W.rendezvous_shard(F.col("id"), 10).alias("s10"),
+        W.rendezvous_shard(F.col("id"), 11).alias("s11")).collect())
+    moved = [r for r in out if r.s10 != r.s11]
+    # expected 1/11 ≈ 182 movers; generous band
+    assert 90 <= len(moved) <= 300
+    # EVERY mover lands on the new shard — the HRW guarantee
+    assert all(r.s11 == 10 for r in moved)
+    # and shards are reasonably balanced under 10 shards
+    from collections import Counter
+    c = Counter(r.s10 for r in out)
+    assert len(c) == 10 and min(c.values()) > 120
+
+
+def test_rendezvous_matches_python_twin(spark):
+    import hashlib
+    from pyspark.sql import functions as F
+
+    def twin(key, n):
+        return max(range(n), key=lambda s: int(
+            hashlib.md5(f"hrw-{s}-{key}".encode()).hexdigest()[:15], 16))
+    df = spark.range(0, 50).select(F.col("id"))
+    out = {r.id: r.s for r in
+           df.select("id", W.rendezvous_shard(F.col("id"), 7)
+                     .alias("s")).collect()}
+    assert out == {k: twin(k, 7) for k in range(50)}
