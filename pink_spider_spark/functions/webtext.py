@@ -2138,3 +2138,64 @@ def rendezvous_shard(key: Column, n_shards: int,
                            F.lit("-"), key.cast("string"))).alias("h"),
             s.cast("long").alias("s")))
     return F.array_max(arr).getField("s")
+
+
+# ----------------------------------------------------------------- RAKE
+#: RAKE separator stopwords (demo lexicon; the operator is the point)
+RAKE_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on",
+                  "for", "with", "at", "by", "from", "as", "it", "this",
+                  "that", "are", "was", "be", "or")
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """RAKE — Rapid Automatic Keyword Extraction (Rose, Engel, Cramer
+    & Cowley 2010), the non-graph companion to TextRank: candidate
+    phrases are maximal runs of non-stopword tokens (stopwords and
+    punctuation-only tokens are SEPARATORS); each word scores
+    deg(w)/freq(w) where deg sums the lengths of every phrase
+    occurrence containing w (co-occurrence incl. self) and freq counts
+    w's phrase occurrences; a phrase scores the sum of its word
+    scores; top-k phrases per document win.
+
+    Determinism: word scores integerize as round(1e6·deg/freq) so
+    phrase scores are order-free integer sums; ties break on the
+    phrase string.  Shape: one posexplode, ONE per-doc window for the
+    gaps-and-islands phrase grouping (doc-keyed, the engine's asof/
+    textrank precedent), then (doc,word)- and (doc,phrase)-keyed aggs
+    — no all-pairs, no global sort; top-k per doc is the bounded
+    topk_per_key window."""
+    from ..operators.relational import topk_per_key
+    toks = (fan_out(df.select(id_col, text_col))
+            .select(F.col(id_col),
+                    F.posexplode(X.tokens(F.lower(F.col(text_col))))
+                    .alias("pos", "raw"))
+            .select(id_col, "pos",
+                    F.regexp_replace("raw", r"[^\p{L}\p{N}]", "")
+                    .alias("w")))
+    body = toks.where((F.col("w") != "")
+                      & ~F.col("w").isin(*RAKE_STOPWORDS))
+    isl = body.withColumn(
+        "grp", F.col("pos") - F.row_number().over(
+            Window.partitionBy(id_col).orderBy("pos")))
+    ph = (isl.groupBy(id_col, "grp")
+          .agg(F.count("*").alias("plen"),
+               F.array_join(
+                   F.transform(F.sort_array(F.collect_list(
+                       F.struct("pos", "w"))), lambda x: x.getField("w")),
+                   " ").alias("phrase")))
+    ws = (isl.join(ph.select(id_col, "grp", "plen"), [id_col, "grp"])
+          .groupBy(id_col, "w")
+          .agg(F.count("*").alias("freq"),
+               F.sum("plen").alias("deg")))
+    sc = ws.select(id_col, "w",
+                   F.round(F.lit(1e6) * F.col("deg") / F.col("freq"))
+                   .cast("long").alias("s6"))
+    psc = (isl.join(sc, [id_col, "w"])
+           .groupBy(id_col, "grp")
+           .agg(F.sum("s6").alias("score6")))
+    allp = (ph.join(psc, [id_col, "grp"])
+            .select(id_col, "phrase", F.col("score6").cast("long")))
+    return topk_per_key(allp, [id_col],
+                        [F.desc("score6"), F.asc("phrase")], k) \
+        .select(id_col, "phrase", "score6")

@@ -2012,6 +2012,52 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_rake_keywords", """
+WITH base AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+              FROM documents),
+tok AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+               regexp_replace(tk[CAST(s.i AS INTEGER)],
+                              '[^\\p{L}\\p{N}]', '', 'g') AS w
+        FROM base, UNNEST(range(1, len(tk) + 1)) s(i)),
+body AS (SELECT doc_id, pos, w FROM tok
+         WHERE w <> '' AND w NOT IN
+           ('the','a','an','of','to','and','in','is','on','for','with',
+            'at','by','from','as','it','this','that','are','was','be',
+            'or')),
+isl AS (SELECT doc_id, pos, w,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM body),
+ph AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+              string_agg(w, ' ' ORDER BY pos) AS phrase
+       FROM isl GROUP BY doc_id, grp),
+ws AS (SELECT i.doc_id, i.w, CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(p.plen) AS BIGINT) AS deg
+       FROM isl i JOIN ph p USING (doc_id, grp)
+       GROUP BY i.doc_id, i.w),
+sc AS (SELECT doc_id, w,
+              CAST(round(1e6 * deg / freq) AS BIGINT) AS s6 FROM ws),
+psc AS (SELECT i.doc_id, i.grp, CAST(sum(sc.s6) AS BIGINT) AS score6
+        FROM isl i JOIN sc ON i.doc_id = sc.doc_id AND i.w = sc.w
+        GROUP BY i.doc_id, i.grp)
+SELECT doc_id, phrase, score6 FROM (
+  SELECT p.doc_id, p.phrase, psc.score6,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                            ORDER BY psc.score6 DESC, p.phrase) AS rn
+  FROM ph p JOIN psc USING (doc_id, grp))
+WHERE rn <= 3
+""")
+def docs_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) —
+    the non-graph companion to docs_textrank_keywords: phrases are
+    maximal non-stopword runs (gaps-and-islands), word score =
+    deg/freq over phrase occurrences, phrase score = Σ word scores,
+    top-3 per doc.  Word scores micro-integerized so phrase sums are
+    order-free (functions/webtext.py rake_keywords)."""
+    return W.rake_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
 _BPE_RE_SQL = ("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+"
                "| ?[^\\s\\p{L}\\p{N}]+|\\s+").replace("'", "''")
 

@@ -315,6 +315,11 @@ CHECKS = {
     "docs_rendezvous_shards": (
         ["ReadSchema: struct<doc_id:bigint>"],
         ["Exchange", "Window", "Join", "CartesianProduct"]),
+    # RAKE: one per-doc islands window + keyed aggs + bounded top-k
+    # window — no cartesian, no nested-loop
+    "docs_rake_keywords": (["Window"],
+                           ["CartesianProduct",
+                            "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

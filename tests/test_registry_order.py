@@ -35,7 +35,8 @@ def test_registry_and_oracles_aligned():
 
 def test_no_duplicate_names():
     assert len(_GATE_FIRST) == len(set(_GATE_FIRST))
-    assert len(QUERY_BUILDERS) == 100
+    # the surface only ever grows (round-4 baseline: 100 queries)
+    assert len(QUERY_BUILDERS) >= 100
 
 
 def test_gate_window_holds_round4_operators():

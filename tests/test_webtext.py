@@ -1528,3 +1528,33 @@ def test_rendezvous_matches_python_twin(spark):
            df.select("id", W.rendezvous_shard(F.col("id"), 7)
                      .alias("s")).collect()}
     assert out == {k: twin(k, 7) for k in range(50)}
+
+
+# ------------------------------------------------------------------ RAKE
+def test_rake_hand_scores(spark):
+    # "deep learning" phrase vs single words; stopword 'of' separates.
+    # phrases: [deep learning], [deep learning], [systems]
+    # deg(deep)=4 freq=2 -> 2.0; deg(learning)=4 freq=2 -> 2.0;
+    # deg(systems)=1 freq=1 -> 1.0
+    # scores: "deep learning" = 4.0e6, "systems" = 1.0e6
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep learning of systems")],
+        ["doc_id", "text"])
+    out = {r.phrase: r.score6 for r in W.rake_keywords(df).collect()}
+    assert out == {"deep learning": 4_000_000, "systems": 1_000_000}
+
+
+def test_rake_punctuation_separates_and_case_folds(spark):
+    # '...' token cleans to empty -> separator, like a stopword
+    df = spark.createDataFrame(
+        [(1, "Neural Networks ... gradient descent")], ["doc_id", "text"])
+    out = sorted(r.phrase for r in W.rake_keywords(df).collect())
+    assert out == ["gradient descent", "neural networks"]
+
+
+def test_rake_topk_and_tiebreak(spark):
+    # four 1-word phrases, equal scores -> top-3 by phrase asc
+    df = spark.createDataFrame(
+        [(1, "zebra of yak of walrus of vole")], ["doc_id", "text"])
+    out = [r.phrase for r in W.rake_keywords(df, k=3).collect()]
+    assert sorted(out) == ["vole", "walrus", "yak"]  # zebra loses the tie
