@@ -515,3 +515,42 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("id_a").alias("contained_id"),
                 F.col("id_b").alias("container_id"), "containment")
     )
+
+
+# -------------------------------------------------- blocked fuzzy join
+def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 2,
+                block_split: str = r"\s+") -> DataFrame:
+    """Blocked edit-distance similarity join (the token-blocking +
+    length-filter + verify pipeline of Gravano et al. VLDB 2001's
+    approximate string joins): candidate pairs of DISTINCT values must
+    share at least one block token AND differ in length by ≤ max_dist
+    (a necessary condition for edit distance ≤ max_dist — each edit
+    changes length by at most 1), then survivors verify with the real
+    Levenshtein.  The fuzzy-dedup shape for entity/product/host name
+    reconciliation.
+
+    Recall contract (documented, standard blocking practice): a pair
+    sharing NO whole token is invisible — e.g. a typo inside every
+    token of a one-token name; multi-token names (the target domain)
+    almost always keep one token intact.  Scale shape: value-level
+    (the distinct set, sublinear in corpus), candidates from a
+    token-keyed equi-join with the cheap length filter applied INSIDE
+    the join condition — never all-pairs; Levenshtein runs on
+    candidate pairs only (JVM codegen, no UDF).
+
+    Returns (name_a, name_b, dist), name_a < name_b."""
+    names = df.select(F.col(col).alias("name")).distinct() \
+        .localCheckpoint(eager=False)
+    toks = names.select("name", F.explode(
+        F.split(F.col("name"), block_split)).alias("tok"))
+    a = toks.select(F.col("name").alias("name_a"), "tok")
+    b = toks.select(F.col("name").alias("name_b"), "tok")
+    cand = (a.join(b, "tok")
+            .where((F.col("name_a") < F.col("name_b"))
+                   & (F.abs(F.length("name_a") - F.length("name_b"))
+                      <= max_dist))
+            .select("name_a", "name_b")
+            .distinct())
+    d = F.levenshtein("name_a", "name_b")
+    return (cand.where(d <= max_dist)
+            .select("name_a", "name_b", d.cast("long").alias("dist")))

@@ -2199,3 +2199,41 @@ def rake_keywords(df: DataFrame, text_col: str = "text",
     return topk_per_key(allp, [id_col],
                         [F.desc("score6"), F.asc("phrase")], k) \
         .select(id_col, "phrase", "score6")
+
+
+# -------------------------------------------------- lexical richness
+def yule_richness(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Yule's characteristic K (Yule 1944, "The Statistical Study of
+    Literary Vocabulary") and Simpson's repeat-rate D — the
+    length-robust lexical-richness signals beside TTR (which decays
+    mechanically with document length, K and D do not): from the
+    per-document frequency spectrum, with M1 = Σc (tokens) and
+    M2 = Σc² over per-type counts c,
+        K = 10⁴·(M2 − M1)/M1²,   D = (M2 − M1)/(M1·(M1 − 1)).
+    Repetitive boilerplate scores high K/D, diverse prose low —
+    D is exactly the probability two random token draws (without
+    replacement) are the same type.
+
+    Both are pure integer aggregates until one final division
+    (order-free under any partitioning); one (doc,token) count agg
+    (map-side combined) + one doc-keyed fold.  Documents with < 2
+    tokens are absent (D's denominator).  Returns (doc_id, n_tokens,
+    yule_k, simpson_d), 4/6 dp."""
+    tc = (fan_out(df.select(id_col, text_col))
+          .select(F.col(id_col),
+                  F.explode(X.tokens(F.col(text_col))).alias("tok"))
+          .where(F.col("tok") != "")
+          .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
+    agg = (tc.groupBy(id_col)
+           .agg(F.sum("c").alias("m1"),
+                F.sum(F.col("c") * F.col("c")).alias("m2")))
+    m1 = F.col("m1").cast("double")
+    m2 = F.col("m2").cast("double")
+    return (agg.where(F.col("m1") >= 2)
+            .select(F.col(id_col),
+                    F.col("m1").cast("long").alias("n_tokens"),
+                    F.round(F.lit(1e4) * (m2 - m1) / (m1 * m1), 4)
+                    .alias("yule_k"),
+                    F.round((m2 - m1) / (m1 * (m1 - 1)), 6)
+                    .alias("simpson_d")))

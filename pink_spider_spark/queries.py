@@ -2012,6 +2012,54 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_yule_richness", """
+WITH tk AS (SELECT doc_id, u.tok AS tok
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS tka
+                  FROM documents), UNNEST(tka) u(tok)
+            WHERE u.tok <> ''),
+tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tk GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS m1,
+               CAST(sum(c * c) AS BIGINT) AS m2
+        FROM tc GROUP BY doc_id)
+SELECT doc_id, m1 AS n_tokens,
+       round(1e4 * (CAST(m2 AS DOUBLE) - m1) / (CAST(m1 AS DOUBLE) * m1),
+             4) AS yule_k,
+       round((CAST(m2 AS DOUBLE) - m1)
+             / (CAST(m1 AS DOUBLE) * (m1 - 1)), 6) AS simpson_d
+FROM agg WHERE m1 >= 2
+""")
+def docs_yule_richness(spark, sf_dir):
+    """Yule's K (1944) + Simpson's repeat-rate D — length-robust
+    lexical-richness signals beside TTR: K = 10⁴(M2−M1)/M1²,
+    D = (M2−M1)/(M1(M1−1)) from the per-doc frequency spectrum (M2 =
+    Σc²); D is exactly P(two token draws are the same type).  Pure
+    integer aggregates until one final division
+    (functions/webtext.py yule_richness)."""
+    return W.yule_richness(_t(spark, sf_dir, "documents"))
+
+
+@q("part_fuzzy_name_pairs", """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+t AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM n),
+cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         FROM t a JOIN t b ON a.tok = b.tok AND a.name < b.name
+         WHERE abs(len(a.name) - len(b.name)) <= 2)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 2
+""")
+def part_fuzzy_name_pairs(spark, sf_dir):
+    """Blocked edit-distance similarity join (Gravano et al. VLDB
+    2001): distinct part names pair only if they share a token AND
+    differ in length ≤ 2 (necessary for edit distance ≤ 2), then
+    verify with Levenshtein — the fuzzy-dedup shape for entity-name
+    reconciliation, token-keyed equi-join + in-join length filter,
+    never all-pairs, no UDF (functions/text.py fuzzy_pairs)."""
+    return X.fuzzy_pairs(_t(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
 @q("docs_rake_keywords", """
 WITH base AS (SELECT doc_id,
                      regexp_split_to_array(trim(lower(text)), '\\s+') AS tk

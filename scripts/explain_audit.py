@@ -320,6 +320,15 @@ CHECKS = {
     "docs_rake_keywords": (["Window"],
                            ["CartesianProduct",
                             "BroadcastNestedLoopJoin"]),
+    # fuzzy join: token-keyed equi-join with in-join length filter,
+    # verify on candidates only — never all-pairs, no UDF
+    "part_fuzzy_name_pairs": ([],
+                              ["CartesianProduct",
+                               "BroadcastNestedLoopJoin", "Window"]),
+    # Yule/Simpson: (doc,token) count agg + doc-keyed fold — no
+    # window, no join
+    "docs_yule_richness": (["HashAggregate"],
+                           ["Window", "Join", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

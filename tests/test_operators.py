@@ -580,3 +580,29 @@ def test_retention_cohort_day_windows(spark):
     assert out[("2024-01-02", 0)].users == 1
     assert out[("2024-01-01", 1)].retention == 0.5
     assert out[("2024-01-01", 0)].retention == 1.0
+
+
+# ------------------------------------------------------- fuzzy pairs
+def test_fuzzy_pairs_blocking_and_verification(spark):
+    df = spark.createDataFrame(
+        [("cold anvil",), ("old anvil",), ("cold bolt",),
+         ("green anvil",), ("zzz qqq",)], ["p_name"])
+    out = {(r.name_a, r.name_b): r.dist for r in
+           X.fuzzy_pairs(df, "p_name", max_dist=2).collect()}
+    assert out[("cold anvil", "old anvil")] == 1
+    # 'green anvil' shares the block token 'anvil' but dist > 2 -> out
+    assert not any("green anvil" in p for p in out)
+    # 'zzz qqq' shares no token with anything -> invisible (recall
+    # contract of blocking)
+    assert not any("zzz qqq" in p for p in out)
+
+
+def test_fuzzy_pairs_length_filter_is_safe(spark):
+    # length filter must never drop a true pair: dist<=2 implies
+    # |len diff| <= 2
+    df = spark.createDataFrame(
+        [("red gear",), ("red gears",), ("red gearsxy",)], ["p_name"])
+    out = {(r.name_a, r.name_b): r.dist for r in
+           X.fuzzy_pairs(df, "p_name", max_dist=2).collect()}
+    assert out[("red gear", "red gears")] == 1
+    assert out[("red gears", "red gearsxy")] == 2  # len diff 2, kept

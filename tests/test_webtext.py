@@ -1558,3 +1558,40 @@ def test_rake_topk_and_tiebreak(spark):
         [(1, "zebra of yak of walrus of vole")], ["doc_id", "text"])
     out = [r.phrase for r in W.rake_keywords(df, k=3).collect()]
     assert sorted(out) == ["vole", "walrus", "yak"]  # zebra loses the tie
+
+
+# ------------------------------------------------------ lexical richness
+def test_yule_hand_values(spark):
+    # "aa aa bb": counts {aa:2, bb:1}; M1=3, M2=5
+    # K = 1e4*(5-3)/9 ; D = (5-3)/(3*2) = 1/3
+    df = spark.createDataFrame([(1, "aa aa bb")], ["doc_id", "text"])
+    r = W.yule_richness(df).collect()[0]
+    assert r.n_tokens == 3
+    assert r.yule_k == round(1e4 * 2 / 9, 4)
+    assert r.simpson_d == round(1 / 3, 6)
+
+
+def test_yule_all_distinct_is_zero_and_all_same_is_max(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x x x x x x")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.yule_richness(df).collect()}
+    assert out[1].yule_k == 0.0 and out[1].simpson_d == 0.0
+    assert out[2].simpson_d == 1.0  # certain repeat
+    # K for n=6 single type: 1e4*(36-6)/36
+    assert out[2].yule_k == round(1e4 * 30 / 36, 4)
+
+
+def test_yule_length_robust_vs_ttr(spark):
+    # same generating process (alternating 2 types), different lengths:
+    # TTR halves with length; D stays ~constant — the point of the stat
+    df = spark.createDataFrame(
+        [(1, "a b " * 5), (2, "a b " * 50)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.yule_richness(df).collect()}
+    assert abs(out[1].simpson_d - out[2].simpson_d) < 0.06
+    ttr1, ttr2 = 2 / 10, 2 / 100
+    assert ttr1 / ttr2 == 10  # while TTR collapsed by 10x
+
+
+def test_yule_short_docs_absent(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    assert W.yule_richness(df).count() == 0
