@@ -50,6 +50,13 @@ HEADLINE = [
     "docs_containment_pairs",
     "graph_lpa",
     "docs_textrank_keywords",
+    # round-4 late additions (this session's operator batch)
+    "docs_winnow_fingerprints",
+    "docs_nb_langid",
+    "graph_kcore",
+    "graph_hyperball",
+    "graph_harmonic_exact",
+    "docs_rake_keywords",
 ]
 
 

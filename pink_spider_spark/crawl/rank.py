@@ -324,6 +324,27 @@ def host_pagerank(entries: DataFrame, iters: int = 3,
     return pagerank(edges, iters=iters, damping=damping)
 
 
+def host_harmonic(entries: DataFrame, rounds: int = 3) -> DataFrame:
+    """Host-level harmonic centrality via HyperBall (Boldi & Vigna) —
+    the EXACT ranking Common Crawl publishes for its seed lists, from
+    the crawl's own link graph: edges = (host(url) → host(link)) over
+    the entries table, self-loops dropped; scores from
+    ``sketches.hyperball`` (bounded O(hosts·1024) register state, one
+    keyed join + keyed MAX agg per round).  Returns (node=host, rank)
+    — the ``with_host_rank_priority`` contract, so harmonic-ranked
+    frontier prioritization is a drop-in swap for the PageRank/OPIC
+    policies."""
+    from ..functions.sketches import hyperball
+    edges = (entries
+             .select(host_col("url").alias("src"),
+                     F.explode("links").alias("link"))
+             .select("src", host_col("link").alias("dst"))
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                     & (F.col("src") != F.col("dst"))))
+    return (hyperball(None, edges, rounds=rounds)
+            .select("node", F.col("harmonic_est").alias("rank")))
+
+
 #: Above this node count the rank frame stops being broadcast and the
 #: priority join becomes a plain keyed (shuffle) join.  Host-level
 #: graphs (~10^7 nodes ≈ a few hundred MB of (host, rank) rows) sit

@@ -2237,3 +2237,65 @@ def yule_richness(df: DataFrame, text_col: str = "text",
                     .alias("yule_k"),
                     F.round((m2 - m1) / (m1 * (m1 - 1)), 6)
                     .alias("simpson_d")))
+
+
+# ------------------------------------------------------- Heaps' law fit
+def heaps_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law fit (Heaps 1978; Herdan 1960): vocabulary growth
+    V(n) ≈ K·n^β — the companion corpus-health monitor to the Zipf
+    slope: natural text grows vocabulary at β ≈ 0.4–0.6; template spam
+    flattens β (vocab saturates), token soup pushes it toward 1.
+    Measurement points are per-document cumulative (in doc_id order):
+    x_d = ln(tokens so far), y_d = ln(distinct tokens so far) —
+    cumulative vocabulary computed RELATIONALLY as "tokens whose FIRST
+    document ≤ d" (one token-keyed MIN agg), never a sequential scan;
+    then OLS in log-log space.
+
+    Determinism: the zipf_stats contract verbatim — FLOOR(ln·10⁶)
+    integerization, DECIMAL(38,0) OLS sums, and BOTH slope and
+    intercept emitted as single divisions of exact integers
+    (intercept = (Σy·Σxx − Σx·Σxy)/(nΣxx − (Σx)²)).
+
+    Scale note: the one window runs over the DOCUMENT COUNT (the
+    measurement series is inherently ordered) — sublinear in the token
+    stream, same proportionality argument as zipf_stats' vocabulary
+    window; at petabyte scale the series would checkpoint per shard
+    instead (coarser points, same fit).  Returns one row
+    (n_docs, total_tokens, vocab_size, heaps_beta, heaps_lnk)."""
+    tok = (fan_out(df.select(id_col, text_col))
+           .select(F.col(id_col),
+                   F.explode(X.tokens(F.lower(F.col(text_col))))
+                   .alias("token"))
+           .where(F.col("token") != ""))
+    per_doc = tok.groupBy(id_col).agg(F.count("*").alias("nt"))
+    firsts = (tok.groupBy("token").agg(F.min(id_col).alias(id_col))
+              .groupBy(id_col).agg(F.count("*").alias("nv")))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    pts = (per_doc.join(firsts, id_col, "left")
+           .select(id_col, "nt",
+                   F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+           .select(F.sum("nt").over(w).alias("ct"),
+                   F.sum("nv").over(w).alias("cv"))
+           .where((F.col("ct") > 0) & (F.col("cv") > 0))
+           .select(F.col("ct"), F.col("cv"),
+                   F.floor(F.log(F.col("ct").cast("double")) * 1e6)
+                   .cast("decimal(38,0)").alias("x6"),
+                   F.floor(F.log(F.col("cv").cast("double")) * 1e6)
+                   .cast("decimal(38,0)").alias("y6")))
+    agg = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x6").alias("sx"), F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.max("ct").cast("long").alias("total_tokens"),
+        F.max("cv").cast("long").alias("vocab_size"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        "total_tokens", "vocab_size",
+        (num.cast("double") / den.cast("double")).alias("heaps_beta"),
+        (inum.cast("double") / den.cast("double") / F.lit(1e6))
+        .alias("heaps_lnk"))

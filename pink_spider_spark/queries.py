@@ -2012,6 +2012,49 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_heaps_fit", """
+WITH tok AS (SELECT doc_id, u.tok AS token
+             FROM (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)), '\\s+')
+                            AS tka FROM documents), UNNEST(tka) u(tok)
+             WHERE u.tok <> ''),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+       FROM tok GROUP BY doc_id),
+fi AS (SELECT min_doc AS doc_id, CAST(count(*) AS BIGINT) AS nv
+       FROM (SELECT token, min(doc_id) AS min_doc FROM tok GROUP BY token)
+       GROUP BY min_doc),
+cum AS (SELECT sum(pd.nt) OVER (ORDER BY pd.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+               sum(COALESCE(fi.nv, 0)) OVER (ORDER BY pd.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        FROM pd LEFT JOIN fi USING (doc_id)),
+pts AS (SELECT ct, cv,
+               CAST(floor(ln(CAST(ct AS DOUBLE)) * 1e6) AS HUGEINT) AS x6,
+               CAST(floor(ln(CAST(cv AS DOUBLE)) * 1e6) AS HUGEINT) AS y6
+        FROM cum WHERE ct > 0 AND cv > 0),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x6) AS sx,
+             sum(y6) AS sy, sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx,
+             CAST(max(ct) AS BIGINT) AS total_tokens,
+             CAST(max(cv) AS BIGINT) AS vocab_size
+      FROM pts)
+SELECT CAST(n AS BIGINT) AS n_docs, total_tokens, vocab_size,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS heaps_beta,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6 AS heaps_lnk
+FROM a
+""")
+def docs_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (Heaps 1978 / Herdan 1960):
+    V(n) ≈ K·n^β over per-document cumulative (tokens, vocab) points —
+    cumulative vocab computed relationally as tokens whose FIRST doc ≤
+    d (one token-keyed MIN agg, no sequential scan); β ≈ 0.4–0.6 for
+    natural text, flat for template spam — the companion corpus-health
+    monitor to the Zipf slope, same exact-integer OLS contract
+    (functions/webtext.py heaps_stats)."""
+    return W.heaps_stats(_t(spark, sf_dir, "documents"))
+
+
 @q("docs_yule_richness", """
 WITH tk AS (SELECT doc_id, u.tok AS tok
             FROM (SELECT doc_id,

@@ -329,6 +329,10 @@ CHECKS = {
     # window, no join
     "docs_yule_richness": (["HashAggregate"],
                            ["Window", "Join", "CartesianProduct"]),
+    # Heaps fit: token-keyed aggs + ONE deliberate window over the
+    # document-count measurement series (sublinear in the token
+    # stream, the zipf_stats proportionality argument) — no cartesian
+    "docs_heaps_fit": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

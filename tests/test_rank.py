@@ -230,3 +230,27 @@ def test_trustrank_matches_python_twin(spark):
     got = {x.node: x.rank for x in
            K.trustrank(edges, seeds, iters=3).collect()}
     assert got == r
+
+
+# -------------------------------------------------------- host harmonic
+def test_host_harmonic_plugs_into_priority_join(spark):
+    entries = spark.createDataFrame(
+        [("http://a.com/x", ["http://b.com/y", "http://c.com/z",
+                             "http://a.com/self"]),
+         ("http://b.com/z", ["http://a.com/q"]),
+         ("http://c.com/w", ["http://b.com/r"])],
+        ["url", "links"])
+    ranks = K.host_harmonic(entries, rounds=2)
+    assert ranks.columns == ["node", "rank"]
+    r = {x.node: x.rank for x in ranks.collect()}
+    assert set(r) == {"a.com", "b.com", "c.com"}  # self-loop dropped
+    # fully-connected-ish triangle: every host reaches the other two in
+    # <= 2 hops; harmonic estimates are positive and near-equal
+    assert all(v > 0 for v in r.values())
+    frontier = spark.createDataFrame(
+        [("http://a.com/1", 7), ("http://nowhere.org/2", 7)],
+        ["url", "priority"])
+    out = {x.url: x.priority for x in
+           K.with_host_rank_priority(frontier, ranks).collect()}
+    assert out["http://a.com/1"] > 0
+    assert out["http://nowhere.org/2"] == 0

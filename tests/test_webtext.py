@@ -1595,3 +1595,43 @@ def test_yule_length_robust_vs_ttr(spark):
 def test_yule_short_docs_absent(spark):
     df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
     assert W.yule_richness(df).count() == 0
+
+
+# ------------------------------------------------------------ Heaps' law
+def test_heaps_matches_python_twin(spark):
+    import math
+    docs = [(1, "alpha beta gamma"), (2, "alpha delta"),
+            (3, "beta epsilon zeta eta"), (4, "alpha beta")]
+    seen, ct, cv, pts = set(), 0, 0, []
+    for _, text in docs:  # doc_id order
+        toks = text.lower().split()
+        ct += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                cv += 1
+        pts.append((math.floor(math.log(ct) * 1e6),
+                    math.floor(math.log(cv) * 1e6)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy * sxx - sx * sxy) / (n * sxx - sx * sx) / 1e6
+    r = W.heaps_stats(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()[0]
+    assert r.n_docs == 4 and r.total_tokens == ct and r.vocab_size == cv
+    assert abs(r.heaps_beta - beta) < 1e-12
+    assert abs(r.heaps_lnk - lnk) < 1e-9
+
+
+def test_heaps_saturating_vocab_flattens_beta(spark):
+    # template spam: same 3 words forever -> vocab saturates, beta ~ 0;
+    # all-fresh vocab: V = n -> beta ~ 1
+    spam = [(i, "buy cheap now") for i in range(1, 40)]
+    fresh = [(i, f"w{3*i} w{3*i+1} w{3*i+2}") for i in range(1, 40)]
+    b_spam = W.heaps_stats(
+        spark.createDataFrame(spam, ["doc_id", "text"])).collect()[0]
+    b_fresh = W.heaps_stats(
+        spark.createDataFrame(fresh, ["doc_id", "text"])).collect()[0]
+    assert b_spam.heaps_beta < 0.1
+    assert b_fresh.heaps_beta > 0.97
