@@ -1918,6 +1918,40 @@ def graph_hyperball(spark, sf_dir):
     return SK.hyperball(None, _hb_fixture_edges(spark), rounds=3)
 
 
+_AA_SQL = (_HB_FIXTURE_SQL + """,
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src),
+mid AS (SELECT node AS w,
+               CAST(round(1e6 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w6
+        FROM deg WHERE deg >= 2 AND deg <= 64),
+two AS (SELECT a.dst AS u, b.dst AS v, m.w6
+        FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+        JOIN mid m ON m.w = a.src),
+pairs AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                 CAST(sum(w6) AS BIGINT) AS aa6
+          FROM two GROUP BY u, v HAVING count(*) >= 2),
+nonadj AS (SELECT p.* FROM pairs p
+           WHERE NOT EXISTS (SELECT 1 FROM sym e
+                             WHERE e.src = p.u AND e.dst = p.v))
+SELECT n.u, n.v, n.cn, n.aa6,
+       round(CAST(n.cn AS DOUBLE)
+             / (du.deg + dv.deg - n.cn), 4) AS jaccard
+FROM nonadj n JOIN deg du ON du.node = n.u JOIN deg dv ON dv.node = n.v
+""")
+
+
+@q("graph_adamic_adar", _AA_SQL)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction (Adamic & Adar 2003; Liben-Nowell &
+    Kleinberg CIKM 2003): score non-adjacent pairs by Σ 1/ln(deg(w))
+    over common neighbors — rare shared neighbors strong evidence,
+    hubs nearly none.  Middle-degree cap 64 drops the fixture hub (the
+    standard super-hub guard bounding the Σdeg² two-hop join);
+    weights micro-integerized so scores are order-free integer sums
+    (functions/webtext.py adamic_adar)."""
+    return W.adamic_adar(_hb_fixture_edges(spark), max_middle_deg=64)
+
+
 @q("graph_bfs_hops", _BFS_SQL)
 def graph_bfs_hops(spark, sf_dir):
     """BFS hop distances from node 0 over the 3000-node fixture graph

@@ -333,6 +333,11 @@ CHECKS = {
     # document-count measurement series (sublinear in the token
     # stream, the zipf_stats proportionality argument) — no cartesian
     "docs_heaps_fit": (["HashAggregate"], ["CartesianProduct"]),
+    # Adamic-Adar: middle-keyed two-hop equi-join bounded by the
+    # degree cap + keyed aggs + anti join — no cartesian, no window
+    "graph_adamic_adar": ([],
+                          ["Window", "CartesianProduct",
+                           "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

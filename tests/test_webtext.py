@@ -1635,3 +1635,40 @@ def test_heaps_saturating_vocab_flattens_beta(spark):
         spark.createDataFrame(fresh, ["doc_id", "text"])).collect()[0]
     assert b_spam.heaps_beta < 0.1
     assert b_fresh.heaps_beta > 0.97
+
+
+# --------------------------------------------------------- Adamic-Adar
+def test_adamic_adar_hand_graph(spark):
+    import math
+    # u=1 and v=2 share middles 10 (deg 2) and 11 (deg 3);
+    # edge (1,2) absent -> candidate.  Node 11 also links 3.
+    E = [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11)]
+    out = {(r.u, r.v): r for r in W.adamic_adar(
+        spark.createDataFrame(E, ["src", "dst"]), min_common=1).collect()}
+    r = out[(1, 2)]
+    assert r.cn == 2
+    assert r.aa6 == (round(1e6 / math.log(2)) + round(1e6 / math.log(3)))
+    # deg(1)=deg(2)=2 -> jaccard = 2/(2+2-2) = 1.0
+    assert r.jaccard == 1.0
+    # (1,3) share only middle 11
+    assert out[(1, 3)].cn == 1
+    assert out[(1, 3)].aa6 == round(1e6 / math.log(3))
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    # triangle + chord: (1,2) adjacent -> never emitted even though
+    # they share neighbor 3
+    E = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+    out = {(r.u, r.v) for r in W.adamic_adar(
+        spark.createDataFrame(E, ["src", "dst"]), min_common=1).collect()}
+    assert (1, 2) not in out
+    assert (3, 4) in out  # share middles 1 and 2, not adjacent
+
+
+def test_adamic_adar_middle_cap_drops_hub_mediated_pairs(spark):
+    # star hub 0 with 6 spokes: every spoke pair is hub-mediated only;
+    # capping middles below the hub degree leaves NO pairs
+    E = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(E, ["src", "dst"])
+    assert W.adamic_adar(df, max_middle_deg=5, min_common=1).count() == 0
+    assert W.adamic_adar(df, max_middle_deg=6, min_common=1).count() == 15
