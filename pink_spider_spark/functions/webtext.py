@@ -2359,3 +2359,44 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.round(F.col("cn")
                             / (F.col("du") + F.col("dv") - F.col("cn")),
                             4).alias("jaccard")))
+
+
+# ---------------------------------------------------- encoding signals
+#: Common UTF-8-decoded-as-Latin-1 artifacts ("mojibake"): the \u00c3-/
+#: \u00e2-prefixed digraphs every double-encoded Western page exhibits.
+MOJIBAKE_RE = ("\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00b1|\u00c3\u00bc"
+               "|\u00c3\u00b6|\u00c3\u00a4|\u00c3\u00a7|\u00c3\u00a0"
+               "|\u00e2\u0080\u0099|\u00e2\u0080\u009c"
+               "|\u00e2\u0080\u009d|\u00e2\u0080\u0093"
+               "|\u00e2\u0080\u0094|\u00c2\u00b0|\u00c2\u00b7")
+#: C0 control characters except tab/newline/carriage-return
+CTRL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def encoding_signals(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document encoding-health signals — the mojibake/binary
+    triage every web-crawl text pipeline runs before quality scoring
+    (decode errors are unfixable downstream; CCNet/RefinedWeb drop
+    such pages outright): U+FFFD replacement-character count (the
+    decoder already gave up), double-UTF-8 artifact count (UTF-8 bytes
+    re-decoded as Latin-1 — the \u00c3\u00a9 / \u00e2\u0080\u0099
+    digraphs), C0 control characters (binary leakage), and the ASCII
+    fraction as the cheap prior.  ``looks_clean`` ANDs the hard
+    signals.  Pure in-row regexp counts — zero shuffle, pipelines
+    with the scan."""
+    t = F.col(text_col)
+    n = F.length(t)
+    nrep = F.size(F.regexp_extract_all(t, F.lit("\ufffd"), F.lit(0)))
+    nmoji = F.size(F.regexp_extract_all(t, F.lit(MOJIBAKE_RE), F.lit(0)))
+    nctrl = F.size(F.regexp_extract_all(t, F.lit(CTRL_RE), F.lit(0)))
+    nascii = F.length(F.regexp_replace(t, "[^ -~]", ""))
+    return (df.select(F.col(id_col), n.cast("long").alias("n_chars"),
+                      nrep.cast("long").alias("n_replacement"),
+                      nmoji.cast("long").alias("n_mojibake"),
+                      nctrl.cast("long").alias("n_ctrl"),
+                      F.round(nascii / F.greatest(n, F.lit(1)), 4)
+                      .alias("ascii_frac"),
+                      ((nrep == 0) & (nmoji == 0) & (nctrl == 0))
+                      .alias("looks_clean"))
+            .where(n > 0))

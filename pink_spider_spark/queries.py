@@ -2046,6 +2046,37 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_encoding_signals", f"""
+WITH t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n
+           FROM documents WHERE len(text) > 0),
+c AS (SELECT doc_id, n,
+        CAST(len(regexp_extract_all(text, '\ufffd', 0)) AS BIGINT)
+          AS n_replacement,
+        CAST(len(regexp_extract_all(text, '{W.MOJIBAKE_RE}', 0)) AS BIGINT)
+          AS n_mojibake,
+        CAST(len(regexp_extract_all(text,
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', 0)) AS BIGINT)
+          AS n_ctrl,
+        round(CAST(len(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE)
+              / greatest(n, 1), 4) AS ascii_frac
+      FROM t)
+SELECT doc_id, n AS n_chars, n_replacement, n_mojibake, n_ctrl,
+       ascii_frac,
+       (n_replacement = 0 AND n_mojibake = 0 AND n_ctrl = 0)
+         AS looks_clean
+FROM c
+""")
+def docs_encoding_signals(spark, sf_dir):
+    """Encoding-health triage (the mojibake/binary pre-filter of
+    CCNet/RefinedWeb-style pipelines): U+FFFD replacement chars,
+    double-UTF-8 digraph artifacts, C0 control chars, ASCII fraction,
+    and the combined looks_clean verdict — decode damage is unfixable
+    downstream, so it gates before quality scoring.  Pure in-row
+    regexp counts, zero shuffle
+    (functions/webtext.py encoding_signals)."""
+    return W.encoding_signals(_t(spark, sf_dir, "documents"))
+
+
 @q("docs_heaps_fit", """
 WITH tok AS (SELECT doc_id, u.tok AS token
              FROM (SELECT doc_id,

@@ -338,6 +338,10 @@ CHECKS = {
     "graph_adamic_adar": ([],
                           ["Window", "CartesianProduct",
                            "BroadcastNestedLoopJoin"]),
+    # encoding triage: in-row regexp counts — zero shuffle
+    "docs_encoding_signals": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Window", "Join", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

@@ -1672,3 +1672,32 @@ def test_adamic_adar_middle_cap_drops_hub_mediated_pairs(spark):
     df = spark.createDataFrame(E, ["src", "dst"])
     assert W.adamic_adar(df, max_middle_deg=5, min_common=1).count() == 0
     assert W.adamic_adar(df, max_middle_deg=6, min_common=1).count() == 15
+
+
+# ------------------------------------------------- encoding signals
+def test_encoding_signals_detects_damage(spark):
+    clean = "a perfectly ordinary sentence"
+    moji = "caf\u00c3\u00a9 and \u00e2\u0080\u0099quotes\u00e2\u0080\u0099"
+    repl = "bad \ufffd\ufffd bytes"
+    ctrl = "bin\x01ary\x07 junk"
+    df = spark.createDataFrame(
+        [(1, clean), (2, moji), (3, repl), (4, ctrl)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.encoding_signals(df).collect()}
+    assert out[1].looks_clean and out[1].ascii_frac == 1.0
+    assert out[2].n_mojibake == 3 and not out[2].looks_clean
+    assert out[3].n_replacement == 2 and not out[3].looks_clean
+    assert out[4].n_ctrl == 2 and not out[4].looks_clean
+
+
+def test_encoding_signals_tab_newline_are_clean(spark):
+    df = spark.createDataFrame(
+        [(1, "line one\nline two\ttabbed\r\n")], ["doc_id", "text"])
+    r = W.encoding_signals(df).collect()[0]
+    assert r.n_ctrl == 0 and r.looks_clean
+
+
+def test_encoding_signals_ascii_frac(spark):
+    df = spark.createDataFrame([(1, "ab\u4e2d\u6587")], ["doc_id", "text"])
+    r = W.encoding_signals(df).collect()[0]
+    assert r.n_chars == 4 and r.ascii_frac == 0.5
+    assert r.looks_clean  # non-ASCII is NOT damage by itself
