@@ -178,3 +178,28 @@ def stream_interval_join(left, right, key: str, left_ts: str,
     out += [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns
             if c != key]
     return joined.select(*out)
+
+
+def stream_session_rollup(events, user_col: str = "user_id",
+                          ts_col: str = "ts", gap: str = "30 minutes",
+                          watermark: str = "1 hour"):
+    """Streaming sessionization with native session windows
+    (F.session_window, the Structured Streaming twin of the batch
+    ``user_sessions`` query): events of one user belong to the same
+    session while gaps stay under ``gap``; the window closes — and the
+    row becomes FINAL, emittable in append mode — once the watermark
+    passes session end + gap.  State per live (user, session) is one
+    merging window, evicted at close: O(active users), not O(stream).
+
+    Returns the streaming aggregate (user, session_start, session_end,
+    n_events) for the caller to sink.  The same expression works on a
+    batch frame, which is how the unit pins batch/stream equality."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col),
+                     F.session_window(F.col(ts_col), gap))
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(user_col,
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))

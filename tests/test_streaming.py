@@ -146,3 +146,43 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert got == {("u1", t0 + dt.timedelta(minutes=3)),
                    ("u3", t0 + dt.timedelta(minutes=45))}
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_session_rollup_batch_semantics(spark):
+    import datetime as dt
+    from pink_spider_spark.crawl.streaming import stream_session_rollup
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    ev = spark.createDataFrame(
+        [(1, T), (1, T + 10 * m), (1, T + 50 * m),   # gap 40m splits
+         (2, T)], ["user_id", "ts"])
+    out = {(r.user_id, r.session_start): r for r in
+           stream_session_rollup(ev, gap="30 minutes").collect()}
+    s1 = out[(1, T)]
+    assert s1.n_events == 2
+    # session_window end = last event + gap
+    assert s1.session_end == T + 10 * m + 30 * m
+    assert out[(1, T + 50 * m)].n_events == 1
+    assert out[(2, T)].n_events == 1
+
+
+def test_stream_session_rollup_is_streaming_and_emits(spark, tmp_path):
+    import datetime as dt
+    from pink_spider_spark.crawl.streaming import stream_session_rollup
+    d = str(tmp_path / "ev")
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    spark.createDataFrame(
+        [(1, T), (1, T + 5 * m), (2, T + 90 * m)],
+        ["user_id", "ts"]).write.parquet(d)
+    stream = (spark.readStream
+              .schema("user_id bigint, ts timestamp").parquet(d))
+    agg = stream_session_rollup(stream, gap="30 minutes")
+    assert agg.isStreaming
+    q = (agg.writeStream.format("memory").queryName("sess_rollup")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.user_id, r.session_start): r.n_events
+            for r in spark.sql("SELECT * FROM sess_rollup").collect()}
+    assert rows[(1, T)] == 2
+    assert rows[(2, T + 90 * m)] == 1
