@@ -40,6 +40,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2400,3 +2402,61 @@ def encoding_signals(df: DataFrame, text_col: str = "text",
                       ((nrep == 0) & (nmoji == 0) & (nctrl == 0))
                       .alias("looks_clean"))
             .where(n > 0))
+
+
+# ------------------------------------------------------ Benford deviation
+#: P(first digit = d) = log10(1 + 1/d), embedded as LITERALS (repr of
+#: the python doubles) so both engines multiply the identical constants
+#: — never a runtime log10 whose last ulp may differ across libms.
+BENFORD_P = tuple(math.log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def benford_deviation(df: DataFrame, value_col: str = "value",
+                      group_col: str = "event_type") -> DataFrame:
+    """Benford's-law first-digit screening (Benford 1938; Nigrini 1996
+    — the classic forensic test for fabricated numeric streams, and a
+    crawl-health monitor for scraped metrics: organically-grown
+    magnitudes follow P(d) = log10(1+1/d), synthetic/defaulted columns
+    don't): per group, the first-significant-digit distribution of
+    positive values and the chi-square deviation from Benford.
+
+    Cross-engine first digit WITHOUT float log10 (log10(1000) rounds
+    differently across libms — the classic 2.9999… hazard): values
+    integerize to cents (the engine's _cents contract), and the first
+    digit is the first character of the integer's decimal string —
+    pure string/integer ops, bit-identical everywhere.  The chi-square
+    sums per-digit micro-integerized terms round(1e6·(o−np)²/(np)),
+    so the group sum is order-free.  Returns (group, n, chi2,
+    worst_digit) — chi2 4 dp, worst_digit = argmax |o − np| with
+    smallest-digit ties."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = (df.where(F.col(value_col) > 0)
+         .select(F.col(group_col).alias("grp"),
+                 F.substring(cents.cast("string"), 1, 1).cast("int")
+                 .alias("fd"))
+         .where(F.col("fd") >= 1))
+    counts = d.groupBy("grp", "fd").agg(F.count("*").alias("o"))
+    totals = d.groupBy("grp").agg(F.count("*").alias("n"))
+    digits = (totals.select(
+        "grp", "n",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("fd")))
+    full = (digits.join(counts, ["grp", "fd"], "left")
+            .select("grp", "n", "fd",
+                    F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+                    (F.col("n") * F.element_at(
+                        F.array(*[F.lit(p) for p in BENFORD_P]),
+                        F.col("fd"))).alias("e")))
+    term6 = F.round(F.lit(1e6) * (F.col("o") - F.col("e"))
+                    * (F.col("o") - F.col("e")) / F.col("e")) \
+        .cast("long")
+    dev6 = F.round(F.lit(1e6) * F.abs(F.col("o") - F.col("e"))) \
+        .cast("long")
+    return (full.select("grp", "n", "fd", term6.alias("t6"),
+                        dev6.alias("d6"))
+            .groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.round(F.sum("t6") / 1e6, 4).alias("chi2"),
+                 F.min(F.struct((-F.col("d6")).alias("nd"),
+                                F.col("fd").alias("fd"))).alias("w"))
+            .select(F.col("grp").alias(group_col), "n", "chi2",
+                    F.col("w.fd").cast("long").alias("worst_digit")))

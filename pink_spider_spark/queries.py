@@ -2046,6 +2046,52 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return W.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+_BENFORD_CASE = ("CASE g.fd "
+                 + " ".join(f"WHEN {d} THEN {p!r}"
+                            for d, p in enumerate(W.BENFORD_P, 1))
+                 + " END")
+
+
+@q("events_benford", f"""
+WITH d2 AS (SELECT event_type AS grp,
+                   CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INTEGER) AS fd
+            FROM events WHERE value > 0),
+d AS (SELECT * FROM d2 WHERE fd >= 1),
+counts AS (SELECT grp, fd, CAST(count(*) AS BIGINT) AS o
+           FROM d GROUP BY grp, fd),
+totals AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY grp),
+digits AS (SELECT grp, n, CAST(s.i AS INTEGER) AS fd
+           FROM totals, UNNEST(range(1, 10)) s(i)),
+f AS (SELECT g.grp, g.n, g.fd, COALESCE(c.o, 0) AS o,
+             g.n * ({_BENFORD_CASE}) AS e
+      FROM digits g LEFT JOIN counts c ON g.grp = c.grp AND g.fd = c.fd),
+t AS (SELECT grp, n, fd,
+             CAST(round(1e6 * (o - e) * (o - e) / e) AS BIGINT) AS t6,
+             CAST(round(1e6 * abs(o - e)) AS BIGINT) AS d6
+      FROM f),
+w AS (SELECT grp, fd,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY d6 DESC, fd) AS rn FROM t),
+a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+             round(CAST(sum(t6) AS DOUBLE) / 1e6, 4) AS chi2
+      FROM t GROUP BY grp)
+SELECT a.grp AS event_type, a.n, a.chi2,
+       CAST(w.fd AS BIGINT) AS worst_digit
+FROM a JOIN w ON a.grp = w.grp AND w.rn = 1
+""")
+def events_benford(spark, sf_dir):
+    """Benford first-digit screening (Benford 1938; Nigrini 1996 —
+    the forensic test for fabricated numeric streams, a crawl-health
+    monitor for scraped metrics): per event type, chi-square deviation
+    of the first-significant-digit distribution from log10(1+1/d).
+    First digit from the integer-cents decimal string (never float
+    log10 — the 2.9999 libm hazard); expected probs embedded as shared
+    literals; chi-square terms micro-integerized so the group sum is
+    order-free (functions/webtext.py benford_deviation)."""
+    return W.benford_deviation(_t(spark, sf_dir, "events"))
+
+
 @q("docs_encoding_signals", f"""
 WITH t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n
            FROM documents WHERE len(text) > 0),

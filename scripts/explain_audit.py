@@ -342,6 +342,10 @@ CHECKS = {
     "docs_encoding_signals": (
         ["ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "Window", "Join", "CartesianProduct"]),
+    # Benford: filter pushed to scan, keyed counts + 9-digit explode
+    # + group-keyed folds — no cartesian, no nested-loop
+    "events_benford": (["PushedFilters"],
+                       ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

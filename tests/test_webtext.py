@@ -1701,3 +1701,45 @@ def test_encoding_signals_ascii_frac(spark):
     r = W.encoding_signals(df).collect()[0]
     assert r.n_chars == 4 and r.ascii_frac == 0.5
     assert r.looks_clean  # non-ASCII is NOT damage by itself
+
+
+# ----------------------------------------------------------- Benford
+def test_benford_hand_chi2(spark):
+    import math
+    # 10 values with first digits: five 1s, five 9s (anti-Benford tail)
+    vals = [1.0, 10.0, 100.0, 1.5, 19.0, 9.0, 90.0, 95.0, 9.9, 0.9]
+    df = spark.createDataFrame([( "t", v) for v in vals],
+                               ["event_type", "value"])
+    r = W.benford_deviation(df).collect()[0]
+    assert r.n == 10
+    o = {1: 5, 9: 5}
+    t6 = 0
+    for d in range(1, 10):
+        e = 10 * math.log10(1 + 1 / d)
+        od = o.get(d, 0)
+        t6 += round(1e6 * (od - e) ** 2 / e)
+    assert r.chi2 == round(t6 / 1e6, 4)
+    assert r.worst_digit == 9  # |5 - 0.46| beats |5 - 3.01|
+
+
+def test_benford_conforming_stream_scores_low(spark):
+    import math
+    # generate a Benford-conforming sample by inverse transform over a
+    # deterministic grid: value = 10^(k/200) spans digits per Benford
+    vals = [(10 ** (k / 200.0)) for k in range(200)]
+    bad = [float(100 + i % 7) for i in range(200)]  # digits 1 only
+    df = spark.createDataFrame(
+        [("good", v) for v in vals] + [("bad", v) for v in bad],
+        ["event_type", "value"])
+    out = {r.event_type: r for r in W.benford_deviation(df).collect()}
+    assert out["good"].chi2 < 5
+    assert out["bad"].chi2 > 100
+    assert out["bad"].worst_digit == 1
+
+
+def test_benford_ignores_nonpositive_and_subcent(spark):
+    df = spark.createDataFrame(
+        [("t", -5.0), ("t", 0.0), ("t", 0.004), ("t", 2.0)],
+        ["event_type", "value"])
+    r = W.benford_deviation(df).collect()[0]
+    assert r.n == 1
