@@ -219,6 +219,38 @@ def _hll_estimate_by_key(regs: DataFrame, key_col: str) -> DataFrame:
     return agg.select(key_col, F.round(est, 4).alias("est"))
 
 
+def _hyperball_round_ests(nodes, edges, rounds, node_col="node",
+                          src="src", dst="dst"):
+    """Shared HyperBall iteration: returns (base node frame, [per-round
+    per-node estimate frames e0..eR]) — consumed by ``hyperball``
+    (per-node harmonic centrality) and ``anf_effective_diameter``
+    (round totals / neighborhood function)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .union(edges.select(F.col(dst).alias("src"),
+                             F.col(src).alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .repartition("dst")
+         .localCheckpoint(eager=False))
+    base = (nodes if nodes is not None else
+            e.select(F.col("src").alias(node_col))
+            .union(e.select(F.col("dst").alias(node_col)))
+            ).select(node_col).distinct().localCheckpoint(eager=False)
+    regs = _hll_self_registers(base, node_col).localCheckpoint(eager=False)
+    ests = [_hll_estimate_by_key(regs, node_col)
+            .withColumnRenamed("est", "e0")]
+    for t in range(1, rounds + 1):
+        merged = (e.join(regs.withColumnRenamed(node_col, "dst"), "dst")
+                  .select(F.col("src").alias(node_col), "reg", "rho")
+                  .union(regs)
+                  .groupBy(node_col, "reg")
+                  .agg(F.max("rho").alias("rho")))
+        regs = merged.localCheckpoint(eager=False)
+        ests.append(_hll_estimate_by_key(regs, node_col)
+                    .withColumnRenamed("est", f"e{t}"))
+    return base, ests
+
+
 def hyperball(nodes: DataFrame, edges: DataFrame, rounds: int = 3,
               node_col: str = "node", src: str = "src",
               dst: str = "dst") -> DataFrame:
@@ -246,29 +278,8 @@ def hyperball(nodes: DataFrame, edges: DataFrame, rounds: int = 3,
 
     Returns (node, ball_est, harmonic_est): estimated ``rounds``-hop
     ball size and the approximate harmonic centrality, 4 dp."""
-    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .union(edges.select(F.col(dst).alias("src"),
-                             F.col(src).alias("dst")))
-         .where(F.col("src") != F.col("dst"))
-         .distinct()
-         .repartition("dst")
-         .localCheckpoint(eager=False))
-    base = (nodes if nodes is not None else
-            e.select(F.col("src").alias(node_col))
-            .union(e.select(F.col("dst").alias(node_col)))
-            ).select(node_col).distinct().localCheckpoint(eager=False)
-    regs = _hll_self_registers(base, node_col).localCheckpoint(eager=False)
-    ests = [_hll_estimate_by_key(regs, node_col)
-            .withColumnRenamed("est", "e0")]
-    for t in range(1, rounds + 1):
-        merged = (e.join(regs.withColumnRenamed(node_col, "dst"), "dst")
-                  .select(F.col("src").alias(node_col), "reg", "rho")
-                  .union(regs)
-                  .groupBy(node_col, "reg")
-                  .agg(F.max("rho").alias("rho")))
-        regs = merged.localCheckpoint(eager=False)
-        ests.append(_hll_estimate_by_key(regs, node_col)
-                    .withColumnRenamed("est", f"e{t}"))
+    base, ests = _hyperball_round_ests(nodes, edges, rounds,
+                                       node_col, src, dst)
     out = base
     for frame in ests:
         out = out.join(frame, node_col)
@@ -279,3 +290,48 @@ def hyperball(nodes: DataFrame, edges: DataFrame, rounds: int = 3,
     return out.select(F.col(node_col).alias("node"),
                       F.col(f"e{rounds}").alias("ball_est"),
                       F.round(harm, 4).alias("harmonic_est"))
+
+
+
+def anf_effective_diameter(nodes: DataFrame, edges: DataFrame,
+                           rounds: int = 3, q: float = 0.9,
+                           node_col: str = "node", src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """ANF — approximate neighborhood function + effective diameter
+    (Palmer, Gibbons & Faloutsos KDD 2002; computed here with
+    HyperBall counters, Boldi-Rosa-Vigna's refinement of the same
+    idea): N(t) = Σ_v |B(v,t)| is the number of reachable pairs within
+    t hops; the EFFECTIVE diameter is the (interpolated) smallest t at
+    which N(t) ≥ q·N(R) — the "90 % of pairs connect within t hops"
+    figure every web-graph paper quotes (the web's famous ~19, Broder
+    et al. 2000).
+
+    Round totals sum per-node MICRO-integerized estimates
+    (round(est·1e6) as long) so each N(t) is an exact order-free
+    integer sum; the interpolation t−1 + (q·N(R)−N(t−1))/(N(t)−N(t−1))
+    is a fixed CASE chain over the R round boundaries, identical in
+    the SQL oracle.  State and shuffle shape inherit hyperball's
+    bounded O(n·m) register contract.  Returns one row
+    (n_0..n_R as 4-dp ball-pair totals, eff_diameter 4 dp)."""
+    base, ests = _hyperball_round_ests(nodes, edges, rounds,
+                                       node_col, src, dst)
+    totals = None
+    for t, frame in enumerate(ests):
+        s = (frame.select(F.round(F.col(f"e{t}") * 1e6).cast("long")
+                          .alias("m"))
+             .agg(F.sum("m").alias(f"m{t}")))
+        totals = s if totals is None else totals.crossJoin(F.broadcast(s))
+    target = F.lit(q) * F.col(f"m{rounds}").cast("double")
+    eff = F.when(F.col("m0").cast("double") >= target, F.lit(0.0))
+    for t in range(1, rounds + 1):
+        prev = F.col(f"m{t-1}").cast("double")
+        cur = F.col(f"m{t}").cast("double")
+        branch = F.lit(float(t - 1)) + (target - prev) / (cur - prev)
+        if t < rounds:
+            eff = eff.when(cur >= target, branch)
+        else:
+            eff = eff.otherwise(branch)
+    return totals.select(
+        *[F.round(F.col(f"m{t}") / 1e6, 4).alias(f"n_{t}")
+          for t in range(rounds + 1)],
+        F.round(eff, 4).alias("eff_diameter"))

@@ -2460,3 +2460,50 @@ def benford_deviation(df: DataFrame, value_col: str = "value",
                                 F.col("fd").alias("fd"))).alias("w"))
             .select(F.col("grp").alias(group_col), "n", "chi2",
                     F.col("w.fd").cast("long").alias("worst_digit")))
+
+
+# ------------------------------------------------- degree assortativity
+def assortativity(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002 "Assortative
+    mixing in networks") — the one-number degree-correlation summary of
+    a graph: r > 0 when high-degree nodes link to high-degree nodes
+    (social networks), r < 0 when hubs link to leaves (the web, and
+    most crawl graphs — a star reads exactly −1).  Computed over each
+    undirected edge's endpoint degrees (j, k) via Newman's eq. 4,
+    cleared of fractions so EVERY aggregate is an exact integer sum:
+        num·4 = 4·M·Σjk − (Σ(j+k))²
+        den·4 = 2·M·Σ(j²+k²) − (Σ(j+k))²
+    r = num4/den4 in one final division (NULL for regular graphs,
+    where den = 0 and r is undefined).  DECIMAL(38,0) sums ≡ HUGEINT.
+    One degree agg + one edge-keyed degree join — no window, no
+    all-pairs.  Returns one row (m_edges, assortativity 6 dp)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .union(edges.select(F.col(dst).alias("src"),
+                             F.col(src).alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")) \
+        .withColumnRenamed("src", "node")
+    ed = (e.where(F.col("src") < F.col("dst"))
+          .join(deg.select(F.col("node").alias("src"),
+                           F.col("deg").alias("j")), "src")
+          .join(deg.select(F.col("node").alias("dst"),
+                           F.col("deg").alias("k")), "dst"))
+    d38 = "decimal(38,0)"
+    agg = ed.agg(
+        F.count("*").cast(d38).alias("m"),
+        F.sum((F.col("j") * F.col("k")).cast(d38)).alias("sjk"),
+        F.sum((F.col("j") + F.col("k")).cast(d38)).alias("ss"),
+        F.sum((F.col("j") * F.col("j")
+               + F.col("k") * F.col("k")).cast(d38)).alias("sq"))
+    num4 = (F.lit(4).cast(d38) * F.col("m") * F.col("sjk")
+            - F.col("ss") * F.col("ss"))
+    den4 = (F.lit(2).cast(d38) * F.col("m") * F.col("sq")
+            - F.col("ss") * F.col("ss"))
+    return agg.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.round(F.when(den4 == 0, F.lit(None))
+                .otherwise(num4.cast("double") / den4.cast("double")), 6)
+        .alias("assortativity"))

@@ -1918,6 +1918,38 @@ def graph_hyperball(spark, sf_dir):
     return SK.hyperball(None, _hb_fixture_edges(spark), rounds=3)
 
 
+_ASSORT_SQL = (_HB_FIXTURE_SQL + """,
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src),
+ed AS (SELECT dj.deg AS j, dk.deg AS k
+       FROM sym e JOIN deg dj ON dj.node = e.src
+                  JOIN deg dk ON dk.node = e.dst
+       WHERE e.src < e.dst),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(CAST(j AS HUGEINT) * k) AS HUGEINT) AS sjk,
+             CAST(sum(CAST(j AS HUGEINT) + k) AS HUGEINT) AS ss,
+             CAST(sum(CAST(j AS HUGEINT) * j
+                      + CAST(k AS HUGEINT) * k) AS HUGEINT) AS sq
+      FROM ed)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       round(CASE WHEN 2 * m * sq - ss * ss = 0 THEN NULL
+             ELSE CAST(4 * m * sjk - ss * ss AS DOUBLE)
+                  / CAST(2 * m * sq - ss * ss AS DOUBLE) END, 6)
+         AS assortativity
+FROM a
+""")
+
+
+@q("graph_assortativity", _ASSORT_SQL)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman PRL 2002): the one-number
+    degree-correlation summary — negative for hub-and-spoke crawl
+    graphs, positive for social graphs; Newman's eq. 4 cleared of
+    fractions so every aggregate is an exact integer sum, one final
+    division (functions/webtext.py assortativity)."""
+    return W.assortativity(_hb_fixture_edges(spark))
+
+
 _AA_SQL = (_HB_FIXTURE_SQL + """,
 deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
         FROM sym GROUP BY src),
@@ -1950,6 +1982,57 @@ def graph_adamic_adar(spark, sf_dir):
     weights micro-integerized so scores are order-free integer sums
     (functions/webtext.py adamic_adar)."""
     return W.adamic_adar(_hb_fixture_edges(spark), max_middle_deg=64)
+
+
+_ANF_SQL = (_HB_FIXTURE_SQL + """,
+h0 AS (SELECT v AS node,
+              ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+                AS hv FROM bn),
+r0 AS (SELECT node, hv % 1024 AS reg,
+              CASE WHEN hv // 1024 = 0 THEN 51
+                   ELSE 51 - length(bin(hv // 1024)) END AS rho
+       FROM h0)"""
+            + "".join(f""",
+u{t} AS (SELECT e.src AS node, r.reg, r.rho
+         FROM sym e JOIN r{t - 1} r ON e.dst = r.node
+         UNION ALL SELECT node, reg, rho FROM r{t - 1}),
+r{t} AS (SELECT node, reg, max(rho) AS rho FROM u{t} GROUP BY 1, 2)"""
+                      for t in (1, 2, 3))
+            + "".join(_hb_est_sql(k) for k in (0, 1, 2, 3))
+            + "".join(f""",
+m{t} AS (SELECT CAST(sum(CAST(round(e * 1e6) AS BIGINT)) AS BIGINT) AS m
+         FROM f{t})""" for t in (0, 1, 2, 3))
+            + """
+SELECT round(CAST(m0.m AS DOUBLE) / 1e6, 4) AS n_0,
+       round(CAST(m1.m AS DOUBLE) / 1e6, 4) AS n_1,
+       round(CAST(m2.m AS DOUBLE) / 1e6, 4) AS n_2,
+       round(CAST(m3.m AS DOUBLE) / 1e6, 4) AS n_3,
+       round(CASE
+         WHEN CAST(m0.m AS DOUBLE) >= 0.9 * CAST(m3.m AS DOUBLE) THEN 0.0
+         WHEN CAST(m1.m AS DOUBLE) >= 0.9 * CAST(m3.m AS DOUBLE)
+           THEN 0.0 + (0.9 * CAST(m3.m AS DOUBLE) - CAST(m0.m AS DOUBLE))
+                      / (CAST(m1.m AS DOUBLE) - CAST(m0.m AS DOUBLE))
+         WHEN CAST(m2.m AS DOUBLE) >= 0.9 * CAST(m3.m AS DOUBLE)
+           THEN 1.0 + (0.9 * CAST(m3.m AS DOUBLE) - CAST(m1.m AS DOUBLE))
+                      / (CAST(m2.m AS DOUBLE) - CAST(m1.m AS DOUBLE))
+         ELSE 2.0 + (0.9 * CAST(m3.m AS DOUBLE) - CAST(m2.m AS DOUBLE))
+                    / (CAST(m3.m AS DOUBLE) - CAST(m2.m AS DOUBLE))
+         END, 4) AS eff_diameter
+FROM m0, m1, m2, m3
+""")
+
+
+@q("graph_eff_diameter", _ANF_SQL)
+def graph_eff_diameter(spark, sf_dir):
+    """ANF neighborhood function + effective diameter (Palmer, Gibbons
+    & Faloutsos KDD 2002, via HyperBall counters): N(t) = Σ|B(v,t)|
+    pairs within t hops; effective diameter = interpolated smallest t
+    with N(t) ≥ 0.9·N(R) — the '90 % of pairs connect within t hops'
+    figure of Broder et al.'s web-graph papers.  Round totals are
+    exact sums of micro-integerized per-node estimates
+    (functions/sketches.py anf_effective_diameter)."""
+    return SK.anf_effective_diameter(None, _hb_fixture_edges(spark),
+                                     rounds=3)
 
 
 @q("graph_bfs_hops", _BFS_SQL)

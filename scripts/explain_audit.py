@@ -346,6 +346,14 @@ CHECKS = {
     # + group-keyed folds — no cartesian, no nested-loop
     "events_benford": (["PushedFilters"],
                        ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # assortativity: degree agg + edge-keyed degree joins + one scalar
+    # fold — no window, no cartesian
+    "graph_assortativity": ([],
+                            ["Window", "CartesianProduct",
+                             "BroadcastNestedLoopJoin"]),
+    # ANF: hyperball register rounds + exact micro-sum totals; the
+    # R+1 one-row total frames combine via bounded broadcasts
+    "graph_eff_diameter": ([], ["Window", "CartesianProduct"]),
 }
 
 # builders audited outside the registered query surface

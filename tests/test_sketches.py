@@ -252,3 +252,35 @@ def test_hyperball_estimates_track_exact_ball_sizes(spark):
     # and the hub (node 0) must rank near the top by estimated ball
     top = sorted(est, key=lambda v: -est[v])[:20]
     assert 0 in top
+
+
+def test_anf_effective_diameter_tracks_exact(spark):
+    from pink_spider_spark.functions import sketches as SK
+    from pyspark.sql import functions as F
+    # path-ish ring: known growth; exact N(t) from harmonic_exact balls
+    from pink_spider_spark.functions import webtext as W
+    n = 200
+    ids = spark.range(0, n).selectExpr("cast(id as long) id")
+    edges = (ids.select(F.col("id").alias("src"),
+                        ((F.col("id") + 1) % n).alias("dst"))
+             .union(ids.select(F.col("id"), (F.col("id") + 5) % n)))
+    r = SK.anf_effective_diameter(None, edges, rounds=3).collect()[0]
+    ex = {row.node: row.reachable for row in
+          W.harmonic_exact(None, edges, rounds=3).collect()}
+    n3_exact = sum(ex.values())
+    assert abs(r.n_3 - n3_exact) / n3_exact < 0.1
+    # growing balls: ring+chord graph far from saturated at t=3
+    assert r.n_0 < r.n_1 < r.n_2 < r.n_3
+    assert 2.0 < r.eff_diameter <= 3.0  # mass still arriving at t=3
+
+
+def test_anf_saturated_clique_diameter_one(spark):
+    from pink_spider_spark.functions import sketches as SK
+    # K8: everyone reaches everyone at t=1 -> eff_diameter interpolates
+    # inside (0, 1]
+    E = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    r = SK.anf_effective_diameter(
+        None, spark.createDataFrame(E, ["src", "dst"]),
+        rounds=2).collect()[0]
+    assert r.eff_diameter <= 1.0
+    assert abs(r.n_1 - r.n_2) < 1e-6  # saturated after one hop

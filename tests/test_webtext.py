@@ -1743,3 +1743,35 @@ def test_benford_ignores_nonpositive_and_subcent(spark):
         ["event_type", "value"])
     r = W.benford_deviation(df).collect()[0]
     assert r.n == 1
+
+
+# -------------------------------------------------------- assortativity
+def test_assortativity_star_is_minus_one(spark):
+    E = [(0, i) for i in range(1, 8)]
+    r = W.assortativity(spark.createDataFrame(E, ["src", "dst"])).collect()[0]
+    assert r.m_edges == 7 and r.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_undefined(spark):
+    E = [(i, (i + 1) % 6) for i in range(6)]  # 2-regular ring
+    r = W.assortativity(spark.createDataFrame(E, ["src", "dst"])).collect()[0]
+    assert r.assortativity is None
+
+
+def test_assortativity_matches_python_twin(spark):
+    import collections
+    E = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 1), (5, 6)]
+    adj = collections.defaultdict(set)
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(s) for v, s in adj.items()}
+    und = {(min(a, b), max(a, b)) for a, b in E}
+    jk = [(deg[a], deg[b]) for a, b in und]
+    m = len(jk)
+    sjk = sum(j * k for j, k in jk)
+    ss = sum(j + k for j, k in jk)
+    sq = sum(j * j + k * k for j, k in jk)
+    exp = round((4 * m * sjk - ss * ss) / (2 * m * sq - ss * ss), 6)
+    r = W.assortativity(spark.createDataFrame(E, ["src", "dst"])).collect()[0]
+    assert r.m_edges == m and r.assortativity == exp
