@@ -379,3 +379,58 @@ def with_host_rank_priority(frontier: DataFrame, host_ranks: DataFrame,
             .withColumn("priority",
                         F.coalesce(F.col("__hr"), F.lit(0)).cast("long"))
             .drop("__host", "__hr"))
+
+
+def salsa(edges: DataFrame, iters: int = 2,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """SALSA — Stochastic Approach for Link-Structure Analysis (Lempel
+    & Moran, WWW 2000; the ranking behind Twitter's Who-To-Follow):
+    HITS's mutual reinforcement replaced by a RANDOM WALK on the
+    bipartite hub/authority graph — each hub splits its weight evenly
+    over its outlinks, each authority splits back over its inlinks.
+    The fix this buys (pinned by the unit): HITS's eigenvector
+    concentrates all authority on the tightest densely-linked clique
+    (the TKC effect — exactly a link farm), while SALSA's stationary
+    weights are degree-proportional, so a mutual-admiration clique
+    earns no more than its in-degrees justify.
+
+    Exact integer contract (the OPIC/HITS precedent): weights are
+    1e8-scaled longs; each split is integer floor division
+    (Spark ``div`` ≡ DuckDB ``//``), each gather an integer SUM —
+    order-free under any partitioning, bit-identical cross-engine
+    (floor remainders dissipate, documented — unlike OPIC's virtual
+    page there is no respray, matching the walk's per-step
+    normalization).  Per half-round one keyed join + one keyed agg
+    over the pinned edge list.
+
+    Returns (node, auth8, hub8) — zeros for pure-hub / pure-authority
+    nodes."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
+    outd = (e.groupBy("src").agg(F.count("*").alias("od"))
+            .localCheckpoint(eager=False))
+    ind = (e.groupBy("dst").agg(F.count("*").alias("id"))
+           .localCheckpoint(eager=False))
+    hub = outd.select("src", F.lit(100_000_000).cast("long").alias("h8"))
+    auth = None
+    for _ in range(iters):
+        auth = (e.join(hub, "src").join(outd, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("h8 div od")).cast("long").alias("a8"))
+                .localCheckpoint(eager=False))
+        hub = (e.join(auth, "dst").join(ind, "dst")
+               .groupBy("src")
+               .agg(F.sum(F.expr("a8 div id")).cast("long").alias("h8"))
+               .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    return (nodes
+            .join(auth.withColumnRenamed("dst", "node"), "node", "left")
+            .join(hub.withColumnRenamed("src", "node"), "node", "left")
+            .select("node",
+                    F.coalesce(F.col("a8"), F.lit(0)).cast("long")
+                    .alias("auth8"),
+                    F.coalesce(F.col("h8"), F.lit(0)).cast("long")
+                    .alias("hub8")))

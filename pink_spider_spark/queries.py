@@ -3161,6 +3161,50 @@ def frontier_surt_keys(spark, sf_dir):
                     surt_domain_key(F.col("url")).alias("domain_key")))
 
 
+@q("graph_salsa", """
+WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM ed GROUP BY src),
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS id FROM ed GROUP BY dst),
+h0 AS (SELECT src, CAST(100000000 AS BIGINT) AS h8 FROM od),
+a1 AS (SELECT e.dst, CAST(sum(h0.h8 // od.od) AS BIGINT) AS a8
+       FROM ed e JOIN h0 ON e.src = h0.src JOIN od ON e.src = od.src
+       GROUP BY e.dst),
+h1 AS (SELECT e.src, CAST(sum(a1.a8 // ind.id) AS BIGINT) AS h8
+       FROM ed e JOIN a1 ON e.dst = a1.dst JOIN ind ON e.dst = ind.dst
+       GROUP BY e.src),
+a2 AS (SELECT e.dst, CAST(sum(h1.h8 // od.od) AS BIGINT) AS a8
+       FROM ed e JOIN h1 ON e.src = h1.src JOIN od ON e.src = od.src
+       GROUP BY e.dst),
+h2 AS (SELECT e.src, CAST(sum(a2.a8 // ind.id) AS BIGINT) AS h8
+       FROM ed e JOIN a2 ON e.dst = a2.dst JOIN ind ON e.dst = ind.dst
+       GROUP BY e.src),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)
+SELECT n.node, COALESCE(a2.a8, 0) AS auth8, COALESCE(h2.h8, 0) AS hub8
+FROM nodes n LEFT JOIN a2 ON n.node = a2.dst
+             LEFT JOIN h2 ON n.node = h2.src
+""")
+def graph_salsa(spark, sf_dir):
+    """SALSA (Lempel & Moran WWW 2000 — the Who-To-Follow ranking):
+    HITS's mutual reinforcement replaced by a random walk splitting
+    weight evenly over links, so the stationary authority is
+    degree-proportional and a tightly-knit clique (the TKC effect —
+    a link farm) can't capture all the mass the way HITS's
+    eigenvector does.  1e8-scaled integer weights with floor-div
+    shares (the OPIC/HITS exactness contract), 2 rounds over the same
+    purchase graph as graph_hits (crawl/rank.py salsa)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst")))
+    return K.salsa(edges, iters=2)
+
+
 @q("events_asof_last_signup", """
 SELECT l.event_id, l.user_id, l.ts,
        r.ts AS ts_asof, r.value AS value_asof

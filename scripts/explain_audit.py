@@ -354,6 +354,11 @@ CHECKS = {
     # ANF: hyperball register rounds + exact micro-sum totals; the
     # R+1 one-row total frames combine via bounded broadcasts
     "graph_eff_diameter": ([], ["Window", "CartesianProduct"]),
+    # SALSA: per half-round one keyed join + keyed integer agg over
+    # the pinned edge list — no window, no cartesian
+    "graph_salsa": ([],
+                    ["Window", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -254,3 +254,50 @@ def test_host_harmonic_plugs_into_priority_join(spark):
            K.with_host_rank_priority(frontier, ranks).collect()}
     assert out["http://a.com/1"] > 0
     assert out["http://nowhere.org/2"] == 0
+
+
+# ---------------------------------------------------------------- SALSA
+def test_salsa_tkc_contrast_with_hits(spark):
+    # the Lempel-Moran TKC example: a tight 3x3 mutual-admiration block
+    # (h1-3 -> a1-3, complete) vs one authority b with FOUR independent
+    # hubs.  HITS's eigenvector concentrates on the clique; SALSA's
+    # degree-proportional walk ranks b above every clique authority.
+    E = [(f"h{i}", f"a{j}") for i in range(3) for j in range(3)]
+    E += [(f"g{i}", "b") for i in range(4)]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    s = {r.node: r.auth8 for r in K.salsa(edges, iters=4).collect()}
+    assert s["b"] > s["a0"]  # indeg 4 beats the clique's 3
+    h = {r.node: r.auth for r in K.hits(edges, iters=6).collect()}
+    assert h["a0"] > h["b"]  # the TKC effect SALSA exists to fix
+
+
+def test_salsa_matches_python_twin(spark):
+    E = [("u1", "v1"), ("u1", "v2"), ("u2", "v2"), ("u2", "v3"),
+         ("u3", "v1"), ("v1", "v2")]  # v1 is both authority and hub
+    outd, ind = {}, {}
+    for a, b in set(E):
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    h = {u: 10**8 for u in outd}
+    a = {}
+    for _ in range(2):
+        a = {}
+        for u, v in set(E):
+            a[v] = a.get(v, 0) + h[u] // outd[u]
+        h = {}
+        for u, v in set(E):
+            h[u] = h.get(u, 0) + a[v] // ind[v]
+    out = {r.node: (r.auth8, r.hub8) for r in
+           K.salsa(spark.createDataFrame(E, ["src", "dst"]),
+                   iters=2).collect()}
+    for n in out:
+        assert out[n] == (a.get(n, 0), h.get(n, 0))
+
+
+def test_salsa_even_split_shares(spark):
+    # one hub, two authorities: each gets floor(1e8/2)
+    E = [("h", "x"), ("h", "y")]
+    out = {r.node: r.auth8 for r in
+           K.salsa(spark.createDataFrame(E, ["src", "dst"]),
+                   iters=1).collect()}
+    assert out["x"] == out["y"] == 50_000_000
