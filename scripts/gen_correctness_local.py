@@ -43,7 +43,7 @@ for sf, sf_dir in (("0.01", "/root/testdata/sf0.01"),
 rev = subprocess.check_output(["git", "rev-parse", "--short", "HEAD"],
                               cwd="/root/repo").decode().strip()
 doc = {"engine_rev": rev,
-       "generated": "2026-08-20 round 4 local verify_oracle.py",
+       "generated": "2026-08-21 round 4 local verify_oracle.py",
        "hash_match_sf0.01": counts["0.01"],
        "hash_match_sf0.1": counts["0.1"],
        "queries": dict(sorted(out.items())),
