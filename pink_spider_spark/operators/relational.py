@@ -277,3 +277,57 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .select("cohort_date", "week_offset", "users",
                     F.round(F.col("users") / F.col("__size"), 4)
                     .alias("retention")))
+
+
+def cusum_anomaly(events: DataFrame, group_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """CUSUM change-point detection (Page, Biometrika 1954 — the
+    classic sequential test for a sustained level shift, the
+    crawl-ops monitor for 'did this host/event stream step up?'):
+    over each group's hourly count series, the upper CUSUM statistic
+    S_t = max(0, S_{t−1} + (x_t − μ)).  The recurrence looks
+    inherently sequential; the RELATIONAL closed form is
+        S_t = P_t − min_{i ≤ t} P_i,
+    with P the prefix sums of the centered series — one per-group
+    ordered prefix-sum window + one running-min window, both over the
+    HOURLY series (≤ a few thousand rows per group, sublinear in the
+    event stream; the zipf/heaps proportionality argument).
+
+    Exactness: centering by the exact rational mean is cleared of
+    division — y_t = n·x_t − Σx (integers) — so P, the running min
+    and every statistic are exact n-scaled longs; the single division
+    happens only in the reported 4-dp normalized peak.
+
+    Returns one row per group: (group, n_hours, peak_cusum =
+    max S_t / n as a 4-dp per-hour excess, peak_hour = earliest hour
+    attaining the max)."""
+    hourly = (events
+              .groupBy(F.col(group_col).alias("grp"),
+                       F.date_trunc("hour", F.col(ts_col)).alias("h"))
+              .agg(F.count("*").alias("c")))
+    tot = hourly.groupBy("grp").agg(F.sum("c").alias("s"),
+                                    F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy("h") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    centered = (hourly.join(tot, "grp")
+                .select("grp", "h", "n",
+                        (F.col("n") * F.col("c") - F.col("s"))
+                        .cast("long").alias("y")))
+    pre = centered.select("grp", "h", "n",
+                          F.sum("y").over(w).alias("p"))
+    # the prefix-min must include the EMPTY prefix's P_0 = 0 (else
+    # S_1 would read 0 instead of max(0, y_1)) — hence the least(0, ·)
+    stat = pre.select("grp", "h", "n",
+                      (F.col("p") - F.least(F.lit(0).cast("long"),
+                                            F.min("p").over(w)))
+                      .alias("st"))
+    return (stat.groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n_hours"),
+                 F.max("st").alias("mx"),
+                 F.min(F.struct((-F.col("st")).alias("neg"),
+                                F.col("h").alias("h"))).alias("pk"))
+            .select(F.col("grp").alias(group_col), "n_hours",
+                    F.round(F.col("mx")
+                            / F.col("n_hours").cast("double"), 4)
+                    .alias("peak_cusum"),
+                    F.col("pk.h").alias("peak_hour")))

@@ -3044,6 +3044,47 @@ def graph_trustrank(spark, sf_dir):
             .select("node", F.col("rank").alias("trust")))
 
 
+@q("events_cusum_peak", """
+WITH hourly AS (SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY grp, h),
+tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM hourly GROUP BY grp),
+cen AS (SELECT h.grp, h.h, t.n, CAST(t.n * h.c - t.s AS BIGINT) AS y
+        FROM hourly h JOIN tot t USING (grp)),
+pre AS (SELECT grp, h, n,
+               CAST(sum(y) OVER (PARTITION BY grp ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS p
+        FROM cen),
+st AS (SELECT grp, h, n,
+              p - least(CAST(0 AS BIGINT),
+                        min(p) OVER (PARTITION BY grp ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)) AS st
+       FROM pre),
+pk AS (SELECT grp, h, st,
+              ROW_NUMBER() OVER (PARTITION BY grp
+                                 ORDER BY st DESC, h) AS rn
+       FROM st),
+mx AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_hours,
+              max(st) AS mx FROM st GROUP BY grp)
+SELECT mx.grp AS event_type, mx.n_hours,
+       round(CAST(mx.mx AS DOUBLE) / mx.n_hours, 4) AS peak_cusum,
+       pk.h AS peak_hour
+FROM mx JOIN pk ON mx.grp = pk.grp AND pk.rn = 1
+""")
+def events_cusum_peak(spark, sf_dir):
+    """CUSUM change-point statistic (Page, Biometrika 1954): upper
+    CUSUM S_t = max(0, S_{t−1} + (x_t − μ)) over each event type's
+    hourly count series via the RELATIONAL closed form S_t = P_t −
+    min(0, min prefix P) — prefix-sum + running-min windows over the
+    hourly series (sublinear in the event stream); exact n-scaled
+    integer statistics, one 4-dp division in the reported peak
+    (operators/relational.py cusum_anomaly)."""
+    return R.cusum_anomaly(_t(spark, sf_dir, "events"))
+
+
 @q("events_funnel", """
 WITH v AS (SELECT user_id, min(ts) AS t FROM events
            WHERE event_type = 'view' GROUP BY user_id),

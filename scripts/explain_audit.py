@@ -359,6 +359,11 @@ CHECKS = {
     "graph_salsa": ([],
                     ["Window", "CartesianProduct",
                      "BroadcastNestedLoopJoin"]),
+    # CUSUM: hourly agg + per-group prefix/running-min windows over
+    # the (sublinear) hourly series — no cartesian
+    "events_cusum_peak": (["Window"],
+                          ["CartesianProduct",
+                           "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

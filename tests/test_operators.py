@@ -606,3 +606,55 @@ def test_fuzzy_pairs_length_filter_is_safe(spark):
            X.fuzzy_pairs(df, "p_name", max_dist=2).collect()}
     assert out[("red gear", "red gears")] == 1
     assert out[("red gears", "red gearsxy")] == 2  # len diff 2, kept
+
+
+# ---------------------------------------------------------------- CUSUM
+def test_cusum_matches_sequential_twin(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 2, 1)
+    hr = dt.timedelta(hours=1)
+    # counts per hour: a level shift upward in the second half
+    series = [3, 2, 3, 2, 3, 8, 9, 8, 9, 8]
+    rows = []
+    eid = 0
+    for i, c in enumerate(series):
+        for _ in range(c):
+            rows.append(("t", T + i * hr + dt.timedelta(minutes=eid % 50)))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    r = R.cusum_anomaly(ev).collect()[0]
+    # sequential twin (n-scaled)
+    n, s = len(series), sum(series)
+    st, mx, peak = 0, 0, None
+    for i, c in enumerate(series):
+        st = max(0, st + (n * c - s))
+        if st > mx:
+            mx, peak = st, T + i * hr
+    assert r.n_hours == n
+    assert r.peak_cusum == round(mx / n, 4)
+    assert r.peak_hour == peak
+    assert r.peak_hour == T + 9 * hr  # cusum peaks at the shift's end
+
+
+def test_cusum_flat_series_is_zero(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    hr = dt.timedelta(hours=1)
+    rows = [("t", T + i * hr) for i in range(6)]  # 1 event every hour
+    r = R.cusum_anomaly(spark.createDataFrame(
+        rows, ["event_type", "ts"])).collect()[0]
+    assert r.peak_cusum == 0.0
+
+
+def test_cusum_first_hour_positive_deviation_counts(spark):
+    import datetime as dt
+    # the S_1 = max(0, y_1) edge: a hot FIRST hour must register
+    # (the empty-prefix 0 floor in the running min)
+    T = dt.datetime(2024, 4, 1)
+    hr = dt.timedelta(hours=1)
+    rows = [("t", T + dt.timedelta(minutes=m)) for m in range(8)]
+    rows += [("t", T + i * hr) for i in range(1, 5)]
+    r = R.cusum_anomaly(spark.createDataFrame(
+        rows, ["event_type", "ts"])).collect()[0]
+    # series [8,1,1,1,1]: y_1 = 5*8-12 = 28 -> S_1 = 28, the max
+    assert r.peak_hour == T and r.peak_cusum == round(28 / 5, 4)
