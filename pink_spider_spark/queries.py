@@ -523,6 +523,48 @@ def docs_minhash_lsh_pairs(spark, sf_dir):
     return X.minhash_lsh_pairs(docs, n_hashes=16, bands=4)
 
 
+@q("docs_minhash_jaccard_est", _MINHASH_SQL + """
+, banded AS (
+  SELECT doc_id, seed // 4 AS band,
+    ('0x' || substr(md5(string_agg(minhash::VARCHAR, '-' ORDER BY seed)), 1, 15))::BIGINT
+      AS bucket
+  FROM sig GROUP BY doc_id, seed // 4),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+ag AS (SELECT c.id_a, c.id_b,
+              CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+                       END) AS BIGINT) AS agree_n
+       FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+       JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+       GROUP BY c.id_a, c.id_b),
+ss AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ss
+       GROUP BY doc_id),
+itr AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c JOIN ss a ON a.doc_id = c.id_a
+        JOIN ss b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b)
+SELECT ag.id_a, ag.id_b, ag.agree_n,
+       round(ag.agree_n / 16.0, 4) AS jaccard_est,
+       round(CAST(COALESCE(itr.i, 0) AS DOUBLE)
+             / (za.n + zb.n - COALESCE(itr.i, 0)), 4) AS jaccard_exact
+FROM ag LEFT JOIN itr ON itr.id_a = ag.id_a AND itr.id_b = ag.id_b
+JOIN sz za ON za.doc_id = ag.id_a JOIN sz zb ON zb.doc_id = ag.id_b
+""")
+def docs_minhash_jaccard_est(spark, sf_dir):
+    """Broder resemblance estimator audit (Broder 1997 §3:
+    P[minhash agrees] = Jaccard): for every banded-LSH candidate
+    pair, signature-agreement count, the agree/16 estimate and the
+    EXACT shingle Jaccard side by side — the estimator-quality check
+    a dedup pipeline runs before trusting signatures at scale,
+    hash-pinned in the result itself.  Exact verification on
+    candidates only (functions/text.py minhash_estimate_pairs)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return X.minhash_estimate_pairs(docs, n_hashes=16, bands=4)
+
+
 @q("docs_simhash", """
 WITH tok AS (
   SELECT doc_id, t.token, count(*) AS cnt,

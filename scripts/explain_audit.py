@@ -364,6 +364,12 @@ CHECKS = {
     "events_cusum_peak": (["Window"],
                           ["CartesianProduct",
                            "BroadcastNestedLoopJoin"]),
+    # Broder estimator audit: (band,bucket) equi-join candidates,
+    # seed-keyed agreement join, exact verify on candidates only —
+    # never all-pairs
+    "docs_minhash_jaccard_est": ([],
+                                 ["CartesianProduct",
+                                  "BroadcastNestedLoopJoin"]),
 }
 
 # builders audited outside the registered query surface

@@ -658,3 +658,29 @@ def test_cusum_first_hour_positive_deviation_counts(spark):
         rows, ["event_type", "ts"])).collect()[0]
     # series [8,1,1,1,1]: y_1 = 5*8-12 = 28 -> S_1 = 28, the max
     assert r.peak_hour == T and r.peak_cusum == round(28 / 5, 4)
+
+
+# --------------------------------------------- Broder estimator audit
+def test_minhash_estimate_identical_and_disjoint(spark):
+    # identical docs: all 16 components agree, est = exact = 1.0
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, "the quick brown fox jumps over the dog")],
+        ["doc_id", "text"])
+    r = X.minhash_estimate_pairs(df).collect()
+    assert len(r) == 1 and r[0].agree_n == 16
+    assert r[0].jaccard_est == 1.0 and r[0].jaccard_exact == 1.0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # near-dup pairs: the estimate must track exact jaccard within the
+    # binomial std-err band (~ sqrt(J(1-J)/16) <= 0.125)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(1, base), (2, base + " extra"), (3, base.replace("beta", "B")),
+            (4, "totally different words entirely here now")]
+    out = X.minhash_estimate_pairs(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()
+    assert out  # the near-dups produce candidates
+    for r in out:
+        assert abs(r.jaccard_est - r.jaccard_exact) <= 3 * 0.125
+        assert r.agree_n == round(r.jaccard_est * 16)
