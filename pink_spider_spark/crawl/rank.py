@@ -38,6 +38,17 @@ from pyspark.sql import functions as F
 from ..functions.udfs import host_col
 
 
+def _teleport(damping: float) -> float:
+    """The (1−d) residual as the double a SQL oracle's decimal literal
+    parses to: ``1.0 - 0.85`` in Python float arithmetic is
+    0.15000000000000002, one ulp off the double that DuckDB's literal
+    ``0.15`` denotes — close enough to hide under 8-dp rounding until a
+    rank lands within ~1e-16 of a rounding boundary (ADVICE r4).
+    round(·, 12) snaps to the nearest 12-dp decimal's double, which for
+    every plausible damping literal IS the oracle's constant."""
+    return round(1.0 - damping, 12)
+
+
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
              decimals: int = 8) -> DataFrame:
@@ -82,7 +93,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                  .join(contribs.withColumnRenamed("dst", "node"),
                        "node", "left")
                  .select("node", F.round(
-                     F.lit(1.0 - damping) / F.col("n")
+                     F.lit(_teleport(damping)) / F.col("n")
                      + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)),
                      decimals).alias("rank"))
                  .localCheckpoint(eager=False))
@@ -138,7 +149,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 3,
         ranks = (base.join(contribs.withColumnRenamed("dst", "node"),
                            "node", "left")
                  .select("node", F.round(
-                     F.lit(1.0 - damping) * F.col("s")
+                     F.lit(_teleport(damping)) * F.col("s")
                      + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)),
                      decimals).alias("rank"))
                  .localCheckpoint(eager=False))
@@ -326,8 +337,11 @@ def host_pagerank(entries: DataFrame, iters: int = 3,
 
 def host_harmonic(entries: DataFrame, rounds: int = 3) -> DataFrame:
     """Host-level harmonic centrality via HyperBall (Boldi & Vigna) —
-    the EXACT ranking Common Crawl publishes for its seed lists, from
-    the crawl's own link graph: edges = (host(url) → host(link)) over
+    the UNDIRECTED variant of the metric behind Common Crawl's
+    seed-list ranking (``sketches.hyperball`` symmetrizes the edge
+    list, so distances are over the undirected host graph; Common
+    Crawl's published ranking uses directed distances — ADVICE r4),
+    from the crawl's own link graph: edges = (host(url) → host(link)) over
     the entries table, self-loops dropped; scores from
     ``sketches.hyperball`` (bounded O(hosts·1024) register state, one
     keyed join + keyed MAX agg per round).  Returns (node=host, rank)

@@ -541,8 +541,13 @@ def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 2,
     Returns (name_a, name_b, dist), name_a < name_b."""
     names = df.select(F.col(col).alias("name")).distinct() \
         .localCheckpoint(eager=False)
-    toks = names.select("name", F.explode(
+    # drop empty tokens: regex \s+ splits of names with leading/trailing
+    # or consecutive whitespace emit '' entries that would otherwise
+    # block every such name together (and diverge from oracles that
+    # split on a literal space) — ADVICE r4
+    toks = (names.select("name", F.explode(
         F.split(F.col("name"), block_split)).alias("tok"))
+            .where(F.col("tok") != ""))
     a = toks.select(F.col("name").alias("name_a"), "tok")
     b = toks.select(F.col("name").alias("name_b"), "tok")
     cand = (a.join(b, "tok")

@@ -2321,7 +2321,11 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     rows for vanishing signal; the unit pins that capping the hub
     changes hub-mediated pairs only).  Weights micro-integerized
     (round(1e6/ln(deg))) so pair scores are order-free integer sums;
-    jaccard = cn/(deg_u + deg_v − cn) rides along at 4 dp.
+    jaccard = cn/(deg_u + deg_v − cn) rides along at 4 dp — note it
+    INHERITS the cap: cn counts capped middles while du/dv are full
+    degrees, so when a super-hub middle is dropped the value is a
+    lower bound on the true neighbor-set Jaccard, not the exact one
+    (ADVICE r4; with max_middle_deg=None they coincide).
 
     Returns (u, v, cn, aa6, jaccard) for u < v non-adjacent pairs with
     ≥ ``min_common`` common (capped) neighbors."""

@@ -2321,9 +2321,11 @@ def docs_yule_richness(spark, sf_dir):
 
 @q("part_fuzzy_name_pairs", """
 WITH n AS (SELECT DISTINCT p_name AS name FROM part),
-t AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM n),
+t AS (SELECT name, unnest(regexp_split_to_array(name, '\\s+')) AS tok
+      FROM n),
+t2 AS (SELECT name, tok FROM t WHERE tok <> ''),
 cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
-         FROM t a JOIN t b ON a.tok = b.tok AND a.name < b.name
+         FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.name < b.name
          WHERE abs(len(a.name) - len(b.name)) <= 2)
 SELECT name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
@@ -3553,11 +3555,12 @@ WITH t AS (
            ::BIGINT AS n_tokens
   FROM documents)
 SELECT doc_id, n_tokens,
-       coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset,
-       (coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000)
-         AS shard_id
+       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS token_offset,
+       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000
+         AS BIGINT) AS shard_id
 FROM t
 """)
 def docs_token_shards(spark, sf_dir):
@@ -3897,7 +3900,7 @@ a2 AS (SELECT vec_id, sub, cid, d FROM (
                 row_number() OVER (PARTITION BY vec_id, sub
                                    ORDER BY d, cid) AS rn
          FROM d2) WHERE rn = 1)
-SELECT vec_id, list(cid ORDER BY sub) AS codes,
+SELECT vec_id, array_to_string(list(cid ORDER BY sub), '-') AS codes,
        CAST(sum(CAST(round(d * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
          AS recon_err
 FROM a2 GROUP BY vec_id
@@ -3907,9 +3910,18 @@ def emb_pq_codes(spark, sf_dir):
     codewords over the 64-dim embeddings, grouped deterministic Lloyd's
     (2 rounds) — per-vector code ids + exact reconstruction error, the
     memory scale path for billion-vector ANN
-    (functions/clustering.py pq_codes)."""
-    return C.pq_codes(_t(spark, sf_dir, "embeddings"),
-                      m=4, k=16, iters=2)
+    (functions/clustering.py pq_codes).  The gated output serializes
+    the code vector to a dash-joined string (r4 driver red: pandas'
+    canonicalizer cannot hash list cells) — same information, hashable
+    schema; the library pq_codes keeps the array form for ADC."""
+    codes = C.pq_codes(_t(spark, sf_dir, "embeddings"),
+                       m=4, k=16, iters=2)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.transform(F.col("codes"),
+                                 lambda c: c.cast("string")),
+                     "-").alias("codes"),
+        "recon_err")
 
 
 @q("docs_dedup_clusters_star", "WITH RECURSIVE " + _LSH_PAIRS_CTES + """
@@ -4334,40 +4346,37 @@ def graph_opic(spark, sf_dir):
 # CORRECTNESS_r01/r02/r03.json, and scripts/verify_oracle.py still checks
 # all of them.
 _GATE_FIRST = [
-    # round-3 additions (driver-unchecked in r1-r3)
-    "emb_kmeans", "emb_semdedup", "emb_ann_ivf_of_vec0", "graph_pagerank",
-    "events_asof_last_signup", "revenue_rollup", "events_weekday_pivot",
-    "events_value_quantiles", "events_value_quantiles_approx",
-    "signup_click_window_counts", "events_distinct_users_kmv",
-    "events_hourly_rollup", "docs_substring_dedup",
-    "emb_ann_topk_multiprobe_of_vec0", "docs_token_shards",
-    "docs_ccnet_buckets", "docs_dsir_weights", "docs_tfidf_cosine_pairs",
-    "frontier_url_filter", "emb_pq_codes", "docs_dedup_clusters_star",
-    "emb_pq_adc_topk", "events_heavy_hitters_cms", "docs_zipf_stats",
-    # round-4 additions (driver-unchecked in r1-r3)
-    "events_distinct_users_hll", "docs_bm25_topk", "graph_hits",
-    "events_recrawl_priority", "graph_opic", "docs_simhash_near_pairs",
-    "docs_kn_bigram_bits", "docs_source_rebalance",
-    "docs_simhash_dedup_clusters", "docs_containment_pairs",
-    "frontier_robots_rep", "docs_c4_clean", "docs_c4_span_dedup",
-    "docs_weighted_sample", "graph_lpa", "graph_triangles",
-    "docs_textrank_keywords", "docs_temperature_sample",
-    "docs_pmi_collocations", "emb_jl_project", "docs_phrase_search",
-    "docs_hybrid_rrf", "events_zorder_layout", "docs_cdc_dedup",
-    # representative §2 core, one per operator family, incl. both flagships
-    "lineitem_top3_per_order",
-    "emb_knn_of_vec0", "docs_extract_provider_counts", "crawl_two_waves",
+    # round-5 window, per VERDICT r4 "Next round" #3: positions 0-24 are
+    # the 25 queries the driver has NEVER sampled (all late-round-4
+    # additions, judge-verified 25/25 green but no driver artifact yet)
+    "docs_winnow_fingerprints", "docs_nb_langid", "graph_trustrank",
+    "graph_kcore", "graph_hyperball", "graph_harmonic_exact",
+    "graph_salsa", "graph_adamic_adar", "graph_assortativity",
+    "graph_bfs_hops", "graph_eff_diameter", "frontier_surt_keys",
+    "events_funnel", "events_retention_cohorts", "events_benford",
+    "events_cusum_peak", "docs_rake_keywords", "docs_rendezvous_shards",
+    "docs_bpe_pretokens", "docs_encoding_signals", "docs_entropy_signals",
+    "docs_heaps_fit", "docs_yule_richness", "docs_minhash_jaccard_est",
+    "part_fuzzy_name_pairs",
+    # positions 25-26: the two r4 driver-red rows, re-gated after their
+    # interface fixes (oracle BIGINT casts / codes serialized to string)
+    "docs_token_shards", "emb_pq_codes",
+    # positions 27-49: representative core — the two flagships, one per
+    # §2 operator family, and round-3/4 heavyweights worth re-confirming
+    "crawl_two_waves", "docs_extract_provider_counts",
+    "docs_containment_pairs", "lineitem_top3_per_order",
+    "emb_kmeans", "emb_semdedup", "emb_pq_adc_topk", "graph_pagerank",
+    "frontier_url_filter", "frontier_robots_rep", "docs_c4_clean",
+    "docs_substring_dedup", "docs_dedup_clusters_star",
+    "docs_simhash_dedup_clusters", "docs_tfidf_cosine_pairs",
+    "docs_bm25_topk", "docs_hybrid_rrf", "events_recrawl_priority",
+    "events_zorder_layout", "emb_ann_topk_multiprobe_of_vec0",
+    "emb_jl_project", "docs_cdc_dedup", "events_heavy_hitters_cms",
 ]
-# dropped from the gate window to make room for the round-4 additions
-# (driver-green rows already recorded in CORRECTNESS_r01-r03.json):
-# events_after_jan15, orders_mget, docs_json_props,
-# signup_events_with_props, event_type_counters, docs_token_count,
-# docs_langid, docs_quality, docs_fingerprint, docs_exact_dedup,
-# part_search_red, orders_page3, active_suppliers,
-# nation_customer_rollup, events_page_after, latest_order_per_customer,
-# customers_without_recent_orders, recent20_events_per_user, docs_simhash,
-# docs_minhash_lsh_pairs, docs_feed_parse, emb_knn_of_vec0,
-# revenue_by_segment, lineitem_top3_per_order
+# Queries pushed past position 50 keep their cumulative driver-green
+# artifacts from CORRECTNESS_r01-r04.json (96 of 123 distinct queries
+# now have one), and scripts/verify_oracle.py still checks all of them
+# locally with BOTH canon paths at sf0.01 and sf0.1.
 
 
 def _reorder_registry() -> None:

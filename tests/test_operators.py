@@ -597,6 +597,22 @@ def test_fuzzy_pairs_blocking_and_verification(spark):
     assert not any("zzz qqq" in p for p in out)
 
 
+def test_fuzzy_pairs_messy_whitespace_no_empty_token_blocking(spark):
+    # leading/trailing/double whitespace must not mint '' block tokens
+    # that pair otherwise-unrelated names (ADVICE r4): these two share
+    # no real token, only the '' a naive \s+ split would emit for both
+    df = spark.createDataFrame(
+        [(" alpha widget",), ("zebra  crate ",)], ["p_name"])
+    assert X.fuzzy_pairs(df, "p_name", max_dist=2).count() == 0
+    # and a true pair still matches when one side carries extra spaces
+    # in an untouched token position
+    df2 = spark.createDataFrame(
+        [("cold anvil ",), ("old anvil ",)], ["p_name"])
+    out = {(r.name_a, r.name_b): r.dist for r in
+           X.fuzzy_pairs(df2, "p_name", max_dist=2).collect()}
+    assert out[("cold anvil ", "old anvil ")] == 1
+
+
 def test_fuzzy_pairs_length_filter_is_safe(spark):
     # length filter must never drop a true pair: dist<=2 implies
     # |len diff| <= 2
