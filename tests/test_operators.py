@@ -419,6 +419,52 @@ def test_containment_prefix_filter_is_lossless(spark):
     assert got == brute and len(got) > 0
 
 
+def test_containment_hot_shingle_salting_is_invisible(spark):
+    """Planted hot-shingle corpus (VERDICT r4 'watch'): every doc
+    shares one boilerplate sentence, so its shingles' posting lists
+    span the whole corpus.  With hot_posting_cap forced below the
+    posting length the salted join MUST split those lists (nsplit > 1)
+    yet return exactly the same pairs as the unsalted run — salting
+    may only change partitioning, never the candidate set."""
+    boiler = "all rights reserved contact us for more information here"
+    docs = [Row(doc_id=i, text=f"unique body {i} {i*7%13} " * 3 + boiler)
+            for i in range(40)]
+    # one true containment pair: doc 100 wholesale inside doc 101
+    a = "the quick brown fox jumps over the lazy dog " + boiler
+    docs += [Row(doc_id=100, text=a),
+             Row(doc_id=101, text=a + " plus a much longer tail " * 6)]
+    df = spark.createDataFrame(docs)
+    kw = dict(k=12, threshold=0.8)
+    salted = {(r.contained_id, r.container_id): r.containment
+              for r in X.containment_pairs(
+                  df, hot_posting_cap=4, **kw).collect()}
+    plain = {(r.contained_id, r.container_id): r.containment
+             for r in X.containment_pairs(
+                 df, hot_posting_cap=1 << 30, **kw).collect()}
+    assert salted == plain
+    assert (100, 101) in salted and salted[(100, 101)] == 1.0
+    # and the cap really engaged: boilerplate shingles have df=42 > 4
+    from pink_spider_spark.functions.text import shingles
+    hot_df = (shingles(df, "text", "doc_id", 12)
+              .groupBy("shingle").count()
+              .agg(F.max("count")).first()[0])
+    assert hot_df > 4
+
+
+def test_containment_extended_prefix_count_filter_is_lossless(spark):
+    # prefix_ext=0 degenerates to the minimal prefix (m >= 1); any
+    # larger extension must return the identical pair set (exact
+    # recall of the count filter) on real corpus text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {(r.contained_id, r.container_id): r.containment
+            for r in X.containment_pairs(
+                docs, k=12, threshold=0.8, prefix_ext=0.0).collect()}
+    ext = {(r.contained_id, r.container_id): r.containment
+           for r in X.containment_pairs(
+               docs, k=12, threshold=0.8, prefix_ext=2.0).collect()}
+    assert base == ext and len(base) > 0
+
+
 # ------------------------------------------------ JL random projection
 def _jl_twin(vec, out_dim=16, in_dim=64):
     import hashlib
