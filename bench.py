@@ -57,6 +57,13 @@ HEADLINE = [
     "graph_hyperball",
     "graph_harmonic_exact",
     "docs_rake_keywords",
+    # round-4 final-commit additions (VERDICT r4 #6: keep inside the
+    # headline so BENCH_r05 carries their sf0.1 timings)
+    "docs_minhash_jaccard_est",
+    "events_cusum_peak",
+    # round-5 additions
+    "frontier_freshness_priority",
+    "frontier_trap_filter",
 ]
 
 

@@ -3748,6 +3748,125 @@ def frontier_url_filter(spark, sf_dir):
         "allowed")
 
 
+@q("frontier_freshness_priority", """
+WITH hist AS (SELECT 'https://u' || user_id || '.example/feed' AS url,
+                     epoch_us(ts) AS us,
+                     (event_type <> 'view') AS ch FROM events),
+agg AS (SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_changes,
+               min(us) AS f, max(us) AS l
+        FROM hist GROUP BY url HAVING count(*) >= 2),
+sc AS (SELECT url,
+        -ln(((CAST(n_obs AS DOUBLE) - CAST(n_changes AS DOUBLE)) + 0.5)
+            / (CAST(n_obs AS DOUBLE) + 0.5))
+        / ((CAST(l - f AS DOUBLE) / 86400000000.0)
+           / (CAST(n_obs AS DOUBLE) - 1.0)) AS lam,
+        CAST(1706745600000000 - l AS DOUBLE) / 86400000000.0 AS age
+       FROM agg),
+pri AS (SELECT url,
+               CAST(floor((1.0 - exp(-(lam * age))) * 1000000) AS BIGINT)
+                 AS p
+        FROM sc),
+frontier AS (SELECT DISTINCT url FROM hist
+             UNION ALL
+             SELECT 'https://new' || i || '.example/feed'
+             FROM generate_series(0, 49) s(i))
+SELECT f.url, coalesce(p.p, 0) AS priority
+FROM frontier f LEFT JOIN pri p USING (url)
+""")
+def frontier_freshness_priority(spark, sf_dir):
+    """End-to-end frontier freshness prioritization (Cho &
+    Garcia-Molina 2003; VERDICT r4 Next-round #8): the full
+    ``with_freshness_priority`` path — per-url Poisson λ̂ from the
+    revisit log, staleness at a fixed instant, integerized onto the
+    frontier via a url-keyed left join, with NO-HISTORY urls (50
+    minted 'new' urls, plus any key with < 2 observations) falling
+    back to priority 0, the discovery-ranking contract.  Events stand
+    in as the fetch log with a deterministic url per entity; the
+    frontier join stays a keyed equi-join — never a broadcast
+    assumption (crawl/freshness.py with_freshness_priority)."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://u"), F.col("user_id"),
+                   F.lit(".example/feed"))
+    hist = ev.select(url.alias("url"), "ts",
+                     (F.col("event_type") != "view").alias("changed"))
+    minted = spark.range(0, 50).select(
+        F.concat(F.lit("https://new"), F.col("id"),
+                 F.lit(".example/feed")).alias("url"))
+    frontier = hist.select("url").distinct().unionByName(minted)
+    out = FR.with_freshness_priority(frontier, hist,
+                                     now_us=1706745600000000)
+    return out.select("url", "priority")
+
+
+@q("frontier_trap_filter", """
+WITH ids AS (SELECT i AS id FROM generate_series(0, 3999) s(i)),
+u AS (SELECT id, id % 5 AS fam,
+             'https://h' || (id % 23) || '.example.com' AS base
+      FROM ids),
+urls AS (SELECT id, fam,
+  base ||
+  CASE fam
+    WHEN 0 THEN repeat('/r' || (id % 4), CAST(1 + id % 7 AS INTEGER))
+    WHEN 1 THEN substr('/s1/s2/s3/s4/s5/s6/s7/s8/s9/sa/sb/sc/sd/se',
+                       1, 3 * CAST(1 + id % 14 AS INTEGER))
+    WHEN 2 THEN '/q?' || rtrim(repeat('p=1&',
+                               CAST(1 + id % 12 AS INTEGER)), '&')
+    WHEN 3 THEN '/x?q=' || repeat('y', CAST(200 + (id % 40) * 60
+                                             AS INTEGER))
+    ELSE '/p/' || id
+  END AS url
+  FROM u)
+SELECT id, url, CAST(len(url) AS BIGINT) AS url_len,
+       (len(url) > 2048
+        OR (fam = 1 AND 1 + id % 14 > 12)
+        OR (fam = 2 AND 1 + id % 12 > 8)
+        OR (fam = 0 AND 1 + id % 7 >= 3)) AS is_trap
+FROM urls
+""")
+def frontier_trap_filter(spark, sf_dir):
+    """Spider-trap triage end-to-end (Heritrix pathological-path /
+    too-many-path-segments family; VERDICT r4 Next-round #8): a
+    deterministic 4000-URL frontier with five planted families —
+    consecutive repeated segments (pathologicalPath, trap at >= 3
+    repeats), deep distinct-segment paths (trap at > 12 segments),
+    parameter floods (trap at > 8 query params), oversize URLs (trap
+    at > 2048 chars), and clean pages — classified by the REAL
+    ``traps.trap_col`` (parse_url + backreference rlike, pure JVM
+    in-row expressions).  The oracle recomputes trap-ness from the
+    generator's closed form (DuckDB's RE2 has no backreferences), so
+    the cross-engine check is classifier-vs-ground-truth on every
+    family boundary (crawl/traps.py trap_col)."""
+    from .crawl.traps import trap_col
+
+    ids = spark.range(0, 4000).select(F.col("id").cast("long"))
+    fam = F.col("id") % 5
+    base = F.concat(F.lit("https://h"), F.col("id") % 23,
+                    F.lit(".example.com"))
+    path = (
+        F.when(fam == 0, F.repeat(
+            F.concat(F.lit("/r"), F.col("id") % 4),
+            (1 + F.col("id") % 7).cast("int")))
+        .when(fam == 1, F.substring(
+            F.lit("/s1/s2/s3/s4/s5/s6/s7/s8/s9/sa/sb/sc/sd/se"),
+            1, (3 * (1 + F.col("id") % 14)).cast("int")))
+        .when(fam == 2, F.concat(
+            F.lit("/q?"),
+            F.expr("trim(TRAILING '&' FROM "
+                   "repeat('p=1&', cast(1 + id % 12 as int)))")))
+        .when(fam == 3, F.concat(
+            F.lit("/x?q="),
+            F.repeat(F.lit("y"), (200 + (F.col("id") % 40) * 60)
+                     .cast("int"))))
+        .otherwise(F.concat(F.lit("/p/"), F.col("id"))))
+    urls = ids.select("id", F.concat(base, path).alias("url"))
+    return urls.select(
+        "id", "url",
+        F.length("url").cast("long").alias("url_len"),
+        trap_col(F.col("url")).alias("is_trap"))
+
+
 @q("frontier_robots_rep", """
 WITH ids AS (SELECT i AS id FROM generate_series(0, 3999) s(i)),
 u AS (SELECT id,
@@ -4361,7 +4480,10 @@ _GATE_FIRST = [
     # positions 25-26: the two r4 driver-red rows, re-gated after their
     # interface fixes (oracle BIGINT casts / codes serialized to string)
     "docs_token_shards", "emb_pq_codes",
-    # positions 27-49: representative core — the two flagships, one per
+    # positions 27-28: round-5 additions (freshness + traps end-to-end,
+    # the last crawl subsystems without an oracle row)
+    "frontier_freshness_priority", "frontier_trap_filter",
+    # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",
     "docs_containment_pairs", "lineitem_top3_per_order",

@@ -94,3 +94,52 @@ def test_resize_real_bytes_capability_gated(spark):
     else:
         # without a codec the undecodable blob passes through untouched
         assert bytes(out.data) == _PNG_1x1
+
+
+# --- PIL-branch evidence (VERDICT r4 Next-round #7).  Two layers:
+# (1) a skip-marked test that runs the REAL decoder wherever PIL exists
+# (CI hosts with media libs; skipped in this sandbox, recorded as such
+# in COVERAGE.md), and (2) a stub-PIL test that EXECUTES the real-branch
+# code path (module import, Image.open context manager, width/height/
+# n_frames reads, exception fallback) in this sandbox by installing a
+# minimal PIL stand-in — so the branch's plumbing has persisted, green,
+# in-repo evidence even where the codec itself is absent.
+@pytest.mark.skipif(not M._HAVE_PIL, reason="PIL not installed here; "
+                    "runs on media-lib hosts")
+def test_pil_real_decode_1px_png():
+    assert M.decode_header(_PNG_1x1) == ("image", 1, 1, 1)
+
+
+def test_pil_branch_plumbing_via_stub(monkeypatch):
+    import sys
+    import types
+
+    class _StubImg:
+        width, height, n_frames = 1, 1, 1
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _open(buf):
+        data = buf.read()
+        if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+            raise OSError("cannot identify image file")
+        return _StubImg()
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = _open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+    monkeypatch.setattr(M, "_HAVE_PIL", True)
+    # real-branch happy path: non-fake magic routes into PIL.Image.open
+    assert M.decode_header(_PNG_1x1) == ("image", 1, 1, 1)
+    # real-branch exception path: undecodable bytes -> None, never raise
+    assert M.decode_header(b"garbage" * 5) is None
+    # fake containers still bypass the codec entirely
+    assert M.decode_header(M.encode_fake("image", 3, 2, 1)) == \
+        ("image", 3, 2, 1)
