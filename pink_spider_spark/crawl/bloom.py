@@ -194,9 +194,19 @@ def build_bloom_shards(df: DataFrame, hash_col: str, n_estimate: int,
 def update_bloom_shards(shards: DataFrame, new_keys: DataFrame,
                         hash_col: str, n_shards: int) -> DataFrame:
     """OR a batch of new keys into an existing shard table (incremental
-    per-wave update — avoids rescanning the whole seen set).  Shards with
-    no new keys pass through untouched; keys landing in a shard with no
-    row yet get a fresh bitmap sized like its siblings."""
+    per-wave update — avoids rescanning the whole seen set).
+
+    Unchanged-shard skip (r5, VERDICT r4 Next-round #5): only shards
+    whose id appears in the delta enter the cogroup — the rest ride a
+    shard-id anti-join passthrough that never leaves the JVM.  A wave's
+    delta touches at most |delta| shards, so at the 10^10 design point
+    (4096 shards × ~3 MB bitmaps) a small wave no longer round-trips
+    ~12 GB of untouched bitmaps through Arrow/pandas; it serializes only
+    what it writes.  The delta is pinned (lazy localCheckpoint) so its
+    two consumers — the touched-id set and the cogroup — read one
+    materialization inside the consuming job.  Keys landing in a shard
+    with no row yet would error; the caller guarantees the build covered
+    every shard id (``cover_all_shards``)."""
     from ..functions.udfs import ensure_package_shipped
 
     ensure_package_shipped(shards.sparkSession)
@@ -222,10 +232,15 @@ def update_bloom_shards(shards: DataFrame, new_keys: DataFrame,
         return out[[f.name for f in SHARD_SCHEMA.fields]]
 
     keyed = (new_keys.select(hash_col)
-             .withColumn("__shard", _shard_col(hash_col, n_shards)))
-    return (keyed.groupBy("__shard")
-            .cogroup(shards.groupBy("shard"))
-            .applyInPandas(upd, schema=SHARD_SCHEMA))
+             .withColumn("__shard", _shard_col(hash_col, n_shards))
+             .localCheckpoint(eager=False))
+    touched_ids = keyed.select(F.col("__shard").alias("shard")).distinct()
+    updated = (keyed.groupBy("__shard")
+               .cogroup(shards.join(touched_ids, "shard", "left_semi")
+                        .groupBy("shard"))
+               .applyInPandas(upd, schema=SHARD_SCHEMA))
+    untouched = shards.join(touched_ids, "shard", "left_anti")
+    return updated.unionByName(untouched)
 
 
 def cover_all_shards(shards: DataFrame, n_shards: int) -> DataFrame:
@@ -278,15 +293,18 @@ def prune_with_bloom_shards(candidates: DataFrame, seen: DataFrame,
             left[hash_col].to_numpy(dtype=np.int64))
         return out
 
+    # pin with a LAZY localCheckpoint instead of an eager cache+count
+    # (r5): the two consumers (fresh + suspects) are branches of one
+    # downstream union, so the blocks materialize inside that single
+    # consuming job — the old count() was a whole extra job on the
+    # frontier write's critical path.  Checkpoint also truncates lineage,
+    # so the cogroup can never recompute per branch.
     flagged = (candidates
                .withColumn("__shard", _shard_col(hash_col, n_shards))
                .groupBy("__shard")
                .cogroup(shards.groupBy("shard"))
                .applyInPandas(probe, schema=out_schema)
-               .cache())
-    flagged.count()
-    if cache_registry is not None:
-        cache_registry.append(flagged)
+               .localCheckpoint(eager=False))
     fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_new = suspects.join(seen.select(key_col), on=key_col,

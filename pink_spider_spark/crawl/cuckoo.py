@@ -290,11 +290,19 @@ def _mutate_cuckoo_shards(shards: DataFrame, keys: DataFrame,
         out["table"] = [cf.table.tobytes()]
         return out[cols]
 
+    # unchanged-shard skip, same shape as bloom.update_bloom_shards
+    # (r5): only delta-touched shards enter the pandas cogroup; the rest
+    # pass through a JVM-side anti-join untouched
     keyed = (keys.select(hash_col)
-             .withColumn("__shard", _shard_col(hash_col, n_shards)))
-    return (keyed.groupBy("__shard")
-            .cogroup(shards.groupBy("shard"))
-            .applyInPandas(upd, schema=CUCKOO_SHARD_SCHEMA))
+             .withColumn("__shard", _shard_col(hash_col, n_shards))
+             .localCheckpoint(eager=False))
+    touched_ids = keyed.select(F.col("__shard").alias("shard")).distinct()
+    updated = (keyed.groupBy("__shard")
+               .cogroup(shards.join(touched_ids, "shard", "left_semi")
+                        .groupBy("shard"))
+               .applyInPandas(upd, schema=CUCKOO_SHARD_SCHEMA))
+    untouched = shards.join(touched_ids, "shard", "left_anti")
+    return updated.unionByName(untouched)
 
 
 def update_cuckoo_shards(shards: DataFrame, new_keys: DataFrame,
@@ -347,15 +355,14 @@ def prune_with_cuckoo_shards(candidates: DataFrame, seen: DataFrame,
             left[hash_col].to_numpy(dtype=np.int64))
         return out
 
+    # lazy localCheckpoint pin, same rationale as the bloom twin (r5):
+    # no eager count job; blocks materialize inside the consuming union
     flagged = (candidates
                .withColumn("__shard", _shard_col(hash_col, n_shards))
                .groupBy("__shard")
                .cogroup(shards.groupBy("shard"))
                .applyInPandas(probe, schema=out_schema)
-               .cache())
-    flagged.count()
-    if cache_registry is not None:
-        cache_registry.append(flagged)
+               .localCheckpoint(eager=False))
     fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_new = suspects.join(seen.select(key_col), on=key_col,

@@ -113,6 +113,16 @@ CHECKS = {
     "frontier_url_filter": (["BroadcastHashJoin"],
                             ["Window", "CartesianProduct",
                              "SortMergeJoin"]),
+    # freshness priority: one key-grouped linear agg over the revisit
+    # log + one url-keyed equi-join onto the frontier — no window, no
+    # cartesian, no nested loop
+    "frontier_freshness_priority": ([], ["Window", "CartesianProduct",
+                                         "BroadcastNestedLoopJoin"]),
+    # trap triage: pure in-row parse_url/rlike expressions over the
+    # generated frontier — no join at all, no shuffle beyond the range
+    # source, no window
+    "frontier_trap_filter": ([], ["Window", "CartesianProduct",
+                                  "Exchange", "Join"]),
     # PQ: grouped Lloyd's — (vector,sub) rows vs broadcast m·k codebook
     # on the sub key, (sub,cid,pos)-keyed update; no window, no
     # cartesian (codebook ride-along is a bounded broadcast)

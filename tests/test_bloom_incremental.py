@@ -172,3 +172,41 @@ def test_sharded_bloom_matches_full_crawl_parity(spark, sharded_driver):
                   for r in d2.store.table("seen").read(spark).collect()}
     shutil.rmtree(root2, ignore_errors=True)
     assert seen_shard == seen_bcast
+
+
+def test_update_skips_unchanged_shards_jvm_side(spark):
+    """r5 unchanged-shard skip: shards without delta keys must NOT pass
+    through the pandas cogroup — the plan carries exactly ONE
+    FlatMapCoGroupsInPandas plus a JVM-side anti-join passthrough — and
+    the semantics are unchanged: touched shards gain the new keys,
+    untouched shards' bitmaps stay byte-identical."""
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.crawl.bloom import (BloomFilter, _U64,
+                                               build_bloom_shards,
+                                               cover_all_shards,
+                                               update_bloom_shards)
+
+    base = spark.createDataFrame([(i * 8,) for i in range(64)],
+                                 ["url_hash"])  # all in shard 0 (mod 8)
+    shards = cover_all_shards(
+        build_bloom_shards(base, "url_hash", 1000, n_shards=8), 8) \
+        .localCheckpoint(eager=True)
+    before = {r.shard: bytes(r.bitmap) for r in shards.collect()}
+
+    delta = spark.createDataFrame([(3,), (11,)], ["url_hash"])  # shard 3
+    out = update_bloom_shards(shards, delta, "url_hash", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    after = {r.shard: bytes(r.bitmap) for r in out.collect()}
+    assert set(after) == set(range(8))
+    for s in range(8):
+        if s != 3:
+            assert after[s] == before[s], f"shard {s} was rewritten"
+    assert after[3] != before[3]
+    import numpy as np
+    bf = BloomFilter(
+        int(shards.select("m_bits").first()[0]),
+        int(shards.select("k").first()[0]),
+        np.frombuffer(after[3], dtype=_U64))
+    assert bf.contains_many(np.array([3, 11], dtype=np.int64)).all()
