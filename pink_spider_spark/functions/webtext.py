@@ -2511,3 +2511,49 @@ def assortativity(edges: DataFrame, src: str = "src",
         F.round(F.when(den4 == 0, F.lit(None))
                 .otherwise(num4.cast("double") / den4.cast("double")), 6)
         .alias("assortativity"))
+
+
+# ------------------------------------------- Good-Turing estimation
+def good_turing(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", decimals: int = 6) -> DataFrame:
+    """Good–Turing frequency estimation (Good, Biometrika 1953; the
+    simple-GT presentation of Gale & Sampson 1995, "Good-Turing
+    frequency estimation without tears") — the counts-of-counts
+    adjustment every n-gram LM pipeline runs before smoothing: a token
+    type observed r times gets the adjusted count
+        r* = (r+1) · N_{r+1} / N_r ,
+    where N_r is the number of types with frequency r; the total
+    probability mass reserved for UNSEEN types is N_1/N.  This is the
+    estimator underneath Katz backoff and the intuition behind
+    Kneser–Ney's absolute discount (the KN-bigram operator above);
+    emitted as the per-r table a corpus diagnostic reads directly.
+
+    Scale shape: token counts (one keyed agg), counts-of-counts (a
+    second keyed agg over the VOCABULARY, sublinear), then a self-join
+    of the tiny N_r table on r+1 — no window at all.  Simple GT leaves
+    r* undefined where N_{r+1} = 0 (the sparse high-r tail); those
+    rows emit r_star = 0.0, documented, exactly as the oracle does.
+    Exactness: r, N_r and N are exact longs; r* and p_gt = r*/N are
+    single divisions rounded at ``decimals`` identically in both
+    engines.
+
+    Returns one row per observed frequency r: (r, n_r, r_star, p_gt)."""
+    tok = (df.select(F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"))
+        .where(F.col("t") != ""))
+    types = tok.groupBy("t").agg(F.count("*").alias("r"))
+    nr = types.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    total = nr.agg(F.sum(F.col("r") * F.col("n_r")).alias("N"))
+    nxt = nr.select((F.col("r") - 1).alias("r"),
+                    F.col("n_r").alias("n_next"))
+    return (nr.join(nxt, "r", "left")
+            .crossJoin(F.broadcast(total))
+            .select(F.col("r").cast("long").alias("r"), "n_r",
+                    F.round(F.coalesce(
+                        (F.col("r") + 1) * F.col("n_next")
+                        / F.col("n_r").cast("double"), F.lit(0.0)),
+                        decimals).alias("r_star"),
+                    F.round(F.coalesce(
+                        (F.col("r") + 1) * F.col("n_next")
+                        / (F.col("n_r") * F.col("N")).cast("double"),
+                        F.lit(0.0)), decimals + 2).alias("p_gt")))

@@ -331,3 +331,96 @@ def cusum_anomaly(events: DataFrame, group_col: str = "event_type",
                             / F.col("n_hours").cast("double"), 4)
                     .alias("peak_cusum"),
                     F.col("pk.h").alias("peak_hour")))
+
+
+def mann_kendall(events: DataFrame, group_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Mann–Kendall trend test (Mann, Econometrica 1945; Kendall's tau
+    framework) — the standard nonparametric "is this series trending?"
+    monitor, complementing ``cusum_anomaly``'s level-shift detector on
+    the same crawl-ops dashboards: S = Σ_{i<j} sgn(x_j − x_i) over each
+    group's hourly count series, with the tie-corrected variance
+    18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) and the
+    continuity-corrected z = (S∓1)/√Var(S).
+
+    Scale shape: the pair join is over the HOURLY series, so its size
+    is (series length)², bounded by the time span — independent of the
+    event count, the same sublinearity argument as the CUSUM/zipf
+    windows.  Exactness: S, the tie sum and 18·Var(S) are exact longs
+    (sgn of integer differences; no division anywhere); the single
+    float op is the final z = (S∓1)/sqrt(var18/18), rounded at 4 dp
+    identically in both engines.
+
+    Returns one row per group: (group, n_hours, s_stat, var18, z,
+    trend) with trend = increasing/decreasing when |z| ≥ 1.96 (the
+    two-sided 5% normal critical value), else none."""
+    hourly = (events
+              .groupBy(F.col(group_col).alias("grp"),
+                       F.date_trunc("hour", F.col(ts_col)).alias("h"))
+              .agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=False))
+    a = hourly.select("grp", F.col("h").alias("h1"), F.col("c").alias("c1"))
+    b = hourly.select("grp", F.col("h").alias("h2"), F.col("c").alias("c2"))
+    s = (a.join(b, "grp")
+         .where(F.col("h1") < F.col("h2"))
+         .groupBy("grp")
+         .agg(F.sum(F.signum(F.col("c2") - F.col("c1"))
+                    .cast("long")).alias("s_stat")))
+    n = hourly.groupBy("grp").agg(F.count("*").alias("n_hours"))
+    ties = (hourly.groupBy("grp", "c").agg(F.count("*").alias("tg"))
+            .groupBy("grp")
+            .agg(F.sum(F.col("tg") * (F.col("tg") - 1)
+                       * (2 * F.col("tg") + 5)).alias("tiesum")))
+    nn = F.col("n_hours")
+    var18 = (nn * (nn - 1) * (2 * nn + 5) - F.col("tiesum")).cast("long")
+    zraw = F.when(F.col("var18") <= 0, F.lit(0.0)).otherwise(
+        F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .otherwise(F.lit(0.0)))
+    return (n.join(s, "grp").join(ties, "grp")
+            .withColumn("var18", var18)
+            .withColumn("z", F.round(zraw, 4))
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_hours").cast("long").alias("n_hours"),
+                    "s_stat", "var18", "z",
+                    F.when(F.col("z") >= 1.96, F.lit("increasing"))
+                    .when(F.col("z") <= -1.96, F.lit("decreasing"))
+                    .otherwise(F.lit("none")).alias("trend")))
+
+
+def load_gini(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Gini coefficient of per-entity load (Gini 1912, via the exact
+    rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over x sorted
+    ascending) — the crawl-frontier concentration diagnostic: how
+    skewed is the fetch load across hosts?  This single statistic is
+    what justifies (or retires) the salted per-host scheduler and the
+    hot-shard guards: G ≈ 0 means uniform hosts, G → 1 means one host
+    dominates and every per-host structure needs a skew path.
+
+    Scale shape: one keyed count agg over the event stream, then rank
+    + sums over the PER-ENTITY table (n entities ≪ n events — the
+    standard sublinear-window argument, documented like the zipf/
+    vocabulary cases; the WindowExec-no-partition warning is expected
+    and bounded).  Exactness: numerator and denominator are exact
+    longs (ranks, counts); the only division is the final 6-dp Gini
+    and top-share.
+
+    Returns one row: (n_keys, total, gini, top_share)."""
+    x = events.groupBy(F.col(key_col).alias("k")) \
+        .agg(F.count("*").alias("x"))
+    w = Window.orderBy(F.asc("x"), F.asc("k"))
+    ranked = x.select("x", F.row_number().over(w).alias("i"))
+    return (ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("ix"),
+        F.max("x").cast("long").alias("mx"))
+        .select("n_keys", "total",
+                F.round((2 * F.col("ix") - (F.col("n_keys") + 1)
+                         * F.col("total"))
+                        / (F.col("n_keys") * F.col("total")).cast("double"),
+                        6).alias("gini"),
+                F.round(F.col("mx") / F.col("total").cast("double"), 6)
+                .alias("top_share")))

@@ -3129,6 +3129,106 @@ def events_cusum_peak(spark, sf_dir):
     return R.cusum_anomaly(_t(spark, sf_dir, "events"))
 
 
+@q("events_mann_kendall", """
+WITH hourly AS (SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY grp, h),
+s AS (SELECT a.grp,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM hourly a JOIN hourly b ON a.grp = b.grp AND a.h < b.h
+      GROUP BY a.grp),
+n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY grp),
+ties AS (SELECT grp, CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                AS tiesum
+         FROM (SELECT grp, c, CAST(count(*) AS BIGINT) AS tg
+               FROM hourly GROUP BY grp, c) GROUP BY grp),
+v AS (SELECT n.grp, n.n_hours, s.s_stat,
+             CAST(n.n_hours * (n.n_hours - 1) * (2 * n.n_hours + 5)
+                  - t.tiesum AS BIGINT) AS var18
+      FROM n JOIN s USING (grp) JOIN ties t USING (grp)),
+z AS (SELECT grp, n_hours, s_stat, var18,
+             round(CASE WHEN var18 <= 0 THEN 0.0
+                        WHEN s_stat > 0 THEN
+                          (s_stat - 1) / sqrt(var18 / 18.0)
+                        WHEN s_stat < 0 THEN
+                          (s_stat + 1) / sqrt(var18 / 18.0)
+                        ELSE 0.0 END, 4) AS z
+      FROM v)
+SELECT grp AS event_type, n_hours, s_stat, var18, z,
+       CASE WHEN z >= 1.96 THEN 'increasing'
+            WHEN z <= -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM z
+""")
+def events_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test (Mann, Econometrica 1945): per event
+    type over the hourly count series, S = Σ sgn(x_j − x_i) with the
+    tie-corrected variance and continuity-corrected z — the
+    nonparametric trend monitor beside events_cusum_peak's level-shift
+    detector.  Pair join over the HOURLY series only (span-bounded,
+    sublinear in events); S/tiesum/18·Var exact longs, one float op
+    in the 4-dp z (operators/relational.py mann_kendall)."""
+    return R.mann_kendall(_t(spark, sf_dir, "events"))
+
+
+@q("events_load_gini", """
+WITH x AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY user_id),
+r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i
+      FROM x),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum(i * x) AS BIGINT) AS ix,
+             CAST(max(x) AS BIGINT) AS mx
+      FROM r)
+SELECT n_keys, total,
+       round((2 * ix - (n_keys + 1) * total)
+             / CAST(n_keys * total AS DOUBLE), 6) AS gini,
+       round(mx / CAST(total AS DOUBLE), 6) AS top_share
+FROM a
+""")
+def events_load_gini(spark, sf_dir):
+    """Per-entity crawl-load concentration — exact Gini coefficient
+    (Gini 1912, rank formula G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx)) over
+    events per entity: the skew statistic that justifies (or retires)
+    the salted per-host scheduler and hot-shard guards at 100 TB.
+    One keyed count agg over the stream, rank + sums over the
+    per-entity table (sublinear window, documented); exact-long
+    numerator/denominator, 6-dp final divisions
+    (operators/relational.py load_gini)."""
+    return R.load_gini(_t(spark, sf_dir, "events"))
+
+
+@q("docs_good_turing", """
+WITH tok AS (SELECT t.t FROM documents,
+             UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) t(t)
+             WHERE t.t <> ''),
+types AS (SELECT t, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY t),
+nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM types GROUP BY r),
+tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS N FROM nr)
+SELECT nr.r, nr.n_r,
+       round(coalesce((nr.r + 1) * nx.n_r / CAST(nr.n_r AS DOUBLE), 0.0),
+             6) AS r_star,
+       round(coalesce((nr.r + 1) * nx.n_r
+                      / CAST(nr.n_r * tot.N AS DOUBLE), 0.0), 8) AS p_gt
+FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, tot
+""")
+def docs_good_turing(spark, sf_dir):
+    """Good–Turing frequency estimation (Good 1953; Gale & Sampson
+    1995 simple GT): the counts-of-counts table with adjusted counts
+    r* = (r+1)·N_{r+1}/N_r and GT probabilities r*/N — the estimator
+    under Katz backoff and the discounting intuition behind the
+    KN-bigram operator.  Two keyed aggs (tokens, then vocabulary) +
+    a self-join of the tiny N_r table on r+1; no window; exact longs
+    until the final 6/8-dp divisions; undefined high-r tail rows
+    (N_{r+1} = 0) emit 0.0, documented in both engines
+    (functions/webtext.py good_turing)."""
+    return W.good_turing(_t(spark, sf_dir, "documents"))
+
+
 @q("events_funnel", """
 WITH v AS (SELECT user_id, min(ts) AS t FROM events
            WHERE event_type = 'view' GROUP BY user_id),
@@ -4480,9 +4580,12 @@ _GATE_FIRST = [
     # positions 25-26: the two r4 driver-red rows, re-gated after their
     # interface fixes (oracle BIGINT casts / codes serialized to string)
     "docs_token_shards", "emb_pq_codes",
-    # positions 27-28: round-5 additions (freshness + traps end-to-end,
-    # the last crawl subsystems without an oracle row)
+    # positions 27-31: round-5 additions (freshness + traps end-to-end
+    # — the last crawl subsystems without an oracle row — plus the
+    # Mann-Kendall trend, Gini load-concentration and Good-Turing
+    # estimators)
     "frontier_freshness_priority", "frontier_trap_filter",
+    "events_mann_kendall", "events_load_gini", "docs_good_turing",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

@@ -118,6 +118,20 @@ CHECKS = {
     # cartesian, no nested loop
     "frontier_freshness_priority": ([], ["Window", "CartesianProduct",
                                          "BroadcastNestedLoopJoin"]),
+    # Mann-Kendall: hourly keyed agg, grp-keyed pair join over the
+    # span-bounded hourly series, keyed tie agg — no window, no
+    # cartesian, no nested loop
+    "events_mann_kendall": ([], ["Window", "CartesianProduct",
+                                 "BroadcastNestedLoopJoin"]),
+    # Gini: one keyed count agg + rank/sums over the per-entity table
+    # (the one Window is the global rank over n_entities rows —
+    # sublinear, documented in-line like the zipf/vocabulary cases)
+    "events_load_gini": ([], ["CartesianProduct",
+                              "BroadcastNestedLoopJoin"]),
+    # Good-Turing: token agg -> vocabulary agg -> tiny N_r self-join;
+    # the single-row total rides a bounded broadcast (the tfidf df-cut
+    # precedent); no window, no cartesian
+    "docs_good_turing": ([], ["Window", "CartesianProduct"]),
     # trap triage: pure in-row parse_url/rlike expressions over the
     # generated frontier — no join at all, no shuffle beyond the range
     # source, no window

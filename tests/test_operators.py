@@ -746,3 +746,73 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     for r in out:
         assert abs(r.jaccard_est - r.jaccard_exact) <= 3 * 0.125
         assert r.agree_n == round(r.jaccard_est * 16)
+
+
+# --------------------------------------------------- Mann-Kendall trend
+def test_mann_kendall_monotone_and_flat_series(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    hr = dt.timedelta(hours=1)
+    rows = []
+    # 'up': strictly increasing hourly counts 1..8 -> S = C(8,2) = 28,
+    # no ties -> var18 = 8*7*21 = 1176, z = 27/sqrt(1176/18)
+    for h in range(8):
+        rows += [("up", T + h * hr)] * (h + 1)
+    # 'flat': constant count 3 over 8 hours -> S = 0 and the tie
+    # correction zeroes the variance entirely -> z = 0, trend none
+    for h in range(8):
+        rows += [("flat", T + h * hr)] * 3
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {r.event_type: r for r in R.mann_kendall(df).collect()}
+    assert out["up"].s_stat == 28 and out["up"].var18 == 1176
+    import math
+    assert out["up"].z == round(27 / math.sqrt(1176 / 18.0), 4)
+    assert out["up"].trend == "increasing"
+    assert out["flat"].s_stat == 0 and out["flat"].var18 == 0
+    assert out["flat"].z == 0.0 and out["flat"].trend == "none"
+
+
+def test_mann_kendall_matches_sequential_twin(spark):
+    import datetime as dt
+    import math
+    T = dt.datetime(2024, 3, 1)
+    hr = dt.timedelta(hours=1)
+    # deterministic pseudo-random hourly counts with ties
+    counts = [(i * 7) % 5 + 1 for i in range(12)]
+    rows = []
+    for h, c in enumerate(counts):
+        rows += [("x", T + h * hr)] * c
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    (r,) = R.mann_kendall(df).collect()
+    s = sum((cj > ci) - (cj < ci)
+            for i, ci in enumerate(counts)
+            for cj in counts[i + 1:])
+    n = len(counts)
+    from collections import Counter
+    ties = sum(t * (t - 1) * (2 * t + 5)
+               for t in Counter(counts).values())
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    z = 0.0 if s == 0 else (s - (1 if s > 0 else -1) * 1) / \
+        math.sqrt(var18 / 18.0)
+    assert r.s_stat == s and r.var18 == var18
+    assert r.z == round(z, 4)
+
+
+# ------------------------------------------------------------ load Gini
+def test_load_gini_uniform_and_extreme(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    uniform = spark.createDataFrame(
+        [(u, T) for u in range(10) for _ in range(4)], ["user_id", "ts"])
+    (g,) = R.load_gini(uniform).collect()
+    assert g.n_keys == 10 and g.total == 40
+    assert g.gini == 0.0 and g.top_share == 0.1
+    # one dominant entity: 91 of 100 events; exact rank-formula value
+    skew = spark.createDataFrame(
+        [(0, T)] * 91 + [(u, T) for u in range(1, 10)], ["user_id", "ts"])
+    (g2,) = R.load_gini(skew).collect()
+    xs = sorted([1] * 9 + [91])
+    n, tot = len(xs), sum(xs)
+    expect = round((2 * sum((i + 1) * x for i, x in enumerate(xs))
+                    - (n + 1) * tot) / (n * tot), 6)
+    assert g2.gini == expect and g2.top_share == 0.91

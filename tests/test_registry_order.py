@@ -25,7 +25,9 @@ NEVER_DRIVER_CHECKED_R4 = (
 
 REGATED_R4_FIXES = ("docs_token_shards", "emb_pq_codes")
 
-ROUND5_ADDITIONS = ("frontier_freshness_priority", "frontier_trap_filter")
+ROUND5_ADDITIONS = ("frontier_freshness_priority", "frontier_trap_filter",
+                    "events_mann_kendall", "events_load_gini",
+                    "docs_good_turing")
 
 
 def test_gate_window_holds_never_driver_checked_queries():
