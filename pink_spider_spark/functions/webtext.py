@@ -2557,3 +2557,87 @@ def good_turing(df: DataFrame, text_col: str = "text",
                         (F.col("r") + 1) * F.col("n_next")
                         / (F.col("n_r") * F.col("N")).cast("double"),
                         F.lit(0.0)), decimals + 2).alias("p_gt")))
+
+
+# ---------------------------------------------------- graph reciprocity
+def reciprocity(edges: DataFrame, src: str = "src",
+                dst: str = "dst", decimals: int = 6) -> DataFrame:
+    """Directed-graph reciprocity (Garlaschelli & Loffredo, PRL 2004):
+    r = L↔/L, the fraction of directed edges whose reverse edge also
+    exists, plus the paper's correlation-corrected
+    ρ = (r − ā)/(1 − ā) with ā = L/(N(N−1)) — the null-model link
+    density.  On a host link graph this is the nepotistic-linking
+    monitor: organic web graphs are weakly reciprocal, while link
+    farms that trade backlinks push r (and ρ) far above the density
+    baseline — a spam-mass companion signal to TrustRank.
+
+    Scale shape: distinct + self-loop drop, one keyed self semi-join
+    for L↔ (reverse-edge membership), two count aggs — no window, no
+    cartesian.  Exactness: N, L, L↔ are exact longs; r, ā, ρ are
+    single divisions rounded at ``decimals`` (ρ NULL when the graph is
+    complete, 1 − ā = 0).
+
+    Returns one row: (n_nodes, n_edges, n_recip, r, rho)."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s") != F.col("d"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("s").alias("v"))
+             .union(e.select("d")).distinct()
+             .agg(F.count("*").cast("long").alias("n_nodes")))
+    rec = e.join(e.select(F.col("d").alias("s"), F.col("s").alias("d")),
+                 ["s", "d"], "left_semi")
+    tot = e.agg(F.count("*").cast("long").alias("n_edges"))
+    nr = rec.agg(F.count("*").cast("long").alias("n_recip"))
+    out = nodes.crossJoin(tot).crossJoin(nr)
+    r = F.col("n_recip") / F.col("n_edges").cast("double")
+    abar = (F.col("n_edges")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"))
+    return out.select(
+        "n_nodes", "n_edges", "n_recip",
+        F.round(r, decimals).alias("r"),
+        F.round(F.when(abar < 1.0, (r - abar) / (F.lit(1.0) - abar)),
+                decimals).alias("rho"))
+
+
+# ------------------------------------------------- Flesch reading ease
+def flesch_reading(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading ease (Flesch, J. Applied Psychology 1948):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) — the
+    oldest readability score still used in corpus quality filtering
+    (a companion to the Gopher/C4 signals: extreme scores flag
+    boilerplate, word salad and OCR junk).  Syllables use the standard
+    regex heuristic — vowel-group runs ``[aeiouy]+`` in the lowered
+    text (whitespace breaks runs, so no cross-word merging) —
+    sentences count ``[.!?]+`` runs floored at 1, words are
+    whitespace tokens.  Pure in-row regexp counts, zero shuffle,
+    pipelines with the scan; the identical regexes run in the oracle.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch 4-dp,
+    band) with the classic bands on the ROUNDED score; empty docs
+    emit NULL flesch/band."""
+    t = F.lower(F.col(text_col))
+    words = F.size(F.filter(F.split(F.trim(t), r"\s+"),
+                            lambda w: w != ""))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    syl = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0)))
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents.cast("double"))
+        - F.lit(84.6) * (syl / words.cast("double")), 4)
+    score = F.when(words > 0, score)
+    band = (F.when(score.isNull(), F.lit(None).cast("string"))
+            .when(score >= 90, F.lit("very_easy"))
+            .when(score >= 70, F.lit("easy"))
+            .when(score >= 50, F.lit("medium"))
+            .when(score >= 30, F.lit("difficult"))
+            .otherwise(F.lit("very_difficult")))
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        score.alias("flesch"), band.alias("band"))

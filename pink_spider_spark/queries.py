@@ -1982,6 +1982,74 @@ FROM a
 """)
 
 
+@q("graph_reciprocity", """
+WITH ids AS (SELECT i FROM generate_series(0, 999) s(i)),
+raw AS (SELECT i AS a, (i + 1) % 1000 AS b FROM ids
+        UNION ALL SELECT i, (i + 2) % 1000 FROM ids
+        UNION ALL SELECT i, (i * 7) % 1000 FROM ids WHERE i % 3 = 0
+        UNION ALL SELECT 0, i FROM ids WHERE i % 5 = 0 AND i <> 0),
+e AS (SELECT DISTINCT a AS s, b AS d FROM raw WHERE a <> b),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+        (SELECT s AS v FROM e UNION SELECT d FROM e)),
+l AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+lr AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM e
+       WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)),
+j AS (SELECT n_nodes, n_edges, n_recip,
+             n_recip / CAST(n_edges AS DOUBLE) AS rr,
+             n_edges / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) AS abar
+      FROM n, l, lr)
+SELECT n_nodes, n_edges, n_recip, round(rr, 6) AS r,
+       round(CASE WHEN abar < 1.0
+                  THEN (rr - abar) / (1.0 - abar) END, 6) AS rho
+FROM j
+""")
+def graph_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity (Garlaschelli & Loffredo, PRL 2004):
+    r = L↔/L over the DIRECTED fixture edge set (pre-symmetrization —
+    the same generator the HyperBall family symmetrizes) plus the
+    correlation-corrected ρ = (r − ā)/(1 − ā) against the link-density
+    null model — the nepotistic-backlink monitor beside TrustRank.
+    One distinct + reverse-edge semi-join + three count aggs; exact
+    longs, 6-dp final divisions (functions/webtext.py reciprocity)."""
+    return W.reciprocity(_hb_fixture_edges(spark))
+
+
+@q("docs_flesch_reading", """
+WITH f AS (SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       w -> w <> '')) AS BIGINT) AS n_words,
+  CAST(greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+       AS BIGINT) AS n_sentences,
+  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+    AS n_syllables
+  FROM documents),
+sc AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+              CASE WHEN n_words > 0 THEN
+                round(206.835
+                      - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                      - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+              END AS flesch
+       FROM f)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+       CASE WHEN flesch IS NULL THEN NULL
+            WHEN flesch >= 90 THEN 'very_easy'
+            WHEN flesch >= 70 THEN 'easy'
+            WHEN flesch >= 50 THEN 'medium'
+            WHEN flesch >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM sc
+""")
+def docs_flesch_reading(spark, sf_dir):
+    """Flesch reading ease (Flesch 1948): 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words) with the vowel-group-run
+    syllable heuristic — the oldest readability score still used in
+    corpus quality filtering, companion to the Gopher/C4 signals.
+    Pure in-row regexp counts, zero shuffle; identical regexes in the
+    oracle; bands on the rounded score
+    (functions/webtext.py flesch_reading)."""
+    return W.flesch_reading(_t(spark, sf_dir, "documents"))
+
+
 @q("graph_assortativity", _ASSORT_SQL)
 def graph_assortativity(spark, sf_dir):
     """Degree assortativity (Newman PRL 2002): the one-number
@@ -4586,6 +4654,7 @@ _GATE_FIRST = [
     # estimators)
     "frontier_freshness_priority", "frontier_trap_filter",
     "events_mann_kendall", "events_load_gini", "docs_good_turing",
+    "graph_reciprocity", "docs_flesch_reading",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

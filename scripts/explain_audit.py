@@ -132,6 +132,15 @@ CHECKS = {
     # the single-row total rides a bounded broadcast (the tfidf df-cut
     # precedent); no window, no cartesian
     "docs_good_turing": ([], ["Window", "CartesianProduct"]),
+    # reciprocity: distinct + reverse-edge semi-join + count aggs; the
+    # three single-row counters combine via bounded 1-row broadcasts
+    # (never a data-sized nested loop); no window
+    "graph_reciprocity": ([], ["Window", "SortMergeJoin"]),
+    # Flesch: pure in-row regexp counts over the pruned scan - no
+    # shuffle at all, no join, no window
+    "docs_flesch_reading": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Join", "Window", "CartesianProduct"]),
     # trap triage: pure in-row parse_url/rlike expressions over the
     # generated frontier — no join at all, no shuffle beyond the range
     # source, no window

@@ -1808,3 +1808,50 @@ def test_good_turing_counts_of_counts_conservation(spark):
     # token type repeats), so N_1 may legitimately be 0 here — the
     # hand fixture above pins the N_1-driven adjustments instead
     assert all(r.n_r > 0 and r.r > 0 for r in rows)
+
+
+# ---------------------------------------------------- graph reciprocity
+def test_reciprocity_hand_graph(spark):
+    # edges {(1,2),(2,1),(1,3)} + a self-loop that must be dropped:
+    # N=3, L=3, L_recip=2 -> r = 2/3; abar = 3/6 = 0.5,
+    # rho = (2/3 - 1/2)/(1 - 1/2) = 1/3
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 3)], ["src", "dst"])
+    (r,) = W.reciprocity(df).collect()
+    assert (r.n_nodes, r.n_edges, r.n_recip) == (3, 3, 2)
+    assert r.r == round(2 / 3, 6) and r.rho == round(1 / 3, 6)
+
+
+def test_reciprocity_complete_graph_rho_null(spark):
+    # a complete 2-node digraph has abar = 1: rho undefined -> NULL,
+    # r = 1.0 (every edge reciprocated)
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    (r,) = W.reciprocity(df).collect()
+    assert r.r == 1.0 and r.rho is None
+
+
+# ------------------------------------------------- Flesch reading ease
+def test_flesch_hand_doc_and_empty(spark):
+    # "the cat sat. the dog ran!" -> 6 words, 2 sentences, 6 vowel
+    # runs -> 206.835 - 1.015*3 - 84.6*1 = 119.19 -> very_easy
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!"), (2, "   ")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in W.flesch_reading(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert r1.flesch == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
+    assert r1.band == "very_easy"
+    assert out[2].flesch is None and out[2].band is None
+
+
+def test_flesch_bands_are_ordered(spark):
+    # a dense polysyllabic doc must score lower than simple prose
+    simple = "the cat sat on the mat. it was fun. we ran and ran."
+    dense = ("incomprehensibility characterizes institutionalized "
+             "overintellectualization; epistemological "
+             "deterritorialization necessitates recontextualization.")
+    df = spark.createDataFrame(
+        [(1, simple), (2, dense)], ["doc_id", "text"])
+    out = {r.doc_id: r.flesch for r in W.flesch_reading(df).collect()}
+    assert out[1] > out[2]
