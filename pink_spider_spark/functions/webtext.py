@@ -2641,3 +2641,60 @@ def flesch_reading(df: DataFrame, text_col: str = "text",
         sents.cast("long").alias("n_sentences"),
         syl.cast("long").alias("n_syllables"),
         score.alias("flesch"), band.alias("band"))
+
+
+# ------------------------------------- log-likelihood-ratio collocations
+def llr_collocations(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_count: int = 5) -> DataFrame:
+    """Collocation extraction by log-likelihood ratio (Dunning, CL 1993,
+    "Accurate Methods for the Statistics of Surprise and Coincidence")
+    — the measure that replaced PMI for SPARSE counts: PMI explodes for
+    rare pairs (a 1-of-1 co-occurrence maxes it out), while Dunning's
+    G² weights evidence by volume, staying χ²-calibrated down to tiny
+    counts.  Over adjacent token pairs with positional marginals:
+    contingency k11 = c(x,y), k12 = row(x)−k11, k21 = col(y)−k11,
+    k22 = N − row − col + k11, and
+        G² = 2·Σ_ij k_ij · ln(k_ij·N / (row_i·col_j)),  0·ln 0 = 0.
+
+    Scale shape mirrors ``pmi_collocations``: in-row bigram derivation,
+    token-keyed linear aggs (marginals over the UNCUT bigram table —
+    the cut applies only to emitted pairs), vocab-level joins, 1-row
+    broadcast total; no window, no cartesian.  Determinism: every cell
+    and product is an exact long; ln appears only inside the single
+    G² chain, summed in pinned cell order and rounded 4 dp — the
+    repo's transcendental-absorption contract (no ranking rides the
+    float: all pairs ≥ min_count are emitted, order-insensitive)."""
+    tk = X.tokens(F.lower(F.col(text_col)))
+    m = F.size(tk)
+    d = fan_out(df.select(id_col, text_col))
+    bi = (d.select(F.explode(F.when(m >= 2, F.arrays_zip(
+        F.slice(tk, 1, m - 1), F.slice(tk, 2, m - 1)))).alias("bg"))
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False))
+    rowm = bi.groupBy("w1").agg(F.sum("c2").alias("r1"))
+    colm = bi.groupBy("w2").agg(F.sum("c2").alias("r2"))
+    nn = bi.agg(F.sum("c2").alias("nn"))
+    k11 = F.col("c2")
+    k12 = F.col("r1") - k11
+    k21 = F.col("r2") - k11
+    k22 = F.col("nn") - F.col("r1") - F.col("r2") + k11
+
+    def term(k, row, col):
+        return F.when(
+            k > 0,
+            k.cast("double") * F.log(
+                (k * F.col("nn")).cast("double")
+                / (row * col).cast("double"))).otherwise(F.lit(0.0))
+
+    llr = F.round(F.lit(2.0) * (
+        term(k11, F.col("r1"), F.col("r2"))
+        + term(k12, F.col("r1"), F.col("nn") - F.col("r2"))
+        + term(k21, F.col("nn") - F.col("r1"), F.col("r2"))
+        + term(k22, F.col("nn") - F.col("r1"),
+               F.col("nn") - F.col("r2"))), 4)
+    return (bi.where(F.col("c2") >= min_count)
+            .join(rowm, "w1").join(colm, "w2")
+            .crossJoin(F.broadcast(nn))
+            .select("w1", "w2", "c2", llr.alias("llr")))

@@ -2749,6 +2749,46 @@ def docs_pmi_collocations(spark, sf_dir):
     return W.pmi_collocations(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_llr_collocations", """
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+bi AS (SELECT tk[s.i] AS w1, tk[s.i + 1] AS w2,
+              CAST(count(*) AS BIGINT) AS c2
+       FROM t, UNNEST(range(1, len(tk))) s(i)
+       GROUP BY tk[s.i], tk[s.i + 1]),
+rm AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS r1 FROM bi GROUP BY w1),
+cm AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS r2 FROM bi GROUP BY w2),
+nt AS (SELECT CAST(sum(c2) AS BIGINT) AS nn FROM bi),
+sc AS (SELECT b.w1, b.w2, b.c2, rm.r1, cm.r2, nt.nn
+       FROM bi b JOIN rm ON b.w1 = rm.w1 JOIN cm ON b.w2 = cm.w2, nt
+       WHERE b.c2 >= 5)
+SELECT w1, w2, c2,
+  round(2.0 * (
+    (CASE WHEN c2 > 0 THEN c2 * ln((c2 * nn)::DOUBLE
+                                   / (r1 * r2)::DOUBLE) ELSE 0.0 END)
+    + (CASE WHEN r1 - c2 > 0 THEN (r1 - c2)
+         * ln(((r1 - c2) * nn)::DOUBLE
+              / (r1 * (nn - r2))::DOUBLE) ELSE 0.0 END)
+    + (CASE WHEN r2 - c2 > 0 THEN (r2 - c2)
+         * ln(((r2 - c2) * nn)::DOUBLE
+              / ((nn - r1) * r2)::DOUBLE) ELSE 0.0 END)
+    + (CASE WHEN nn - r1 - r2 + c2 > 0 THEN (nn - r1 - r2 + c2)
+         * ln(((nn - r1 - r2 + c2) * nn)::DOUBLE
+              / ((nn - r1) * (nn - r2))::DOUBLE) ELSE 0.0 END)), 4)
+    AS llr
+FROM sc
+""")
+def docs_llr_collocations(spark, sf_dir):
+    """Collocations by Dunning's log-likelihood ratio (CL 1993) — the
+    sparse-count-robust replacement for PMI: G² over the 2×2 bigram
+    contingency table with positional marginals computed on the UNCUT
+    bigram counts, pairs emitted at min-count 5.  Exact-long cells and
+    products; ln only inside the single pinned G² chain, 4-dp, no
+    ranking on the float (functions/webtext.py llr_collocations)."""
+    return W.llr_collocations(_t(spark, sf_dir, "documents"))
+
+
 @q("docs_temperature_sample", """
 WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
              FROM documents GROUP BY lang),
@@ -4654,7 +4694,7 @@ _GATE_FIRST = [
     # estimators)
     "frontier_freshness_priority", "frontier_trap_filter",
     "events_mann_kendall", "events_load_gini", "docs_good_turing",
-    "graph_reciprocity", "docs_flesch_reading",
+    "graph_reciprocity", "docs_flesch_reading", "docs_llr_collocations",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

@@ -132,6 +132,10 @@ CHECKS = {
     # the single-row total rides a bounded broadcast (the tfidf df-cut
     # precedent); no window, no cartesian
     "docs_good_turing": ([], ["Window", "CartesianProduct"]),
+    # Dunning LLR: same shape as PMI — in-row bigrams, token-keyed
+    # aggs, vocab-level marginal joins, 1-row broadcast total; no
+    # window, no cartesian
+    "docs_llr_collocations": ([], ["Window", "CartesianProduct"]),
     # reciprocity: distinct + reverse-edge semi-join + count aggs; the
     # three single-row counters combine via bounded 1-row broadcasts
     # (never a data-sized nested loop); no window

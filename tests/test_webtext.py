@@ -1855,3 +1855,56 @@ def test_flesch_bands_are_ordered(spark):
         [(1, simple), (2, dense)], ["doc_id", "text"])
     out = {r.doc_id: r.flesch for r in W.flesch_reading(df).collect()}
     assert out[1] > out[2]
+
+
+# ----------------------------------------- Dunning LLR collocations
+def test_llr_hand_value_and_independence_zero(spark):
+    import math
+    # "x y x y x y": bigrams (x,y):3 (y,x):2, N=5; for (x,y):
+    # k=(3,0,0,2) -> G2 = 2*(3 ln(15/9) + 2 ln(10/4))
+    df = spark.createDataFrame([(1, "x y x y x y")], ["doc_id", "text"])
+    out = {(r.w1, r.w2): r.llr
+           for r in W.llr_collocations(df, min_count=1).collect()}
+    expect = round(2 * (3 * math.log(15 / 9) + 2 * math.log(10 / 4)), 4)
+    assert out[("x", "y")] == expect
+    # perfectly independent 2x2 (all cells 1): observed == expected
+    # under independence -> G2 exactly 0 for every pair
+    df2 = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "d b"), (4, "d c")],
+        ["doc_id", "text"])
+    out2 = {(r.w1, r.w2): r.llr
+            for r in W.llr_collocations(df2, min_count=1).collect()}
+    assert set(out2.values()) == {0.0}
+
+
+def test_llr_matches_python_twin_on_corpus(spark):
+    import math
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r.w1, r.w2): (r.c2, r.llr)
+           for r in W.llr_collocations(docs, min_count=5).collect()}
+    # sequential twin
+    from collections import Counter
+    bi = Counter()
+    for row in docs.select("text").collect():
+        tk = row.text.strip().lower().split()
+        for a, b in zip(tk, tk[1:]):
+            bi[(a, b)] += 1
+    rm, cm = Counter(), Counter()
+    for (a, b), c in bi.items():
+        rm[a] += c
+        cm[b] += c
+    nn = sum(bi.values())
+
+    def t(k, row, col):
+        return k * math.log(k * nn / (row * col)) if k > 0 else 0.0
+    twin = {}
+    for (a, b), c in bi.items():
+        if c >= 5:
+            g2 = 2 * (t(c, rm[a], cm[b]) + t(rm[a] - c, rm[a], nn - cm[b])
+                      + t(cm[b] - c, nn - rm[a], cm[b])
+                      + t(nn - rm[a] - cm[b] + c, nn - rm[a], nn - cm[b]))
+            twin[(a, b)] = (c, round(g2, 4))
+    assert set(got) == set(twin) and len(got) > 0
+    for k in got:
+        assert got[k][0] == twin[k][0]
+        assert abs(got[k][1] - twin[k][1]) <= 0.0002, (k, got[k], twin[k])
