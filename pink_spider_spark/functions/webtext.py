@@ -2698,3 +2698,40 @@ def llr_collocations(df: DataFrame, text_col: str = "text",
             .join(rowm, "w1").join(colm, "w2")
             .crossJoin(F.broadcast(nn))
             .select("w1", "w2", "c2", llr.alias("llr")))
+
+
+# ------------------------------------------------- term burstiness
+def term_burstiness(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_cf: int = 10) -> DataFrame:
+    """Term burstiness / adaptation (Church & Gale 1995, "Poisson
+    mixtures"; Church 2000, "Empirical estimates of adaptation: the
+    chance of two Noriegas is closer to p/2 than p²") — the statistic
+    separating CONTENT words from function words without any stopword
+    list: content words are bursty (having appeared once in a
+    document, they tend to repeat), function words scatter ~Poisson.
+    Per term: collection frequency cf, document frequency df, the
+    burst ratio cf/df (mean occurrences per containing document), and
+    Church's adaptation p₂ = P(k ≥ 2 | k ≥ 1) = df₂/df — the "two
+    Noriegas" probability, far above the Poisson prediction for topic
+    words.  Corpus curation reads this to build data-driven stopword
+    lists and keyword weights at 100 TB.
+
+    Scale shape: one (doc, term)-keyed count agg, one term-keyed agg —
+    both linear with map-side combine; output is vocabulary-sized.
+    Exactness: cf, df, df₂ exact longs; burst and p₂ single 4-dp
+    divisions."""
+    tok = (df.select(F.col(id_col).alias("d"), F.explode(
+        X.tokens(F.lower(F.col(text_col)))).alias("w")))
+    per_doc = tok.groupBy("d", "w").agg(F.count("*").alias("k"))
+    return (per_doc.groupBy("w")
+            .agg(F.sum("k").cast("long").alias("cf"),
+                 F.count("*").cast("long").alias("df"),
+                 F.sum(F.when(F.col("k") >= 2, 1).otherwise(0))
+                 .cast("long").alias("df2"))
+            .where(F.col("cf") >= min_cf)
+            .select(F.col("w").alias("term"), "cf", "df", "df2",
+                    F.round(F.col("cf") / F.col("df").cast("double"), 4)
+                    .alias("burst"),
+                    F.round(F.col("df2") / F.col("df").cast("double"), 4)
+                    .alias("p2")))

@@ -424,3 +424,50 @@ def load_gini(events: DataFrame, key_col: str = "user_id") -> DataFrame:
                         6).alias("gini"),
                 F.round(F.col("mx") / F.col("total").cast("double"), 6)
                 .alias("top_share")))
+
+
+def ab_ztest(events: DataFrame, user_col: str = "user_id",
+             type_col: str = "event_type",
+             convert_type: str = "purchase") -> DataFrame:
+    """Two-proportion z-test (the pooled-variance test of Fleiss,
+    Levin & Paik, "Statistical Methods for Rates and Proportions") —
+    the experimentation primitive a crawl/ranking team runs on every
+    policy change: entities split into two deterministic variants
+    (``hash-parity of the id``, the standard bucketing), conversion =
+    the entity ever emitted ``convert_type``, and
+        z = (p̂₁ − p̂₂) / √( p̂(1−p̂)(1/n₁ + 1/n₂) ),
+    with p̂ the pooled rate.  |z| ≥ 1.96 rejects equal rates at the
+    two-sided 5% level.
+
+    Scale shape: one entity-keyed agg over the stream (max-if), one
+    2-row group agg, one 1-row combine — nothing bigger than the
+    variant table ever shuffles.  Exactness: counts exact longs; the
+    rates and z are one pinned float chain rounded 4 dp.
+
+    Returns one row: (n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+    z, significant)."""
+    per = (events.groupBy(F.col(user_col).alias("u"))
+           .agg(F.max(F.when(F.col(type_col) == convert_type, 1)
+                      .otherwise(0)).alias("conv"))
+           .select((F.pmod(F.col("u"), F.lit(2))).alias("v"), "conv"))
+    g = (per.groupBy("v")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("conv").cast("long").alias("c")))
+    a = g.where(F.col("v") == 0).select(F.col("n").alias("n_a"),
+                                        F.col("c").alias("conv_a"))
+    b = g.where(F.col("v") == 1).select(F.col("n").alias("n_b"),
+                                        F.col("c").alias("conv_b"))
+    out = a.crossJoin(b)
+    p1 = F.col("conv_a") / F.col("n_a").cast("double")
+    p2 = F.col("conv_b") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")) \
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    se = F.sqrt(pp * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n_a")
+                   + F.lit(1.0) / F.col("n_b")))
+    z = F.round(F.when(se > 0, (p1 - p2) / se).otherwise(F.lit(0.0)), 4)
+    return out.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(p1, 6).alias("rate_a"), F.round(p2, 6).alias("rate_b"),
+        z.alias("z"),
+        (F.abs(z) >= 1.96).alias("significant"))

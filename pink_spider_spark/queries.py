@@ -3337,6 +3337,71 @@ def docs_good_turing(spark, sf_dir):
     return W.good_turing(_t(spark, sf_dir, "documents"))
 
 
+@q("events_ab_ztest", """
+WITH per AS (SELECT user_id % 2 AS v,
+                    CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS conv
+             FROM events GROUP BY user_id),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c FROM per GROUP BY v),
+ab AS (SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+       FROM (SELECT n, c FROM g WHERE v = 0) a,
+            (SELECT n, c FROM g WHERE v = 1) b),
+sc AS (SELECT n_a, conv_a, n_b, conv_b,
+              conv_a / CAST(n_a AS DOUBLE) AS p1,
+              conv_b / CAST(n_b AS DOUBLE) AS p2,
+              (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pp
+       FROM ab),
+z AS (SELECT n_a, conv_a, n_b, conv_b, p1, p2,
+             sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se
+      FROM sc)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
+       round(CASE WHEN se > 0 THEN (p1 - p2) / se ELSE 0.0 END, 4) AS z,
+       (abs(round(CASE WHEN se > 0 THEN (p1 - p2) / se
+                       ELSE 0.0 END, 4)) >= 1.96) AS significant
+FROM z
+""")
+def events_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test (Fleiss, Levin & Paik) — the
+    experimentation primitive for crawl/ranking policy changes:
+    entities bucketed by id parity, conversion = ever purchased,
+    pooled-variance z with the 5% two-sided significance flag.  One
+    entity-keyed agg, one 2-row agg, one 1-row combine; exact-long
+    counts, single pinned float chain at 4 dp
+    (operators/relational.py ab_ztest)."""
+    return R.ab_ztest(_t(spark, sf_dir, "events"))
+
+
+@q("docs_term_burstiness", """
+WITH tok AS (SELECT doc_id AS d, u.w
+             FROM (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)),
+                                                '\\s+') AS tk
+                   FROM documents), UNNEST(tk) u(w)),
+pd AS (SELECT d, w, CAST(count(*) AS BIGINT) AS k
+       FROM tok GROUP BY d, w),
+t AS (SELECT w, CAST(sum(k) AS BIGINT) AS cf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+      FROM pd GROUP BY w)
+SELECT w AS term, cf, df, df2,
+       round(cf / CAST(df AS DOUBLE), 4) AS burst,
+       round(df2 / CAST(df AS DOUBLE), 4) AS p2
+FROM t WHERE cf >= 10
+""")
+def docs_term_burstiness(spark, sf_dir):
+    """Term burstiness / adaptation (Church & Gale 1995 Poisson
+    mixtures; Church 2000 "two Noriegas"): per-term collection vs
+    document frequency, burst ratio cf/df, and adaptation
+    p₂ = P(k≥2 | k≥1) — the content-vs-function-word separator that
+    builds data-driven stopword lists without a list.  Two linear
+    keyed aggs, vocabulary-sized output, exact-long counters, 4-dp
+    divisions (functions/webtext.py term_burstiness)."""
+    return W.term_burstiness(_t(spark, sf_dir, "documents"))
+
+
 @q("events_funnel", """
 WITH v AS (SELECT user_id, min(ts) AS t FROM events
            WHERE event_type = 'view' GROUP BY user_id),
@@ -4695,6 +4760,7 @@ _GATE_FIRST = [
     "frontier_freshness_priority", "frontier_trap_filter",
     "events_mann_kendall", "events_load_gini", "docs_good_turing",
     "graph_reciprocity", "docs_flesch_reading", "docs_llr_collocations",
+    "events_ab_ztest", "docs_term_burstiness",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

@@ -132,6 +132,14 @@ CHECKS = {
     # the single-row total rides a bounded broadcast (the tfidf df-cut
     # precedent); no window, no cartesian
     "docs_good_turing": ([], ["Window", "CartesianProduct"]),
+    # A/B z-test: entity-keyed agg -> 2-row variant agg -> 1-row
+    # combine; the cross join is the bounded 2x1-row combine, never a
+    # data-sized pairing; no window
+    "events_ab_ztest": ([], ["Window", "SortMergeJoin"]),
+    # burstiness: two linear keyed aggs, vocabulary-sized output — no
+    # join at all, no window, no cartesian
+    "docs_term_burstiness": (["HashAggregate"],
+                             ["Join", "Window", "CartesianProduct"]),
     # Dunning LLR: same shape as PMI — in-row bigrams, token-keyed
     # aggs, vocab-level marginal joins, 1-row broadcast total; no
     # window, no cartesian

@@ -816,3 +816,38 @@ def test_load_gini_uniform_and_extreme(spark):
     expect = round((2 * sum((i + 1) * x for i, x in enumerate(xs))
                     - (n + 1) * tot) / (n * tot), 6)
     assert g2.gini == expect and g2.top_share == 0.91
+
+
+# --------------------------------------------------- two-proportion z
+def test_ab_ztest_hand_values(spark):
+    import datetime as dt
+    import math
+    T = dt.datetime(2024, 3, 1)
+    # variant 0 (even ids): 10 users, 8 convert; variant 1: 10 users,
+    # 2 convert -> p1=.8 p2=.2 pp=.5, se=sqrt(.25*.2), z=3/sqrt(.05)
+    rows = []
+    for u in range(20):
+        rows.append((u, "view", T))
+        conv = (u % 2 == 0 and u < 16) or (u % 2 == 1 and u < 4)
+        if conv:
+            rows.append((u, "purchase", T))
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    (r,) = R.ab_ztest(df).collect()
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (10, 8, 10, 2)
+    assert r.rate_a == 0.8 and r.rate_b == 0.2
+    assert r.z == round(0.6 / math.sqrt(0.5 * 0.5 * 0.2), 4)
+    assert r.significant is True
+
+
+def test_ab_ztest_no_difference_not_significant(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    rows = []
+    for u in range(40):
+        rows.append((u, "view", T))
+        if u % 4 in (0, 1):  # 50% conversion in BOTH parities
+            rows.append((u, "purchase", T))
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    (r,) = R.ab_ztest(df).collect()
+    assert r.rate_a == r.rate_b == 0.5
+    assert r.z == 0.0 and r.significant is False

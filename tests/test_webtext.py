@@ -1908,3 +1908,21 @@ def test_llr_matches_python_twin_on_corpus(spark):
     for k in got:
         assert got[k][0] == twin[k][0]
         assert abs(got[k][1] - twin[k][1]) <= 0.0002, (k, got[k], twin[k])
+
+
+# ------------------------------------------------- term burstiness
+def test_burstiness_content_vs_function_words(spark):
+    # 'noriega' repeats within its docs (bursty content word);
+    # 'the' appears once per doc (scattered function word)
+    docs = [(i, "the noriega noriega noriega story %d" % i)
+            for i in range(5)]
+    docs += [(10 + i, "the plain sentence number %d" % i)
+             for i in range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.term: r for r in
+           W.term_burstiness(df, min_cf=3).collect()}
+    nor, the = out["noriega"], out["the"]
+    assert (nor.cf, nor.df, nor.df2) == (15, 5, 5)
+    assert nor.burst == 3.0 and nor.p2 == 1.0
+    assert (the.cf, the.df, the.df2) == (10, 10, 0)
+    assert the.burst == 1.0 and the.p2 == 0.0
