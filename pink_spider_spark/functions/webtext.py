@@ -2735,3 +2735,46 @@ def term_burstiness(df: DataFrame, text_col: str = "text",
                     .alias("burst"),
                     F.round(F.col("df2") / F.col("df").cast("double"), 4)
                     .alias("p2")))
+
+
+# -------------------------------------------- per-source KL divergence
+def source_kl(df: DataFrame, text_col: str = "text",
+              group_col: str = "source", decimals: int = 4) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus mixture
+    (Kullback & Leibler, Ann. Math. Stat. 1951) — the data-mixture
+    diagnostic behind DoReMi-style reweighting and the DSIR importance
+    weights above: KL(P_s ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))
+    per source s.  A source far from the mixture dominates or starves
+    the blend; this is the one-number drift monitor a 100 TB pipeline
+    tracks per ingest batch.  Always finite here: the corpus
+    distribution contains every source's vocabulary by construction.
+
+    Scale shape: (source, token) and token keyed aggs (vocab-level,
+    sublinear), one bounded broadcast of corpus totals — no window.
+    Determinism: each term p_s·ln(p_s/p_c) is ONE pinned double chain
+    micro-integerized at 1e9 (the nb_classify idiom), so the per-source
+    sum is an order-free exact long; one final division reported at
+    ``decimals`` dp.
+
+    Returns (source, n_tokens, vocab, kl)."""
+    tok = (df.select(F.col(group_col).alias("s"), F.explode(
+        X.tokens(F.lower(F.col(text_col)))).alias("w")))
+    sw = tok.groupBy("s", "w").agg(F.count("*").alias("c_sw"))
+    ns = sw.groupBy("s").agg(F.sum("c_sw").alias("n_s"),
+                             F.count("*").cast("long").alias("vocab"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    nn = cw.agg(F.sum("c_w").alias("nn"))
+    term9 = F.round(
+        (F.col("c_sw") / F.col("n_s").cast("double"))
+        * F.log((F.col("c_sw") * F.col("nn")).cast("double")
+                / (F.col("c_w") * F.col("n_s")).cast("double"))
+        * F.lit(1e9)).cast("long")
+    return (sw.join(ns, "s").join(cw, "w")
+            .crossJoin(F.broadcast(nn))
+            .groupBy("s")
+            .agg(F.max("n_s").cast("long").alias("n_tokens"),
+                 F.max("vocab").alias("vocab"),
+                 F.sum(term9).alias("__k9"))
+            .select(F.col("s").alias(group_col), "n_tokens", "vocab",
+                    F.round(F.col("__k9").cast("double") / F.lit(1e9),
+                            decimals).alias("kl")))

@@ -471,3 +471,50 @@ def ab_ztest(events: DataFrame, user_col: str = "user_id",
         F.round(p1, 6).alias("rate_a"), F.round(p2, 6).alias("rate_b"),
         z.alias("z"),
         (F.abs(z) >= 1.96).alias("significant"))
+
+
+def assoc_rules(events: DataFrame, user_col: str = "user_id",
+                item_col: str = "event_type",
+                min_pair: int = 5) -> DataFrame:
+    """Single-item association rules (Agrawal, Imieliński & Swami,
+    SIGMOD 1993): over per-entity ITEM SETS (distinct event types per
+    user — the market-basket of behavioral mining), every ordered rule
+    a→b with support = n_ab/n, confidence = n_ab/n_a and
+    lift = confidence/(n_b/n).  Lift > 1 is genuine association,
+    < 1 is repulsion — the signal behind "users who sign up also
+    purchase" dashboards and crawl-behavior correlation.
+
+    Scale shape: one distinct (entity, item) projection, item counts,
+    a user-keyed self-join bounded by (items/user)² — itemsets are
+    tiny (≤ event-type cardinality) so the join is linear in entities
+    — and one bounded 1-row total broadcast.  Exact-long counts;
+    support/confidence/lift single 6-dp divisions.
+
+    Returns (ant, cons, n_ab, support, confidence, lift) for pairs
+    with n_ab ≥ ``min_pair``."""
+    ui = (events.select(F.col(user_col).alias("u"),
+                        F.col(item_col).alias("i")).distinct()
+          .localCheckpoint(eager=False))
+    n_users = ui.select("u").distinct() \
+        .agg(F.count("*").cast("long").alias("n"))
+    per_item = ui.groupBy("i").agg(F.count("*").cast("long").alias("ni"))
+    pairs = (ui.join(ui.select(F.col("u").alias("u"),
+                               F.col("i").alias("j")), "u")
+             .where(F.col("i") != F.col("j"))
+             .groupBy("i", "j")
+             .agg(F.count("*").cast("long").alias("n_ab"))
+             .where(F.col("n_ab") >= min_pair))
+    out = (pairs
+           .join(per_item.select(F.col("i"), F.col("ni").alias("n_a")),
+                 "i")
+           .join(per_item.select(F.col("i").alias("j"),
+                                 F.col("ni").alias("n_b")), "j")
+           .crossJoin(F.broadcast(n_users)))
+    conf = F.col("n_ab") / F.col("n_a").cast("double")
+    return out.select(
+        F.col("i").alias("ant"), F.col("j").alias("cons"), "n_ab",
+        F.round(F.col("n_ab") / F.col("n").cast("double"), 6)
+        .alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / (F.col("n_b") / F.col("n").cast("double")), 6)
+        .alias("lift"))

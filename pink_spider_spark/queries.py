@@ -3337,6 +3337,64 @@ def docs_good_turing(spark, sf_dir):
     return W.good_turing(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_source_kl", """
+WITH tok AS (SELECT source AS s, u.w
+             FROM (SELECT source,
+                          regexp_split_to_array(trim(lower(text)),
+                                                '\\s+') AS tk
+                   FROM documents), UNNEST(tk) u(w)),
+sw AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c_sw
+       FROM tok GROUP BY s, w),
+ns AS (SELECT s, CAST(sum(c_sw) AS BIGINT) AS n_s,
+              CAST(count(*) AS BIGINT) AS vocab FROM sw GROUP BY s),
+cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS nn FROM cw),
+t9 AS (SELECT sw.s, ns.n_s, ns.vocab,
+              CAST(round((sw.c_sw / CAST(ns.n_s AS DOUBLE))
+                   * ln((sw.c_sw * nt.nn)::DOUBLE
+                        / (cw.c_w * ns.n_s)::DOUBLE) * 1e9) AS BIGINT)
+                AS k9
+       FROM sw JOIN ns USING (s) JOIN cw USING (w), nt)
+SELECT s AS source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       CAST(max(vocab) AS BIGINT) AS vocab,
+       round(CAST(sum(k9) AS DOUBLE) / 1e9, 4) AS kl
+FROM t9 GROUP BY s
+""")
+def docs_source_kl(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus mixture
+    (Kullback & Leibler 1951) — the drift/mixture diagnostic behind
+    DoReMi-style reweighting and the DSIR weights: KL(P_s ‖ P_corpus)
+    per source, always finite (the mixture contains every source's
+    vocabulary).  Vocab-level keyed aggs; each term one pinned double
+    chain micro-integerized at 1e9 (nb_classify idiom) so the sum is
+    an order-free exact long (functions/webtext.py source_kl)."""
+    return W.source_kl(_t(spark, sf_dir, "documents"))
+
+
+@q("events_assoc_rules", """
+WITH ui AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ui),
+pi AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM ui GROUP BY i),
+pr AS (SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n_ab
+       FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+       GROUP BY a.i, b.i HAVING count(*) >= 5)
+SELECT pr.i AS ant, pr.j AS cons, pr.n_ab,
+       round(pr.n_ab / CAST(n.n AS DOUBLE), 6) AS support,
+       round(pr.n_ab / CAST(pa.ni AS DOUBLE), 6) AS confidence,
+       round((pr.n_ab / CAST(pa.ni AS DOUBLE))
+             / (pb.ni / CAST(n.n AS DOUBLE)), 6) AS lift
+FROM pr JOIN pi pa ON pa.i = pr.i JOIN pi pb ON pb.i = pr.j, n
+""")
+def events_assoc_rules(spark, sf_dir):
+    """Single-item association rules (Agrawal, Imieliński & Swami,
+    SIGMOD 1993) over per-entity event-type itemsets: every ordered
+    rule a→b with support, confidence and lift — market-basket mining
+    as one distinct projection + item counts + a user-keyed self-join
+    bounded by the tiny per-user itemset; exact-long counts, 6-dp
+    divisions (operators/relational.py assoc_rules)."""
+    return R.assoc_rules(_t(spark, sf_dir, "events"))
+
+
 @q("events_ab_ztest", """
 WITH per AS (SELECT user_id % 2 AS v,
                     CAST(max(CASE WHEN event_type = 'purchase' THEN 1
@@ -4760,7 +4818,8 @@ _GATE_FIRST = [
     "frontier_freshness_priority", "frontier_trap_filter",
     "events_mann_kendall", "events_load_gini", "docs_good_turing",
     "graph_reciprocity", "docs_flesch_reading", "docs_llr_collocations",
-    "events_ab_ztest", "docs_term_burstiness",
+    "events_ab_ztest", "docs_term_burstiness", "docs_source_kl",
+    "events_assoc_rules",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

@@ -132,6 +132,14 @@ CHECKS = {
     # the single-row total rides a bounded broadcast (the tfidf df-cut
     # precedent); no window, no cartesian
     "docs_good_turing": ([], ["Window", "CartesianProduct"]),
+    # source KL: vocab-level keyed aggs + bounded 1-row total
+    # broadcast; terms micro-integerized so the sum is order-free; no
+    # window, no cartesian
+    "docs_source_kl": ([], ["Window", "CartesianProduct"]),
+    # association rules: distinct projection + user-keyed self-join
+    # bounded by the tiny per-user itemset + bounded 1-row total; no
+    # window, no cartesian
+    "events_assoc_rules": ([], ["Window", "CartesianProduct"]),
     # A/B z-test: entity-keyed agg -> 2-row variant agg -> 1-row
     # combine; the cross join is the bounded 2x1-row combine, never a
     # data-sized pairing; no window

@@ -851,3 +851,28 @@ def test_ab_ztest_no_difference_not_significant(spark):
     (r,) = R.ab_ztest(df).collect()
     assert r.rate_a == r.rate_b == 0.5
     assert r.z == 0.0 and r.significant is False
+
+
+# ------------------------------------------------- association rules
+def test_assoc_rules_hand_values(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    rows = []
+    # 10 users: all 10 view; users 0-7 purchase; users 0-3 signup
+    for u in range(10):
+        rows.append((u, "view", T))
+        if u < 8:
+            rows.append((u, "purchase", T))
+        if u < 4:
+            rows.append((u, "signup", T))
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {(r.ant, r.cons): r
+           for r in R.assoc_rules(df, min_pair=1).collect()}
+    r = out[("signup", "purchase")]
+    # all 4 signup users purchased: confidence 1.0, lift 1/(8/10)=1.25
+    assert r.n_ab == 4 and r.confidence == 1.0
+    assert r.support == 0.4 and r.lift == 1.25
+    r2 = out[("purchase", "signup")]
+    assert r2.confidence == 0.5 and r2.lift == 1.25
+    # view is universal: lift of anything -> view is exactly 1.0
+    assert out[("purchase", "view")].lift == 1.0

@@ -29,7 +29,8 @@ ROUND5_ADDITIONS = ("frontier_freshness_priority", "frontier_trap_filter",
                     "events_mann_kendall", "events_load_gini",
                     "docs_good_turing", "graph_reciprocity",
                     "docs_flesch_reading", "docs_llr_collocations",
-                    "events_ab_ztest", "docs_term_burstiness")
+                    "events_ab_ztest", "docs_term_burstiness",
+                    "docs_source_kl", "events_assoc_rules")
 
 
 def test_gate_window_holds_never_driver_checked_queries():

@@ -1926,3 +1926,36 @@ def test_burstiness_content_vs_function_words(spark):
     assert nor.burst == 3.0 and nor.p2 == 1.0
     assert (the.cf, the.df, the.df2) == (10, 10, 0)
     assert the.burst == 1.0 and the.p2 == 0.0
+
+
+# ---------------------------------------------- per-source KL divergence
+def test_source_kl_identical_source_is_zero_and_skew_positive(spark):
+    # a source with the corpus-average distribution has KL ~ 0; a
+    # skewed source diverges positively (Gibbs' inequality)
+    rows = [(i, "alpha beta gamma delta", "s_avg") for i in range(4)]
+    rows += [(10 + i, "alpha alpha alpha alpha", "s_skew")
+             for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in W.source_kl(df).collect()}
+    assert out["s_skew"].kl > out["s_avg"].kl >= 0.0
+    assert out["s_skew"].vocab == 1 and out["s_avg"].vocab == 4
+
+
+def test_source_kl_matches_sequential_twin(spark):
+    import math
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.source: r.kl for r in W.source_kl(docs).collect()}
+    from collections import Counter
+    per, tot = {}, Counter()
+    for row in docs.select("source", "text").collect():
+        c = per.setdefault(row.source, Counter())
+        for w in row.text.strip().lower().split():
+            c[w] += 1
+            tot[w] += 1
+    nn = sum(tot.values())
+    for s, c in per.items():
+        n_s = sum(c.values())
+        k9 = sum(round((cw / n_s) * math.log((cw * nn) / (tot[w] * n_s))
+                       * 1e9)
+                 for w, cw in c.items())
+        assert got[s] == round(k9 / 1e9, 4), s
