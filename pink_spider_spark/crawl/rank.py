@@ -448,3 +448,57 @@ def salsa(edges: DataFrame, iters: int = 2,
                     .alias("auth8"),
                     F.coalesce(F.col("h8"), F.lit(0)).cast("long")
                     .alias("hub8")))
+
+
+def rank_agreement_tau(ra: DataFrame, rb: DataFrame,
+                       node_col: str = "node",
+                       rank_col: str = "rank") -> DataFrame:
+    """Kendall τ-b rank agreement (Kendall, Biometrika 1938; the tie-
+    corrected τ-b form) between two frontier priority policies — the
+    audit a crawl operator runs before swapping ranking functions
+    (PageRank → OPIC → harmonic): how much does the fetch ORDER
+    actually change?  τ-b = (C − D) / √((n₀−t_a)(n₀−t_b)) over all
+    node pairs, with C/D the concordant/discordant counts and
+    t_a/t_b the within-policy tie-pair counts, n₀ = n(n−1)/2.
+
+    Scale shape: inner-join the two score tables on node, then ONE
+    self pair-join u < v — quadratic in the NODE count, the policy
+    table, not the corpus (the same sublinearity class as the
+    Mann-Kendall hourly pairs; for 10^8-host tables, sample nodes
+    first — the estimate converges at √n).  Exactness: scores are the
+    engines' pinned 8-dp ranks; C, D and the tie counts are exact
+    longs from sign comparisons; τ-b is one float chain rounded 4 dp.
+
+    Returns one row: (n_nodes, concordant, discordant, tau_b)."""
+    a = ra.select(F.col(node_col).alias("n"),
+                  F.col(rank_col).alias("sa"))
+    b = rb.select(F.col(node_col).alias("n"),
+                  F.col(rank_col).alias("sb"))
+    j = a.join(b, "n").localCheckpoint(eager=False)
+    l = j.select(F.col("n").alias("u"), F.col("sa").alias("ua"),
+                 F.col("sb").alias("ub"))
+    r = j.select(F.col("n").alias("v"), F.col("sa").alias("va"),
+                 F.col("sb").alias("vb"))
+    pairs = (l.crossJoin(r).where(F.col("u") < F.col("v"))
+             .select(
+                 F.signum(F.col("ua") - F.col("va")).alias("da"),
+                 F.signum(F.col("ub") - F.col("vb")).alias("db")))
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(F.when((F.col("da") * F.col("db")) > 0, 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when((F.col("da") * F.col("db")) < 0, 1).otherwise(0))
+        .cast("long").alias("d"),
+        F.sum(F.when(F.col("da") == 0, 1).otherwise(0))
+        .cast("long").alias("ta"),
+        F.sum(F.when(F.col("db") == 0, 1).otherwise(0))
+        .cast("long").alias("tb"))
+    nn = j.agg(F.count("*").cast("long").alias("n_nodes"))
+    tau = F.round(
+        (F.col("c") - F.col("d"))
+        / F.sqrt((F.col("n0") - F.col("ta")).cast("double")
+                 * (F.col("n0") - F.col("tb")).cast("double")), 4)
+    return (agg.crossJoin(F.broadcast(nn))
+            .select("n_nodes", F.col("c").alias("concordant"),
+                    F.col("d").alias("discordant"),
+                    tau.alias("tau_b")))

@@ -143,3 +143,55 @@ def rrf_fuse(ranked_lists: list, id_col: str = "doc_id", c: int = 60,
     return (out.withColumn("rrf", expr)
             .orderBy(F.desc("rrf"), F.asc(id_col))
             .limit(top_k))
+
+
+def posting_gamma_bits(df, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_df: int = 2):
+    """Inverted-index compression planning with Elias γ-codes (Elias,
+    IEEE IT 1975; the gap-compression analysis of Witten, Moffat &
+    Bell, "Managing Gigabytes") — the storage estimate an index build
+    runs before choosing a posting-list codec: docs per term sorted by
+    id, delta-encoded into gaps, each gap g costing the γ-code's exact
+    2·⌊log₂g⌋+1 bits.  Frequent terms have dense postings → small gaps
+    → few bits/posting; the long tail stays near the raw cost.  At
+    100 TB this table IS the index sizing model.
+
+    Exactness contract: ⌊log₂g⌋+1 is the BIT LENGTH of g, computed as
+    ``length(bin(g))`` — an integer string op in both engines, never
+    floating log₂ (log2(8)=2.999… libm hazard).  Gaps, bit sums and
+    the raw 64-bit baseline are exact longs; the single division is
+    the 4-dp bits/posting and compression ratio.
+
+    Scale shape: one (term, doc) distinct projection, a per-term
+    ordered LAG window (posting-list sized partitions — the inverted
+    index itself), one term-keyed agg.
+
+    Returns (term, df, gamma_bits, bits_per_posting, ratio_vs_64bit)
+    for terms with df ≥ ``min_df``."""
+    from pyspark.sql import Window as W_
+
+    from .text import tokens
+
+    posting = (df.select(F.col(id_col).alias("d"), F.explode(
+        tokens(F.lower(F.col(text_col)))).alias("t"))
+        .distinct())
+    w = W_.partitionBy("t").orderBy("d")
+    gaps = posting.select(
+        "t",
+        (F.col("d") - F.coalesce(F.lag("d").over(w), F.lit(-1)))
+        .alias("g"))
+    bits = (F.lit(2) * F.length(F.bin(F.col("g"))) - F.lit(1)) \
+        .cast("long")
+    return (gaps.groupBy("t")
+            .agg(F.count("*").cast("long").alias("df_"),
+                 F.sum(bits).alias("gamma_bits"))
+            .where(F.col("df_") >= min_df)
+            .select(F.col("t").alias("term"),
+                    F.col("df_").alias("df"), "gamma_bits",
+                    F.round(F.col("gamma_bits")
+                            / F.col("df_").cast("double"), 4)
+                    .alias("bits_per_posting"),
+                    F.round(F.col("gamma_bits")
+                            / (F.lit(64) * F.col("df_")).cast("double"),
+                            4).alias("ratio_vs_64bit")))

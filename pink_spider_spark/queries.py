@@ -3337,6 +3337,111 @@ def docs_good_turing(spark, sf_dir):
     return W.good_turing(_t(spark, sf_dir, "documents"))
 
 
+@q("graph_rank_tau", """
+WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM ed GROUP BY src),
+r0 AS (SELECT node, round(1.0 / nn.n, 8) AS rank FROM nodes, nn),
+p1 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r0 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(p1.c, 0), 8) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN p1 ON nodes.node = p1.node),
+p2 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r1 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(p2.c, 0), 8) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN p2 ON nodes.node = p2.node),
+p3 AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+       FROM ed e JOIN r2 r ON e.src = r.node JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(p3.c, 0), 8) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN p3 ON nodes.node = p3.node),
+pr AS (SELECT node, rank FROM r3 WHERE node LIKE 's%'),
+ind AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS rank
+        FROM ed WHERE dst LIKE 's%' GROUP BY dst),
+j AS (SELECT pr.node AS n, pr.rank AS sa, ind.rank AS sb
+      FROM pr JOIN ind ON pr.node = ind.node),
+pairs AS (SELECT sign(a.sa - b.sa) AS da, sign(a.sb - b.sb) AS db
+          FROM j a JOIN j b ON a.n < b.n),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d,
+               CAST(sum(CASE WHEN da = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ta,
+               CAST(sum(CASE WHEN db = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tb
+        FROM pairs),
+nj AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM j)
+SELECT n_nodes, c AS concordant, d AS discordant,
+       round((c - d) / sqrt(CAST(n0 - ta AS DOUBLE)
+                            * CAST(n0 - tb AS DOUBLE)), 4) AS tau_b
+FROM agg, nj
+""")
+def graph_rank_tau(spark, sf_dir):
+    """Kendall τ-b rank agreement (Kendall 1938, tie-corrected) between
+    the 3-round PageRank and plain IN-DEGREE ranking of the supplier
+    nodes on the purchase graph — the classic cheap-proxy audit (is
+    expensive PageRank reordering anything in-degree doesn't?): C/D
+    concordant-discordant counts from sign comparisons of the pinned
+    8-dp ranks, tie-pair corrections per policy, one 4-dp float.
+    Pair join quadratic in the policy table's node count only
+    (crawl/rank.py rank_agreement_tau)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")
+                              .cast("string")).alias("src"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")
+                              .cast("string")).alias("dst")))
+    pa = K.pagerank(edges).where(F.col("node").startswith("s"))
+    ind = (edges.select("src", "dst").distinct()
+           .where(F.col("dst").startswith("s"))
+           .groupBy(F.col("dst").alias("node"))
+           .agg(F.count("*").cast("double").alias("rank")))
+    return K.rank_agreement_tau(pa, ind)
+
+
+@q("docs_posting_gamma_bits", """
+WITH posting AS (SELECT DISTINCT doc_id AS d, u.t
+                 FROM (SELECT doc_id,
+                              regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+') AS tk
+                       FROM documents), UNNEST(tk) u(t)),
+gaps AS (SELECT t,
+                d - coalesce(lag(d) OVER (PARTITION BY t ORDER BY d),
+                             -1) AS g
+         FROM posting),
+bits AS (SELECT t, CAST(2 * length(bin(g)) - 1 AS BIGINT) AS b
+         FROM gaps),
+agg AS (SELECT t, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(b) AS BIGINT) AS gamma_bits
+        FROM bits GROUP BY t HAVING count(*) >= 2)
+SELECT t AS term, df, gamma_bits,
+       round(gamma_bits / CAST(df AS DOUBLE), 4) AS bits_per_posting,
+       round(gamma_bits / CAST(64 * df AS DOUBLE), 4) AS ratio_vs_64bit
+FROM agg
+""")
+def docs_posting_gamma_bits(spark, sf_dir):
+    """Inverted-index compression planning with Elias γ-codes (Elias
+    1975; Witten-Moffat-Bell gap compression): per-term delta-encoded
+    posting lists, each gap g costing exactly 2·⌊log₂g⌋+1 bits with
+    the bit length computed as length(bin(g)) — an integer string op
+    in both engines, never floating log₂.  The index sizing model at
+    100 TB; exact-long bit sums, 4-dp ratios
+    (functions/search.py posting_gamma_bits)."""
+    return SE.posting_gamma_bits(_t(spark, sf_dir, "documents"))
+
+
 @q("docs_source_kl", """
 WITH tok AS (SELECT source AS s, u.w
              FROM (SELECT source,
@@ -4819,7 +4924,7 @@ _GATE_FIRST = [
     "events_mann_kendall", "events_load_gini", "docs_good_turing",
     "graph_reciprocity", "docs_flesch_reading", "docs_llr_collocations",
     "events_ab_ztest", "docs_term_burstiness", "docs_source_kl",
-    "events_assoc_rules",
+    "events_assoc_rules", "graph_rank_tau", "docs_posting_gamma_bits",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

@@ -132,6 +132,13 @@ CHECKS = {
     # the single-row total rides a bounded broadcast (the tfidf df-cut
     # precedent); no window, no cartesian
     "docs_good_turing": ([], ["Window", "CartesianProduct"]),
+    # Kendall tau: node-keyed score join + node-pair self-join (the
+    # deliberate u<v pairing over the POLICY table, quadratic in nodes
+    # only) + bounded 1-row combine; no window
+    "graph_rank_tau": ([], ["Window"]),
+    # gamma bits: (term,doc) distinct + per-term ordered LAG window
+    # (posting-list partitions) + term-keyed agg; no join, no cartesian
+    "docs_posting_gamma_bits": (["Window"], ["Join", "CartesianProduct"]),
     # source KL: vocab-level keyed aggs + bounded 1-row total
     # broadcast; terms micro-integerized so the sum is order-free; no
     # window, no cartesian

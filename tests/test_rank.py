@@ -301,3 +301,46 @@ def test_salsa_even_split_shares(spark):
            K.salsa(spark.createDataFrame(E, ["src", "dst"]),
                    iters=1).collect()}
     assert out["x"] == out["y"] == 50_000_000
+
+
+# ---------------------------------------------- Kendall tau-b agreement
+def test_rank_tau_identical_and_reversed(spark):
+    from pyspark.sql import functions as F
+
+    from pink_spider_spark.crawl import rank as K
+
+    a = spark.createDataFrame(
+        [(f"n{i}", float(i)) for i in range(6)], ["node", "rank"])
+    rev = spark.createDataFrame(
+        [(f"n{i}", float(-i)) for i in range(6)], ["node", "rank"])
+    (same,) = K.rank_agreement_tau(a, a).collect()
+    assert same.tau_b == 1.0 and same.discordant == 0
+    (opp,) = K.rank_agreement_tau(a, rev).collect()
+    assert opp.tau_b == -1.0 and opp.concordant == 0
+
+
+def test_rank_tau_matches_scipy_free_twin(spark):
+    import math
+
+    from pink_spider_spark.crawl import rank as K
+
+    sa = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    sb = [2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0]
+    a = spark.createDataFrame(
+        [(f"n{i}", v) for i, v in enumerate(sa)], ["node", "rank"])
+    b = spark.createDataFrame(
+        [(f"n{i}", v) for i, v in enumerate(sb)], ["node", "rank"])
+    (r,) = K.rank_agreement_tau(a, b).collect()
+    c = d = ta = tb = n0 = 0
+    for i in range(len(sa)):
+        for j in range(i + 1, len(sa)):
+            n0 += 1
+            da = (sa[i] > sa[j]) - (sa[i] < sa[j])
+            db = (sb[i] > sb[j]) - (sb[i] < sb[j])
+            c += da * db > 0
+            d += da * db < 0
+            ta += da == 0
+            tb += db == 0
+    tau = (c - d) / math.sqrt((n0 - ta) * (n0 - tb))
+    assert (r.concordant, r.discordant) == (c, d)
+    assert r.tau_b == round(tau, 4)

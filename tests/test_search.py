@@ -134,3 +134,23 @@ def test_rrf_requires_lists():
     from pink_spider_spark.functions.search import rrf_fuse
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# --------------------------------------------- Elias gamma posting bits
+def test_gamma_bits_hand_postings(spark):
+    # term 'x' in docs 0,1,3,7: gaps (vs -1 sentinel) 1,1,2,4 ->
+    # bitlens 1,1,2,3 -> gamma bits 1+1+3+5 = 10; df=4
+    rows = [(0, "x"), (1, "x"), (3, "x"), (7, "x"), (2, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from pink_spider_spark.functions.search import posting_gamma_bits
+    out = {r.term: r for r in
+           posting_gamma_bits(df, min_df=1).collect()}
+    x = out["x"]
+    assert (x.df, x.gamma_bits) == (4, 10)
+    assert x.bits_per_posting == 2.5
+    assert x.ratio_vs_64bit == round(10 / 256, 4)
+    # dense postings (every doc) compress best: all gaps 1 -> 1 bit
+    dense = spark.createDataFrame(
+        [(i, "t") for i in range(8)], ["doc_id", "text"])
+    (t,) = posting_gamma_bits(dense, min_df=1).collect()
+    assert t.gamma_bits == 8 and t.bits_per_posting == 1.0
