@@ -335,3 +335,78 @@ def anf_effective_diameter(nodes: DataFrame, edges: DataFrame,
         *[F.round(F.col(f"m{t}") / 1e6, 4).alias(f"n_{t}")
           for t in range(rounds + 1)],
         F.round(eff, 4).alias("eff_diameter"))
+
+
+def hll_audience_overlap(df: DataFrame, group_col: str, value_col: str,
+                         group_a: str, group_b: str) -> DataFrame:
+    """HLL sketch ALGEBRA (Flajolet et al. 2007 §4 — mergeability is
+    the point of the sketch): audience overlap of two groups from
+    register-wise operations only.  The union sketch is the
+    register-wise MAX of the two groups' registers — exactly what a
+    10^10-key pipeline ships between days/shards instead of raw keys —
+    and the intersection estimate falls out of inclusion–exclusion:
+    |A∩B| ≈ Ê(A) + Ê(B) − Ê(A∪B).  The exact distinct/intersection
+    counts ride along as the audit columns (at production scale they
+    are unaffordable; here they gate the estimator).
+
+    Same determinism contract as ``hll_distinct`` (shared register
+    recipe: h60, % m index, bit-length rank, DECIMAL-integerized
+    harmonic sum); the inclusion–exclusion difference of three 4-dp
+    estimates can go slightly negative for tiny overlaps — reported
+    as-is, that IS the estimator.
+
+    Returns one row: (n_a_exact, n_b_exact, inter_exact, est_a,
+    est_b, est_union, est_inter)."""
+    two = df.where(F.col(group_col).isin(group_a, group_b))
+    hashed = (two.select(F.col(group_col).alias("g"),
+                         F.col(value_col).alias("v"),
+                         X.h60(F.col(value_col).cast("string"))
+                         .alias("hv"))
+              .distinct()
+              .localCheckpoint(eager=False))
+    w = F.shiftright(F.col("hv"), HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w)))
+    regs = (hashed
+            .select("g", F.pmod(F.col("hv"), F.lit(HLL_M)).alias("reg"),
+                    rho.alias("rho"))
+            .groupBy("g", "reg").agg(F.max("rho").alias("mj"))
+            .localCheckpoint(eager=False))
+    sides = (regs.select(F.col("g").alias("side"), "reg", "mj")
+             .unionByName(
+                 regs.groupBy("reg").agg(F.max("mj").alias("mj"))
+                 .select(F.lit("__union").alias("side"), "reg", "mj")))
+    term = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) "
+                  "AS DECIMAL(38,0))")
+    agg = (sides.groupBy("side")
+           .agg(F.count("*").alias("npresent"),
+                F.sum(term).alias("sp")))
+    v_empty = (F.lit(HLL_M) - F.col("npresent")).cast("long")
+    s_total = (F.col("sp") + v_empty.cast("decimal(38,0)")
+               * F.lit(2305843009213693952).cast("decimal(38,0)"))
+    raw = F.lit(_HLL_C) / s_total.cast("double")
+    est = F.round(
+        F.when((raw <= F.lit(_HLL_LINEAR_CUTOFF)) & (v_empty > 0),
+               F.lit(float(HLL_M))
+               * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")))
+        .otherwise(raw), 4)
+    ests = agg.select("side", est.alias("e")).groupBy().agg(
+        F.max(F.when(F.col("side") == group_a, F.col("e"))).alias("ea"),
+        F.max(F.when(F.col("side") == group_b, F.col("e"))).alias("eb"),
+        F.max(F.when(F.col("side") == "__union", F.col("e")))
+        .alias("eu"))
+    av = hashed.where(F.col("g") == group_a).select("v")
+    bv = hashed.where(F.col("g") == group_b).select("v")
+    exact = (av.agg(F.count("*").cast("long").alias("n_a_exact"))
+             .crossJoin(bv.agg(F.count("*").cast("long")
+                               .alias("n_b_exact")))
+             .crossJoin(av.join(bv, "v", "left_semi")
+                        .agg(F.count("*").cast("long")
+                             .alias("inter_exact"))))
+    return (exact.crossJoin(F.broadcast(ests))
+            .select("n_a_exact", "n_b_exact", "inter_exact",
+                    F.col("ea").alias("est_a"),
+                    F.col("eb").alias("est_b"),
+                    F.col("eu").alias("est_union"),
+                    F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4)
+                    .alias("est_inter")))

@@ -518,3 +518,35 @@ def assoc_rules(events: DataFrame, user_col: str = "user_id",
         F.round(conf, 6).alias("confidence"),
         F.round(conf / (F.col("n_b") / F.col("n").cast("double")), 6)
         .alias("lift"))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of the event stream — the
+    classic user-journey / crawl-session model (the chain underlying
+    PageRank itself, here estimated from observed behavior): per
+    entity, events ordered by (ts, id) — the id tie-break makes the
+    sequence deterministic — each consecutive pair is one observed
+    transition, and P(to | from) = n(from,to)/n(from).  The crawl
+    reading: which fetch outcome follows which (view→click→purchase
+    funnels, error clustering after errors).
+
+    Scale shape: one per-entity ordered LEAD window (entity-partitioned
+    — never global), one keyed count agg, a row-marginal join at
+    event-type cardinality.  Exact-long counts; p one 6-dp division.
+
+    Returns (from_type, to_type, n, p)."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col),
+                                             F.asc(id_col))
+    steps = (events
+             .select(F.col(type_col).alias("from_type"),
+                     F.lead(type_col).over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    cnt = (steps.groupBy("from_type", "to_type")
+           .agg(F.count("*").cast("long").alias("n")))
+    rowm = cnt.groupBy("from_type").agg(F.sum("n").alias("nr"))
+    return (cnt.join(rowm, "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("nr").cast("double"), 6)
+                    .alias("p")))

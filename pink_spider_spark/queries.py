@@ -3337,6 +3337,83 @@ def docs_good_turing(spark, sf_dir):
     return W.good_turing(_t(spark, sf_dir, "documents"))
 
 
+@q("events_audience_overlap_hll", """
+WITH h AS (SELECT DISTINCT event_type AS g, user_id AS v,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events WHERE event_type IN ('view', 'purchase')),
+rr AS (SELECT g, hv % 1024 AS reg,
+        CASE WHEN hv // 1024 = 0 THEN 51
+             ELSE 51 - length(bin(hv // 1024)) END AS rho
+       FROM h),
+regs AS (SELECT g, reg, max(rho) AS mj FROM rr GROUP BY 1, 2),
+sides AS (SELECT g AS side, reg, mj FROM regs
+          UNION ALL
+          SELECT '__union', reg, max(mj) FROM regs GROUP BY reg),
+agg AS (SELECT side, count(*) AS npresent,
+        sum(CAST(1::BIGINT << (61 - mj) AS DECIMAL(38,0))) AS sp
+        FROM sides GROUP BY side),
+est AS (SELECT side, 1024 - npresent AS v,
+        1.742160653640441e+24 / CAST(sp
+          + CAST(1024 - npresent AS DECIMAL(38,0))
+            * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+        FROM agg),
+ee AS (SELECT side,
+        round(CASE WHEN raw <= 2560.0 AND v > 0
+              THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+              ELSE raw END, 4) AS e
+       FROM est),
+flat AS (SELECT max(CASE WHEN side = 'view' THEN e END) AS ea,
+                max(CASE WHEN side = 'purchase' THEN e END) AS eb,
+                max(CASE WHEN side = '__union' THEN e END) AS eu
+         FROM ee),
+ex AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM h WHERE g = 'view') AS n_a_exact,
+  (SELECT CAST(count(*) AS BIGINT) FROM h WHERE g = 'purchase')
+    AS n_b_exact,
+  (SELECT CAST(count(*) AS BIGINT) FROM h a
+   WHERE a.g = 'view' AND EXISTS (SELECT 1 FROM h b
+     WHERE b.g = 'purchase' AND b.v = a.v)) AS inter_exact)
+SELECT n_a_exact, n_b_exact, inter_exact,
+       ea AS est_a, eb AS est_b, eu AS est_union,
+       round(ea + eb - eu, 4) AS est_inter
+FROM ex, flat
+""")
+def events_audience_overlap_hll(spark, sf_dir):
+    """HLL sketch algebra (Flajolet et al. 2007 §4 — MERGEABILITY is
+    the sketch's point): audience overlap of the view and purchase
+    populations from register-wise operations only — union sketch =
+    register-wise MAX, |A∩B| ≈ Ê(A)+Ê(B)−Ê(A∪B) by
+    inclusion–exclusion, the way 10^10-key pipelines combine daily
+    sketches instead of raw keys; exact counts ride along as audit
+    columns (functions/sketches.py hll_audience_overlap)."""
+    return SK.hll_audience_overlap(
+        _t(spark, sf_dir, "events"), "event_type", "user_id",
+        "view", "purchase")
+
+
+@q("events_markov_transitions", """
+WITH seq AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS to_type
+             FROM events),
+cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+rm AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nr
+       FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n / CAST(r.nr AS DOUBLE), 6) AS p
+FROM cnt c JOIN rm r USING (from_type)
+""")
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream — the
+    user-journey/crawl-session chain (the model underlying PageRank,
+    estimated from behavior): per entity, (ts, event_id)-ordered LEAD
+    pairs, P(to|from) = n(from,to)/n(from).  Entity-partitioned
+    window, keyed aggs, exact-long counts, 6-dp division
+    (operators/relational.py markov_transitions)."""
+    return R.markov_transitions(_t(spark, sf_dir, "events"))
+
+
 @q("graph_rank_tau", """
 WITH ed AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
@@ -4925,6 +5002,7 @@ _GATE_FIRST = [
     "graph_reciprocity", "docs_flesch_reading", "docs_llr_collocations",
     "events_ab_ztest", "docs_term_burstiness", "docs_source_kl",
     "events_assoc_rules", "graph_rank_tau", "docs_posting_gamma_bits",
+    "events_audience_overlap_hll", "events_markov_transitions",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

@@ -132,6 +132,15 @@ CHECKS = {
     # the single-row total rides a bounded broadcast (the tfidf df-cut
     # precedent); no window, no cartesian
     "docs_good_turing": ([], ["Window", "CartesianProduct"]),
+    # HLL overlap: register-keyed MAX aggs + bounded side/estimate
+    # combines (1-3 rows each); the union side is a register-keyed agg
+    # of the same sketch table; no cartesian over data
+    "events_audience_overlap_hll": ([], ["CartesianProduct", "Window"]),
+    # Markov: entity-partitioned LEAD window + keyed count aggs + a
+    # type-cardinality marginal join; no cartesian, no nested loop
+    "events_markov_transitions": (["Window"],
+                                  ["CartesianProduct",
+                                   "BroadcastNestedLoopJoin"]),
     # Kendall tau: node-keyed score join + node-pair self-join (the
     # deliberate u<v pairing over the POLICY table, quadratic in nodes
     # only) + bounded 1-row combine; no window

@@ -876,3 +876,39 @@ def test_assoc_rules_hand_values(spark):
     assert r2.confidence == 0.5 and r2.lift == 1.25
     # view is universal: lift of anything -> view is exactly 1.0
     assert out[("purchase", "view")].lift == 1.0
+
+
+# --------------------------------------------------- Markov transitions
+def test_markov_transitions_hand_sequences(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    eid = 0
+    # two users with the deterministic journey v->c->v->p
+    for u in (1, 2):
+        for i, t in enumerate(["view", "click", "view", "purchase"]):
+            rows.append((eid, u, t, T + i * m))
+            eid += 1
+    df = spark.createDataFrame(rows,
+                               ["event_id", "user_id", "event_type", "ts"])
+    out = {(r.from_type, r.to_type): r for r in
+           R.markov_transitions(df).collect()}
+    # from view: ->click and ->purchase each once per user
+    assert out[("view", "click")].n == 2
+    assert out[("view", "purchase")].n == 2
+    assert out[("view", "click")].p == 0.5
+    assert out[("click", "view")].p == 1.0
+    # purchase is terminal: no outgoing row
+    assert not any(k[0] == "purchase" for k in out)
+
+
+def test_markov_rows_sum_to_one(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = R.markov_transitions(ev).collect()
+    from collections import defaultdict
+    s = defaultdict(float)
+    for r in rows:
+        s[r.from_type] += r.p
+    for ft, tot in s.items():
+        assert abs(tot - 1.0) < 1e-4, (ft, tot)

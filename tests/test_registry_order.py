@@ -31,7 +31,9 @@ ROUND5_ADDITIONS = ("frontier_freshness_priority", "frontier_trap_filter",
                     "docs_flesch_reading", "docs_llr_collocations",
                     "events_ab_ztest", "docs_term_burstiness",
                     "docs_source_kl", "events_assoc_rules",
-                    "graph_rank_tau", "docs_posting_gamma_bits")
+                    "graph_rank_tau", "docs_posting_gamma_bits",
+                    "events_audience_overlap_hll",
+                    "events_markov_transitions")
 
 
 def test_gate_window_holds_never_driver_checked_queries():

@@ -284,3 +284,31 @@ def test_anf_saturated_clique_diameter_one(spark):
         rounds=2).collect()[0]
     assert r.eff_diameter <= 1.0
     assert abs(r.n_1 - r.n_2) < 1e-6  # saturated after one hop
+
+
+# --------------------------------------------- HLL audience overlap
+def test_hll_overlap_disjoint_and_identical(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    from pink_spider_spark.functions.sketches import hll_audience_overlap
+
+    # identical audiences: union == each side, est_inter == est_a
+    rows = [(u, t, T) for u in range(300) for t in ("view", "purchase")]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    (r,) = hll_audience_overlap(df, "event_type", "user_id",
+                                "view", "purchase").collect()
+    assert r.n_a_exact == r.n_b_exact == r.inter_exact == 300
+    assert r.est_a == r.est_b == r.est_union
+    assert r.est_inter == r.est_a
+    # disjoint audiences: union registers = superset, inter_exact 0,
+    # and the estimator's inclusion-exclusion lands near zero
+    rows2 = [(u, "view", T) for u in range(300)]
+    rows2 += [(1000 + u, "purchase", T) for u in range(300)]
+    df2 = spark.createDataFrame(rows2, ["user_id", "event_type", "ts"])
+    (r2,) = hll_audience_overlap(df2, "event_type", "user_id",
+                                 "view", "purchase").collect()
+    assert r2.inter_exact == 0
+    assert abs(r2.est_inter) < 0.2 * 300  # sketch-σ scale, not exact
+    # relative error of each single-set estimate ~ 1.04/sqrt(1024)
+    for est, exact in ((r2.est_a, 300), (r2.est_b, 300)):
+        assert abs(est - exact) / exact < 0.15
