@@ -550,3 +550,115 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
             .select("from_type", "to_type", "n",
                     F.round(F.col("n") / F.col("nr").cast("double"), 6)
                     .alias("p")))
+
+
+def kaplan_meier(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", censor_hours: int = 24) -> DataFrame:
+    """Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958 —
+    the most-cited statistics paper) over entity lifetimes — the churn
+    curve: lifetime = days between an entity's first and last event;
+    entities whose last event falls within ``censor_days`` of the
+    stream's end are right-CENSORED (still alive at observation end —
+    the estimator's whole point; without censoring KM degenerates to
+    the empirical survival function).  At each uncensored lifetime t:
+    n_t = entities with lifetime ≥ t (at risk), d_t = uncensored
+    deaths at t, and S(t) = Π_{i ≤ t} (1 − d_i/n_i).
+
+    Determinism: the product is evaluated as exp(ordered-prefix-sum of
+    ln(1 − d/n)) — an ORDERED window, so both engines sum the same
+    doubles in the same order (the cusum prefix-sum argument); counts
+    are exact longs; S rounded 6 dp.  A terminal d_t = n_t yields
+    exactly 0.0 via an explicit prefix flag (Spark's log(0) is NULL
+    while DuckDB's is −inf — the flag removes the engine divergence).
+
+    Scale shape: one entity-keyed min/max agg, one lifetime-keyed agg,
+    an at-risk suffix sum + prefix product over the DISTINCT-lifetime
+    table (sublinear).  Returns (t_hours, n_risk, d, survival)."""
+    per = (events.groupBy(F.col(user_col).alias("u"))
+           .agg(F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1")))
+    horizon = events.agg(F.max(ts_col).alias("hz"))
+    # FULL elapsed hours via exact epoch-second integer division —
+    # never date_diff/timestampdiff, whose boundary-crossing vs
+    # complete-interval semantics differ across engines
+    hdiff = F.expr("(unix_timestamp(t1) - unix_timestamp(t0)) div 3600")
+    gap = F.expr("(unix_timestamp(hz) - unix_timestamp(t1)) div 3600")
+    lt = (per.crossJoin(F.broadcast(horizon))
+          .select(hdiff.cast("long").alias("lt"),
+                  (gap < F.lit(censor_hours)).alias("censored")))
+    tbl = (lt.groupBy("lt")
+           .agg(F.count("*").cast("long").alias("all_at_t"),
+                F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+                .cast("long").alias("d")))
+    w_suffix = Window.orderBy(F.desc("lt")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    risk = tbl.withColumn("n_risk", F.sum("all_at_t").over(w_suffix))
+    w_prefix = Window.orderBy(F.asc("lt")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    # the terminal d = n_risk row must yield exactly 0.0: Spark's
+    # log(0) is NULL while DuckDB's is -inf, so the zero is carried by
+    # an explicit prefix flag in BOTH engines instead of the ln chain
+    surv = (risk.where(F.col("d") > 0)
+            .withColumn("__ln", F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(F.lit(1.0)
+                      - F.col("d") / F.col("n_risk").cast("double"))))
+            .withColumn("__dead", F.max(
+                F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+                .over(w_prefix))
+            .withColumn("survival", F.when(
+                F.col("__dead") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("__ln").over(w_prefix)), 6))))
+    return surv.select(F.col("lt").alias("t_hours"), "n_risk", "d",
+                       "survival")
+
+
+def hourly_acf(events: DataFrame, group_col: str = "event_type",
+               ts_col: str = "ts",
+               lags: tuple = (1, 2, 3, 6, 12, 24)) -> DataFrame:
+    """Autocorrelation of the hourly count series (the Box–Jenkins ACF
+    — the seasonality detector: a daily-periodic stream spikes at lag
+    24) per group, over the DENSIFIED calendar series — missing hours
+    count 0, otherwise gaps silently shift every lag.  Cleared of the
+    mean division exactly as the CUSUM operator: centered
+    c_t = n·x_t − Σx is an exact long, so numerator Σ c_t·c_{t+k} and
+    denominator Σ c_t² are exact integer sums and
+    r_k = num/den is ONE 6-dp division — no float accumulation at
+    all.  Window/join sizes are span-bounded (hourly series), the
+    Mann-Kendall sublinearity argument.
+
+    Returns (group, lag, n_hours, acf)."""
+    hourly = (events
+              .groupBy(F.col(group_col).alias("grp"),
+                       F.date_trunc("hour", F.col(ts_col)).alias("h"))
+              .agg(F.count("*").alias("c")))
+    span = hourly.groupBy("grp").agg(F.min("h").alias("h0"),
+                                     F.max("h").alias("h1"))
+    dense = (span.select("grp", F.explode(F.sequence(
+        F.col("h0"), F.col("h1"),
+        F.expr("interval 1 hour"))).alias("h"))
+        .join(hourly, ["grp", "h"], "left")
+        .select("grp", "h", F.coalesce(F.col("c"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False))
+    tot = dense.groupBy("grp").agg(F.sum("x").alias("s"),
+                                   F.count("*").cast("long").alias("n"))
+    cen = (dense.join(tot, "grp")
+           .select("grp", "h", "n",
+                   (F.col("n") * F.col("x") - F.col("s")).cast("long")
+                   .alias("ct"))
+           .localCheckpoint(eager=False))
+    den = cen.groupBy("grp").agg(
+        F.sum(F.col("ct") * F.col("ct")).alias("den"),
+        F.max("n").alias("n_hours"))
+    lagdf = cen.sparkSession.createDataFrame(
+        [(int(k),) for k in lags], ["lag"])
+    b = cen.select("grp", F.col("h").alias("h2"),
+                   F.col("ct").alias("ct2"))
+    num = (cen.crossJoin(F.broadcast(lagdf))
+           .withColumn("h2", F.expr("h + make_interval(0,0,0,0,lag,0,0)"))
+           .join(b, ["grp", "h2"])
+           .groupBy("grp", "lag")
+           .agg(F.sum(F.col("ct") * F.col("ct2")).alias("num")))
+    return (num.join(den, "grp")
+            .select(F.col("grp").alias(group_col), "lag", "n_hours",
+                    F.round(F.col("num") / F.col("den").cast("double"),
+                            6).alias("acf")))

@@ -3337,6 +3337,88 @@ def docs_good_turing(spark, sf_dir):
     return W.good_turing(_t(spark, sf_dir, "documents"))
 
 
+@q("events_kaplan_meier", """
+WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1
+             FROM events GROUP BY user_id),
+hz AS (SELECT max(ts) AS hz FROM events),
+lt AS (SELECT (epoch(per.t1)::BIGINT - epoch(per.t0)::BIGINT) // 3600
+                AS lt,
+              (epoch(hz.hz)::BIGINT - epoch(per.t1)::BIGINT) // 3600 < 24
+                AS cens
+       FROM per, hz),
+tbl AS (SELECT lt, CAST(count(*) AS BIGINT) AS all_at_t,
+               CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT)
+                 AS d
+        FROM lt GROUP BY lt),
+risk AS (SELECT lt, all_at_t, d,
+                CAST(sum(all_at_t) OVER (ORDER BY lt DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+         FROM tbl),
+surv AS (SELECT lt, n_risk, d,
+                CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY lt ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d < n_risk THEN
+                       ln(1.0 - d / CAST(n_risk AS DOUBLE)) END)
+                  OVER (ORDER BY lt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                  6) END AS survival
+         FROM risk WHERE d > 0)
+SELECT lt AS t_hours, n_risk, d, survival FROM surv
+""")
+def events_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival (Kaplan & Meier, JASA 1958) over entity
+    lifetimes in HOURS — the churn curve with right-censoring
+    (entities whose last event is within 24 h of the stream's end are
+    still alive):
+    S(t) = Π(1 − d_i/n_i) evaluated as exp(ordered-prefix-sum of ln
+    terms) so both engines sum identical doubles in identical order;
+    at-risk suffix sums over the distinct-lifetime table (sublinear)
+    (operators/relational.py kaplan_meier)."""
+    return R.kaplan_meier(_t(spark, sf_dir, "events"))
+
+
+@q("events_hourly_acf", """
+WITH hourly AS (SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY grp, h),
+span AS (SELECT grp, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY grp),
+allh AS (SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+                                       (SELECT max(h) FROM hourly),
+                                       INTERVAL 1 HOUR)) AS h),
+dense AS (SELECT s.grp, a.h, coalesce(hh.c, 0) AS x
+          FROM span s JOIN allh a ON a.h BETWEEN s.h0 AND s.h1
+          LEFT JOIN hourly hh ON hh.grp = s.grp AND hh.h = a.h),
+tot AS (SELECT grp, CAST(sum(x) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM dense GROUP BY grp),
+cen AS (SELECT d.grp, d.h, t.n,
+               CAST(t.n * d.x - t.s AS BIGINT) AS ct
+        FROM dense d JOIN tot t USING (grp)),
+den AS (SELECT grp, CAST(sum(ct * ct) AS BIGINT) AS den,
+               CAST(max(n) AS BIGINT) AS n_hours FROM cen GROUP BY grp),
+lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+num AS (SELECT a.grp, l.lag, CAST(sum(a.ct * b.ct) AS BIGINT) AS num
+        FROM cen a JOIN lags l ON true
+        JOIN cen b ON b.grp = a.grp
+                  AND b.h = a.h + l.lag * INTERVAL 1 HOUR
+        GROUP BY a.grp, l.lag)
+SELECT n.grp AS event_type, CAST(n.lag AS BIGINT) AS lag, d.n_hours,
+       round(n.num / CAST(d.den AS DOUBLE), 6) AS acf
+FROM num n JOIN den d USING (grp)
+""")
+def events_hourly_acf(spark, sf_dir):
+    """Autocorrelation of the hourly count series (Box–Jenkins ACF,
+    the seasonality detector — a daily-periodic stream spikes at lag
+    24) per event type over the DENSIFIED calendar series (missing
+    hours count 0).  Cleared of the mean division like CUSUM:
+    c_t = n·x_t − Σx exact longs, numerator and denominator exact
+    integer sums, one 6-dp division per (group, lag); span-bounded
+    joins (operators/relational.py hourly_acf)."""
+    return R.hourly_acf(_t(spark, sf_dir, "events"))
+
+
 @q("events_audience_overlap_hll", """
 WITH h AS (SELECT DISTINCT event_type AS g, user_id AS v,
         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
@@ -5003,6 +5085,7 @@ _GATE_FIRST = [
     "events_ab_ztest", "docs_term_burstiness", "docs_source_kl",
     "events_assoc_rules", "graph_rank_tau", "docs_posting_gamma_bits",
     "events_audience_overlap_hll", "events_markov_transitions",
+    "events_kaplan_meier", "events_hourly_acf",
     # positions 29-49: representative core — the two flagships, one per
     # §2 operator family, and round-3/4 heavyweights worth re-confirming
     "crawl_two_waves", "docs_extract_provider_counts",

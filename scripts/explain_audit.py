@@ -132,6 +132,14 @@ CHECKS = {
     # the single-row total rides a bounded broadcast (the tfidf df-cut
     # precedent); no window, no cartesian
     "docs_good_turing": ([], ["Window", "CartesianProduct"]),
+    # Kaplan-Meier: entity min/max agg + suffix/prefix windows over
+    # the DISTINCT-lifetime table (sublinear, unpartitioned by design,
+    # documented); no cartesian over data
+    "events_kaplan_meier": (["Window"], ["CartesianProduct"]),
+    # ACF: densified hourly series (span-bounded), keyed lag self-join
+    # + keyed aggs; the lag list rides a bounded 6-row broadcast; no
+    # window
+    "events_hourly_acf": ([], ["Window", "CartesianProduct"]),
     # HLL overlap: register-keyed MAX aggs + bounded side/estimate
     # combines (1-3 rows each); the union side is a register-keyed agg
     # of the same sketch table; no cartesian over data

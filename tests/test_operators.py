@@ -912,3 +912,89 @@ def test_markov_rows_sum_to_one(spark):
         s[r.from_type] += r.p
     for ft, tot in s.items():
         assert abs(tot - 1.0) < 1e-4, (ft, tot)
+
+
+# ---------------------------------------------------- Kaplan-Meier
+def test_kaplan_meier_hand_curve(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    h = dt.timedelta(hours=1)
+    rows = []
+    # horizon anchor: user 99 active at the very end (censored, lt 0)
+    rows += [(99, T + 200 * h), (99, T + 200 * h)]
+    # uncensored lifetimes (hours): 10, 10, 20  (last events far from
+    # horizon); user 50 censored with lifetime 15 (last event at end-12h)
+    rows += [(1, T), (1, T + 10 * h)]
+    rows += [(2, T), (2, T + 10 * h)]
+    rows += [(3, T), (3, T + 20 * h)]
+    rows += [(50, T + 173 * h), (50, T + 188 * h)]  # gap 12h -> censored
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.t_hours: r for r in R.kaplan_meier(df).collect()}
+    # risk sets: t=10 -> users {1,2,3,50} at risk (lt >= 10) = 4, d=2
+    # t=20 -> {3} (lt >= 20) = 1, d=1
+    assert set(out) == {10, 20}
+    assert out[10].n_risk == 4 and out[10].d == 2
+    assert out[10].survival == 0.5
+    assert out[20].n_risk == 1 and out[20].d == 1
+    assert out[20].survival == 0.0
+
+
+def test_kaplan_meier_censoring_changes_curve(spark):
+    # the same lifetimes WITHOUT censoring give a different curve —
+    # censored entities leave the risk set without a death event
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    h = dt.timedelta(hours=1)
+    rows = [(99, T + 300 * h)]
+    rows += [(1, T), (1, T + 10 * h)]
+    rows += [(2, T), (2, T + 30 * h)]           # uncensored, lt 30
+    rows += [(50, T + 250 * h), (50, T + 270 * h)]  # lt 20, censored
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.t_hours: r.survival for r in R.kaplan_meier(df).collect()}
+    # at t=30 the censored lt-20 user has LEFT the risk set: n_risk=1
+    # S(30) = S(10) * (1 - 1/1) = 0; S(10) = 1 - 1/3
+    assert out[10] == round(1 - 1 / 3, 6) and out[30] == 0.0
+
+
+# ------------------------------------------------------- hourly ACF
+def test_hourly_acf_periodic_and_flat(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    h = dt.timedelta(hours=1)
+    rows = []
+    # 'per2': strict period-2 series 3,1,3,1,... over 48h -> acf(2)=1,
+    # acf(1) = -1 (computed over the truncated overlap: see twin below)
+    for t in range(48):
+        rows += [("per2", T + t * h)] * (3 if t % 2 == 0 else 1)
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {(r.event_type, r.lag): r.acf
+           for r in R.hourly_acf(df).collect()}
+    # sequential twin with the same truncated-overlap definition
+    xs = [3 if t % 2 == 0 else 1 for t in range(48)]
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    for k in (1, 2, 3, 6, 12, 24):
+        num = sum(c[i] * c[i + k] for i in range(n - k))
+        assert out[("per2", k)] == round(num / den, 6), k
+    assert out[("per2", 2)] > 0.9 and out[("per2", 1)] < 0
+    assert out[("per2", 24)] > 0.4
+
+
+def test_hourly_acf_densifies_missing_hours(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 3, 1)
+    h = dt.timedelta(hours=1)
+    # events only at t=0 and t=4: hours 1-3 MUST be zero-filled, so
+    # n_hours = 5, not 2
+    df = spark.createDataFrame(
+        [("x", T), ("x", T + 4 * h)], ["event_type", "ts"])
+    rows = R.hourly_acf(df, lags=(1, 4)).collect()
+    assert all(r.n_hours == 5 for r in rows)
+    got = {r.lag: r.acf for r in rows}
+    xs = [1, 0, 0, 0, 1]
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    assert got[4] == round(sum(c[i] * c[i + 4]
+                               for i in range(n - 4)) / den, 6)

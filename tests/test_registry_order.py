@@ -33,7 +33,8 @@ ROUND5_ADDITIONS = ("frontier_freshness_priority", "frontier_trap_filter",
                     "docs_source_kl", "events_assoc_rules",
                     "graph_rank_tau", "docs_posting_gamma_bits",
                     "events_audience_overlap_hll",
-                    "events_markov_transitions")
+                    "events_markov_transitions", "events_kaplan_meier",
+                    "events_hourly_acf")
 
 
 def test_gate_window_holds_never_driver_checked_queries():
